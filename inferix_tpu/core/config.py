@@ -1,0 +1,219 @@
+"""Unified configuration for the TPU engine.
+
+The reference splits configuration across three systems (OmegaConf YAML for
+Wan-family, JSON dataclasses for MAGI, argparse per example —
+`inferix/core/config/model.py:22-107`, `inferix/models/magi/config/magi_config.py`).
+Here there is one dataclass tree, loadable from dict / JSON / YAML.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .types import DecodeMode, MemoryMode, StreamingMode
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Architecture hyperparameters of the causal DiT backbone.
+
+    Defaults are the Wan2.1-T2V-1.3B shapes used by Self-Forcing/CausVid
+    (reference: `inferix/pipeline/self_forcing/CausalInferencePipeline.py:92-93`,
+    30 layers / 1560 tokens per latent frame).
+    """
+
+    model_type: str = "t2v"  # "t2v" | "i2v"
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_len: int = 512
+    in_dim: int = 16
+    dim: int = 1536
+    ffn_dim: int = 8960
+    freq_dim: int = 256
+    text_dim: int = 4096
+    out_dim: int = 16
+    num_heads: int = 12
+    num_layers: int = 30
+    local_attn_size: int = -1  # frames; -1 = global window (cache cap applies)
+    sink_size: int = 0         # frames pinned at the start of the rolling cache
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    rope_max_seq_len: int = 1024
+
+    # Semi-AR structure
+    num_frame_per_block: int = 3
+    independent_first_frame: bool = False
+    # Max tokens the self-attention KV cache holds. The reference caps at
+    # 32760 (= 21 frames x 1560 tokens) or local_attn_size frames
+    # (`causal_model.py:122`).
+    max_attention_frames: int = 21
+
+    @property
+    def head_dim(self) -> int:
+        assert self.dim % self.num_heads == 0
+        return self.dim // self.num_heads
+
+    def frame_seq_length(self, latent_h: int, latent_w: int) -> int:
+        ph, pw = self.patch_size[1], self.patch_size[2]
+        return (latent_h // ph) * (latent_w // pw)
+
+    @property
+    def attention_window_frames(self) -> int:
+        if self.local_attn_size == -1:
+            return self.max_attention_frames
+        return self.local_attn_size
+
+
+@dataclasses.dataclass
+class ParallelConfig:
+    """Mesh layout. One `jax.sharding.Mesh` replaces the reference's three
+    process-group stacks (parallel_state + xfuser + yunchang,
+    `inferix/distributed/parallel_state.py`, `models/self_forcing/wrapper.py:191-206`).
+    """
+
+    dp: int = 1      # data parallel (requests / batch)
+    sp: int = 1      # sequence parallel (tokens within a frame's HW)
+    tp: int = 1      # tensor parallel (heads / ffn hidden)
+    pp: int = 1      # pipeline stages (layer ranges)
+    sp_mode: str = "ulysses"  # "ulysses" | "ring" | "auto"
+
+    @property
+    def world_size(self) -> int:
+        return self.dp * self.sp * self.tp * self.pp
+
+    def axis_sizes(self) -> Dict[str, int]:
+        return {"dp": self.dp, "sp": self.sp, "tp": self.tp, "pp": self.pp}
+
+
+@dataclasses.dataclass
+class QuantConfig:
+    """Quantization recipe (replaces the external DAX library + MAGI fp8 flags,
+    reference `example/quantization/run_self_forcing_quantized.py:33-65`,
+    `inferix/models/magi/dit/dit_module.py:367-490`)."""
+
+    enabled: bool = False
+    dtype: str = "int8"            # "int8" | "fp8" (e4m3)
+    granularity: str = "per_channel"  # "per_tensor" | "per_channel" (per-token act x per-channel weight)
+    quantize_kv_cache: bool = False
+    kv_cache_dtype: str = "int8"
+    # module-name substrings excluded from quantization (reference excludes
+    # text_embedding / proj_out / head and first/last layer qkv)
+    exclude: Tuple[str, ...] = ("text_embedding", "head", "patch_embedding", "time_")
+    first_last_layer_excluded: bool = True
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """Execution-time knobs."""
+
+    dtype: str = "bfloat16"
+    seed: int = 42
+    denoising_step_list: Tuple[int, ...] = (1000, 750, 500, 250)
+    warp_denoising_step: bool = True
+    context_noise: int = 0
+    timestep_shift: float = 8.0
+    guidance_scale: float = 0.0
+    decode_mode: DecodeMode = DecodeMode.AFTER_ALL
+    streaming_mode: StreamingMode = StreamingMode.AUTO
+    memory_mode: MemoryMode = MemoryMode.RELAXED
+    vae_chunk_size: int = 2
+    free_cache_before_vae: bool = True
+    # Streaming segments
+    frames_per_segment: int = 21
+    overlap_frames: int = 3
+    # Latent geometry (1.3B @ 480x832 -> [21, 16, 60, 104])
+    num_frames: int = 21
+    latent_channels: int = 16
+    latent_height: int = 60
+    latent_width: int = 104
+    batch_size: int = 1
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    model_path: Optional[str] = None
+    profile: bool = False
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "EngineConfig":
+        def build(klass, sub):
+            fields = {f.name: f for f in dataclasses.fields(klass)}
+            kwargs = {}
+            for k, v in (sub or {}).items():
+                if k not in fields:
+                    raise KeyError(f"Unknown config key {k!r} for {klass.__name__}")
+                ftype = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(v)
+                if k == "decode_mode":
+                    v = DecodeMode(v)
+                elif k == "streaming_mode":
+                    v = StreamingMode(v)
+                elif k == "memory_mode":
+                    v = MemoryMode(v)
+                kwargs[k] = v
+            return klass(**kwargs)
+
+        return cls(
+            model=build(ModelConfig, d.get("model")),
+            parallel=build(ParallelConfig, d.get("parallel")),
+            quant=build(QuantConfig, d.get("quant")),
+            runtime=build(RuntimeConfig, d.get("runtime")),
+            model_path=d.get("model_path"),
+            profile=bool(d.get("profile", False)),
+        )
+
+    @classmethod
+    def from_json(cls, path: str | pathlib.Path) -> "EngineConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        import enum
+
+        d = dataclasses.asdict(self)
+
+        def clean(v):
+            if isinstance(v, enum.Enum):
+                return v.value
+            if isinstance(v, dict):
+                return {k: clean(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [clean(x) for x in v]
+            return v
+
+        return clean(d)
+
+
+def tiny_test_config() -> EngineConfig:
+    """Small shapes for unit tests (the reference's `tests/configs/` pattern:
+    5 frames, 64x64)."""
+    cfg = EngineConfig()
+    cfg.model = ModelConfig(
+        dim=128,
+        ffn_dim=256,
+        num_heads=4,
+        num_layers=2,
+        freq_dim=32,
+        text_dim=64,
+        text_len=16,
+        num_frame_per_block=1,
+        max_attention_frames=6,
+        rope_max_seq_len=64,
+    )
+    cfg.runtime = RuntimeConfig(
+        num_frames=5,
+        latent_channels=16,
+        latent_height=8,
+        latent_width=8,
+        denoising_step_list=(1000, 500),
+        frames_per_segment=4,
+        overlap_frames=1,
+    )
+    return cfg

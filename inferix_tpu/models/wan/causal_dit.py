@@ -1,0 +1,386 @@
+"""Block-causal Wan DiT backbone in functional JAX.
+
+Capability parity with the reference `CausalWanModel`
+(`inferix/models/self_forcing/causal_model.py:518-1027`): patch embedding,
+per-frame AdaLN time modulation, rope with start-frame offset, per-layer
+self-attention over a rolling KV cache, cached text cross-attention, GELU-tanh
+FFN, modulated output head, unpatchify — re-designed TPU-first:
+
+* channels-last latents `[B, F, H, W, C]`; patch embed / unpatchify are
+  reshapes + one matmul (MXU) instead of Conv3d.
+* parameters are a pytree with all transformer layers STACKED on a leading
+  `L` axis so the layer loop is a single `jax.lax.scan` (one compiled layer
+  body, KV cache slices as scan xs/ys).
+* the KV cache is the functional ring buffer of `inferix_tpu/kvcache/cache.py`;
+  rolling-window + sink eviction is index arithmetic, not data movement.
+* fp32 promotion points mirror the reference: time embeddings + modulation in
+  fp32, norms accumulate fp32, attention softmax fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import ModelConfig
+from ...kvcache.cache import (
+    CrossAttnCache,
+    KVCache,
+    KVCacheSpec,
+    init_kv_cache,
+    position_to_slot,
+    valid_mask,
+    write_block,
+)
+from ...ops.attention import cache_attention
+from ...ops.norms import layer_norm, rms_norm
+from ...ops.rope import RopeTables, apply_rope, build_rope_tables, rope_angles, sinusoidal_embedding_1d
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, in_dim, out_dim, dtype):
+    wkey, _ = jax.random.split(key)
+    scale = 1.0 / math.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(wkey, (in_dim, out_dim), dtype=jnp.float32,
+                                minval=-scale, maxval=scale).astype(dtype),
+        "b": jnp.zeros((out_dim,), dtype=dtype),
+    }
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+
+
+def init_block_params(key, cfg: ModelConfig, dtype) -> Params:
+    """One transformer block's parameters."""
+    keys = jax.random.split(key, 12)
+    d = cfg.dim
+    return {
+        "self_attn": {
+            "q": _linear_init(keys[0], d, d, dtype),
+            "k": _linear_init(keys[1], d, d, dtype),
+            "v": _linear_init(keys[2], d, d, dtype),
+            "o": _linear_init(keys[3], d, d, dtype),
+            "norm_q": {"w": jnp.ones((d,), dtype)},
+            "norm_k": {"w": jnp.ones((d,), dtype)},
+        },
+        "cross_attn": {
+            "q": _linear_init(keys[4], d, d, dtype),
+            "k": _linear_init(keys[5], d, d, dtype),
+            "v": _linear_init(keys[6], d, d, dtype),
+            "o": _linear_init(keys[7], d, d, dtype),
+            "norm_q": {"w": jnp.ones((d,), dtype)},
+            "norm_k": {"w": jnp.ones((d,), dtype)},
+        },
+        # norm3 is the affine LayerNorm before cross attention
+        "norm3": {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        "ffn": {
+            "fc1": _linear_init(keys[8], d, cfg.ffn_dim, dtype),
+            "fc2": _linear_init(keys[9], cfg.ffn_dim, d, dtype),
+        },
+        "modulation": (jax.random.normal(keys[10], (6, d), jnp.float32)
+                       / math.sqrt(d)).astype(jnp.float32),
+    }
+
+
+def init_params(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> Params:
+    """Full model parameters; transformer blocks stacked on leading L axis."""
+    keys = jax.random.split(key, 8)
+    d = cfg.dim
+    patch_in = math.prod(cfg.patch_size) * cfg.in_dim
+    patch_out = math.prod(cfg.patch_size) * cfg.out_dim
+
+    block_keys = jax.random.split(keys[0], cfg.num_layers)
+    blocks = [init_block_params(k, cfg, dtype) for k in block_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+    params = {
+        "patch_embedding": _linear_init(keys[1], patch_in, d, dtype),
+        "text_embedding": {
+            "fc1": _linear_init(keys[2], cfg.text_dim, d, dtype),
+            "fc2": _linear_init(keys[3], d, d, dtype),
+        },
+        "time_embedding": {
+            "fc1": _linear_init(keys[4], cfg.freq_dim, d, jnp.float32),
+            "fc2": _linear_init(keys[5], d, d, jnp.float32),
+        },
+        "time_projection": _linear_init(keys[6], d, 6 * d, jnp.float32),
+        "blocks": stacked,
+        "head": {
+            "head": _linear_init(keys[7], d, patch_out, dtype),
+            "modulation": (jax.random.normal(jax.random.fold_in(keys[7], 1),
+                                             (2, d), jnp.float32)
+                           / math.sqrt(d)).astype(jnp.float32),
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Static geometry helper
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DiTGeometry:
+    """Static per-run shape info derived from config + latent size."""
+
+    frames: int          # frames per forward call (block size)
+    latent_h: int
+    latent_w: int
+    patch_size: Tuple[int, int, int]
+
+    @property
+    def grid_h(self) -> int:
+        return self.latent_h // self.patch_size[1]
+
+    @property
+    def grid_w(self) -> int:
+        return self.latent_w // self.patch_size[2]
+
+    @property
+    def frame_seq(self) -> int:
+        return self.grid_h * self.grid_w
+
+    @property
+    def tokens(self) -> int:
+        return self.frames * self.frame_seq
+
+
+def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
+                 dtype=jnp.bfloat16) -> KVCacheSpec:
+    geo = DiTGeometry(1, latent_h, latent_w, cfg.patch_size)
+    frame_seq = geo.frame_seq
+    window_frames = cfg.attention_window_frames
+    return KVCacheSpec(
+        num_layers=cfg.num_layers,
+        batch=batch,
+        max_tokens=window_frames * frame_seq,
+        num_kv_heads=cfg.num_heads,
+        head_dim=cfg.head_dim,
+        sink_tokens=cfg.sink_size * frame_seq,
+        ring=(cfg.local_attn_size != -1),
+        dtype=dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+def patch_embed(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """x: [B, F, H, W, C] -> tokens [B, F*gh*gw, dim] (frame-major order,
+    matching Conv3d(stride=patch) + flatten in the reference)."""
+    b, f, h, w, c = x.shape
+    pt, ph, pw = cfg.patch_size
+    assert f % pt == 0 and h % ph == 0 and w % pw == 0
+    x = x.reshape(b, f // pt, pt, h // ph, ph, w // pw, pw, c)
+    # -> [B, f/pt, h/ph, w/pw, pt, ph, pw, c]
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    x = x.reshape(b, (f // pt) * (h // ph) * (w // pw), pt * ph * pw * c)
+    return linear(params["patch_embedding"], x)
+
+
+def unpatchify(x: jax.Array, cfg: ModelConfig, geo: DiTGeometry) -> jax.Array:
+    """tokens [B, F*gh*gw, pt*ph*pw*out] -> [B, F, H, W, out]."""
+    b = x.shape[0]
+    pt, ph, pw = cfg.patch_size
+    f, gh, gw = geo.frames // pt, geo.grid_h, geo.grid_w
+    x = x.reshape(b, f, gh, gw, pt, ph, pw, cfg.out_dim)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, geo.frames, geo.latent_h, geo.latent_w, cfg.out_dim)
+
+
+def time_embeddings(params: Params, cfg: ModelConfig,
+                    t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """t: [B, F] int timesteps -> (e [B, F, dim], e0 [B, F, 6, dim]) fp32."""
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t.astype(jnp.float32))
+    e = linear(params["time_embedding"]["fc2"],
+               jax.nn.silu(linear(params["time_embedding"]["fc1"], emb)))
+    e0 = linear(params["time_projection"], jax.nn.silu(e))
+    b, f = t.shape
+    return e, e0.reshape(b, f, 6, cfg.dim)
+
+
+def embed_text(params: Params, cfg: ModelConfig, context: jax.Array) -> jax.Array:
+    """Project text-encoder features [B, text_len, text_dim] -> [B, text_len, dim]."""
+    h = linear(params["text_embedding"]["fc1"], context)
+    h = jax.nn.gelu(h, approximate=True)
+    return linear(params["text_embedding"]["fc2"], h)
+
+
+def precompute_crossattn_cache(
+    params: Params, cfg: ModelConfig, context: jax.Array
+) -> CrossAttnCache:
+    """Project text context through every layer's cross-attn K/V once per
+    prompt (replaces the reference's lazy `is_init` crossattn cache,
+    `wan_base/model.py:79-95`)."""
+    ctx = embed_text(params, cfg, context)
+    b, s, d = ctx.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    def layer_kv(block):
+        ca = block["cross_attn"]
+        k = rms_norm(linear(ca["k"], ctx), ca["norm_k"]["w"], cfg.eps)
+        v = linear(ca["v"], ctx)
+        return k.reshape(b, s, nh, hd), v.reshape(b, s, nh, hd)
+
+    k, v = jax.vmap(layer_kv)(params["blocks"])
+    return CrossAttnCache(k=k, v=v)
+
+
+# ---------------------------------------------------------------------------
+# Transformer block
+# ---------------------------------------------------------------------------
+
+def _modulate(x: jax.Array, shift: jax.Array, scale: jax.Array,
+              frames: int) -> jax.Array:
+    """Per-frame AdaLN: x [B, S, C] with S = frames*frame_seq, shift/scale
+    [B, F, C] broadcast over each frame's tokens."""
+    b, s, c = x.shape
+    x = x.reshape(b, frames, s // frames, c)
+    out = x * (1.0 + scale[:, :, None, :]).astype(x.dtype) \
+        + shift[:, :, None, :].astype(x.dtype)
+    return out.reshape(b, s, c)
+
+
+def _gate(x: jax.Array, gate: jax.Array, frames: int) -> jax.Array:
+    b, s, c = x.shape
+    x = x.reshape(b, frames, s // frames, c)
+    out = x * gate[:, :, None, :].astype(x.dtype)
+    return out.reshape(b, s, c)
+
+
+def block_forward(
+    block: Params,
+    cfg: ModelConfig,
+    spec: KVCacheSpec,
+    x: jax.Array,              # [B, S, C]
+    e0: jax.Array,             # [B, F, 6, C] fp32
+    angles: jax.Array,         # [S, head_dim//2] rope angles for this block
+    k_cache: jax.Array,        # [B, Smax, H, D]
+    v_cache: jax.Array,
+    xattn_k: jax.Array,        # [B, text_len, H, D]
+    xattn_v: jax.Array,
+    current_start: jax.Array,  # scalar int32, token offset of this block
+    kv_mask: jax.Array,        # [Smax] bool — valid cache slots after write
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    b, s, c = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    frames = e0.shape[1]
+
+    mod = block["modulation"][None] + e0  # [B, F, 6, C] fp32
+    shift_msa, scale_msa, gate_msa = mod[:, :, 0], mod[:, :, 1], mod[:, :, 2]
+    shift_mlp, scale_mlp, gate_mlp = mod[:, :, 3], mod[:, :, 4], mod[:, :, 5]
+
+    # --- self attention over KV cache ---
+    sa = block["self_attn"]
+    h_in = _modulate(layer_norm(x, eps=cfg.eps), shift_msa, scale_msa, frames)
+    q = rms_norm(linear(sa["q"], h_in), sa["norm_q"]["w"], cfg.eps)
+    k = rms_norm(linear(sa["k"], h_in), sa["norm_k"]["w"], cfg.eps)
+    v = linear(sa["v"], h_in).reshape(b, s, nh, hd)
+    q = apply_rope(q.reshape(b, s, nh, hd), angles)
+    k = apply_rope(k.reshape(b, s, nh, hd), angles)
+
+    k_cache, v_cache = write_block(spec, k_cache, v_cache, k, v, current_start)
+    attn = cache_attention(q, k_cache, v_cache, kv_mask=kv_mask)
+    y = linear(sa["o"], attn.reshape(b, s, c))
+    x = x + _gate(y, gate_msa, frames)
+
+    # --- cross attention (cached text K/V) ---
+    ca = block["cross_attn"]
+    h_x = layer_norm(x, block["norm3"]["w"], block["norm3"]["b"], cfg.eps) \
+        if cfg.cross_attn_norm else layer_norm(x, eps=cfg.eps)
+    cq = rms_norm(linear(ca["q"], h_x), ca["norm_q"]["w"], cfg.eps)
+    cq = cq.reshape(b, s, nh, hd)
+    xa = cache_attention(cq, xattn_k, xattn_v)
+    x = x + linear(ca["o"], xa.reshape(b, s, c))
+
+    # --- FFN ---
+    h_f = _modulate(layer_norm(x, eps=cfg.eps), shift_mlp, scale_mlp, frames)
+    y = linear(block["ffn"]["fc2"],
+               jax.nn.gelu(linear(block["ffn"]["fc1"], h_f), approximate=True))
+    x = x + _gate(y, gate_mlp, frames)
+    return x, k_cache, v_cache
+
+
+def head_forward(params: Params, cfg: ModelConfig, x: jax.Array,
+                 e: jax.Array) -> jax.Array:
+    """Output head with 2-way modulation; e: [B, F, C] fp32."""
+    frames = e.shape[1]
+    mod = params["head"]["modulation"][None, None] + e[:, :, None, :]  # [B,F,2,C]
+    shift, scale = mod[:, :, 0], mod[:, :, 1]
+    h = _modulate(layer_norm(x, eps=cfg.eps), shift, scale, frames)
+    return linear(params["head"]["head"], h)
+
+
+# ---------------------------------------------------------------------------
+# Full forward (inference with KV cache)
+# ---------------------------------------------------------------------------
+
+class DiTStatics(NamedTuple):
+    """Host-side constants bundled for the forward pass."""
+
+    cfg: ModelConfig
+    spec: KVCacheSpec
+    geo: DiTGeometry
+
+
+def make_statics(cfg: ModelConfig, batch: int, frames: int, latent_h: int,
+                 latent_w: int, dtype=jnp.bfloat16) -> DiTStatics:
+    return DiTStatics(
+        cfg=cfg,
+        spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype),
+        geo=DiTGeometry(frames, latent_h, latent_w, cfg.patch_size),
+    )
+
+
+def dit_forward_inference(
+    params: Params,
+    statics: DiTStatics,
+    rope_tables: RopeTables,
+    x: jax.Array,               # [B, F, H, W, C] noisy latents for this block
+    t: jax.Array,               # [B, F] int32 timesteps
+    xattn: CrossAttnCache,      # [L, B, text_len, H, D] x2
+    cache: KVCache,             # [L, B, Smax, H, D] x2
+    current_start: jax.Array,   # scalar int32 token offset
+) -> Tuple[jax.Array, KVCache]:
+    """One forward pass of the causal DiT over a block, updating the KV cache.
+
+    Returns (flow_pred [B, F, H, W, out_dim], new_cache). The layer loop is a
+    lax.scan over stacked block params + per-layer cache slices.
+    """
+    cfg, spec, geo = statics.cfg, statics.spec, statics.geo
+    tokens = patch_embed(params, cfg, x)        # [B, S, C]
+    e, e0 = time_embeddings(params, cfg, t)     # fp32
+
+    start_frame = current_start // geo.frame_seq
+    angles = rope_angles(rope_tables, geo.frames, geo.grid_h, geo.grid_w,
+                         start_frame)
+    current_end = current_start + geo.tokens
+    kv_mask = valid_mask(spec, current_end)
+
+    def layer(carry, xs):
+        h = carry
+        block, k_c, v_c, xk, xv = xs
+        h, k_c, v_c = block_forward(
+            block, cfg, spec, h, e0, angles, k_c, v_c, xk, xv,
+            current_start, kv_mask,
+        )
+        return h, (k_c, v_c)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        layer, tokens, (params["blocks"], cache.k, cache.v, xattn.k, xattn.v)
+    )
+
+    out = head_forward(params, cfg, h, e)
+    flow = unpatchify(out, cfg, geo)
+    return flow, KVCache(k=new_k, v=new_v)

@@ -1,0 +1,454 @@
+"""Causal 3D VAE (Wan 2.1) in functional JAX — chunked streaming decode.
+
+Capability parity with the reference `WanVAE_`
+(`inferix/models/wan_base/vae.py`): CausalConv3d stacks with per-conv temporal
+feature caches enabling chunked encode ([1, 4, 4, ...] pixel frames) and
+frame-by-frame latent decode (`cached_decode`, vae.py:572-596) — the mechanism
+behind PER_BLOCK streaming. Re-designed TPU-first:
+
+* channels-last layout [B, T, H, W, C] (conv via lax.conv_general_dilated,
+  NDHWC) — XLA maps these onto the MXU as implicit GEMMs.
+* the mutable feat_cache/feat_idx machinery (vae.py:105-137, 'Rep' markers,
+  in-place cache juggling) becomes an explicit, immutable cache pytree:
+  each temporal conv owns a rolling buffer of its last (kt-1) input frames,
+  zero-initialized (zero cache == the reference's causal zero padding).
+  First-chunk special cases (downsample3d skip, upsample3d 'Rep' skip) are
+  static `first=True` trace variants.
+* decode processes ONE latent frame per call (as the reference does
+  internally); the wrapper loops, so streaming per-block decode is just
+  calling `decode_chunk` as latents arrive.
+
+Default config (Wan2.1_VAE): dim=96, z_dim=16, dim_mult=[1,2,4,4],
+num_res_blocks=2, temperal_downsample=[False, True, True]
+(`vae.py:614-630 _video_vae`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+Cache = Dict[str, jax.Array]
+
+CACHE_T = 2  # frames of temporal context carried across chunks
+
+# Per-channel latent normalization (reference
+# `models/self_forcing/wrapper.py:65-74`).
+LATENT_MEAN = np.array([
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+], np.float32)
+LATENT_STD = np.array([
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Tuple[float, ...] = ()
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+
+    @property
+    def temperal_upsample(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.temperal_downsample))
+
+    @property
+    def temporal_factor(self) -> int:
+        return 2 ** sum(self.temperal_downsample)
+
+    @property
+    def spatial_factor(self) -> int:
+        return 2 ** (len(self.dim_mult) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kt, kh, kw, cin, cout, dtype=jnp.float32):
+    fan_in = kt * kh * kw * cin
+    scale = 1.0 / math.sqrt(fan_in)
+    wkey, bkey = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(wkey, (kt, kh, kw, cin, cout), dtype,
+                                minval=-scale, maxval=scale),
+        "b": jax.random.uniform(bkey, (cout,), dtype, minval=-scale,
+                                maxval=scale),
+    }
+
+
+def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
+    """x: [B,T,H,W,C]; temporal padding handled by the caller (causal)."""
+    kt, kh, kw = p["w"].shape[:3]
+    if spatial_pad == "same":
+        pads = [(0, 0), ((kh - 1) // 2, (kh - 1) // 2),
+                ((kw - 1) // 2, (kw - 1) // 2)]
+    elif spatial_pad == "down":  # ZeroPad2d((0,1,0,1)) as in Resample
+        pads = [(0, 0), (0, 1), (0, 1)]
+    else:
+        pads = [(0, 0), (0, 0), (0, 0)]
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(t_stride, s_stride, s_stride),
+        padding=pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def _conv2d(p, x, stride=1, spatial_pad="same"):
+    """Per-frame 2D conv; x: [B,T,H,W,C], weight stored as [1,kh,kw,cin,cout]."""
+    return _conv3d(p, x, t_stride=1, s_stride=stride, spatial_pad=spatial_pad)
+
+
+class _CacheCtx:
+    """Threads the per-conv cache dict through apply calls (replaces the
+    reference's feat_cache list + feat_idx counter)."""
+
+    def __init__(self, cache: Optional[Cache], first: bool):
+        self.cache = dict(cache) if cache else {}
+        self.first = first
+        self._n = 0
+
+    def slot(self) -> str:
+        name = f"c{self._n}"
+        self._n += 1
+        return name
+
+    def pull(self, name: str, shape, dtype) -> jax.Array:
+        if name in self.cache:
+            return self.cache[name]
+        return jnp.zeros(shape, dtype)
+
+    def push(self, name: str, value: jax.Array) -> None:
+        self.cache[name] = value
+
+
+def causal_conv3d(p, x, ctx: _CacheCtx, t_stride=1, s_stride=1,
+                  spatial_pad="same"):
+    """Temporally-causal conv: prepend the rolling (kt-1)-frame cache (zeros
+    at stream start == the reference's causal zero padding)."""
+    kt = p["w"].shape[0]
+    if kt == 1:
+        return _conv3d(p, x, t_stride, s_stride, spatial_pad)
+    name = ctx.slot()
+    b, t, h, w, c = x.shape
+    cache = ctx.pull(name, (b, kt - 1, h, w, c), x.dtype)
+    x_in = jnp.concatenate([cache, x], axis=1)
+    ctx.push(name, x_in[:, -(kt - 1):])
+    return _conv3d(p, x_in, t_stride, s_stride, spatial_pad)
+
+
+def rms_norm_spatial(p, x, eps: float = 1e-12):
+    """Reference RMS_norm (vae.py:39-58): L2-normalize over channels * sqrt(C)
+    * gamma. Channels-last."""
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    out = xf / jnp.maximum(norm, eps) * math.sqrt(c)
+    return (out * p["gamma"].astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def init_res_block(key, cin, cout):
+    k = jax.random.split(key, 3)
+    p = {
+        "norm1": {"gamma": jnp.ones((cin,))},
+        "conv1": _conv_init(k[0], 3, 3, 3, cin, cout),
+        "norm2": {"gamma": jnp.ones((cout,))},
+        "conv2": _conv_init(k[1], 3, 3, 3, cout, cout),
+    }
+    if cin != cout:
+        p["shortcut"] = _conv_init(k[2], 1, 1, 1, cin, cout)
+    return p
+
+
+def res_block(p, x, ctx: _CacheCtx):
+    h = _conv3d(p["shortcut"], x) if "shortcut" in p else x
+    y = jax.nn.silu(rms_norm_spatial(p["norm1"], x))
+    y = causal_conv3d(p["conv1"], y, ctx)
+    y = jax.nn.silu(rms_norm_spatial(p["norm2"], y))
+    y = causal_conv3d(p["conv2"], y, ctx)
+    return y + h
+
+
+def init_attn_block(key, dim):
+    k = jax.random.split(key, 2)
+    return {
+        "norm": {"gamma": jnp.ones((dim,))},
+        "qkv": _conv_init(k[0], 1, 1, 1, dim, dim * 3),
+        # reference zero-inits the output projection (vae.py:234)
+        "proj": {"w": jnp.zeros((1, 1, 1, dim, dim)), "b": jnp.zeros((dim,))},
+    }
+
+
+def attn_block(p, x):
+    """Single-head per-frame spatial attention (vae.py:221-259)."""
+    b, t, h, w, c = x.shape
+    y = rms_norm_spatial(p["norm"], x)
+    qkv = _conv3d(p["qkv"], y)                      # [B,T,H,W,3C]
+    qkv = qkv.reshape(b * t, h * w, 3, c)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) * (c ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v)
+    o = o.reshape(b, t, h, w, c)
+    return x + _conv3d(p["proj"], o)
+
+
+def init_resample(key, dim, mode):
+    # NOTE: mode is NOT stored in the params (strings are not pytree leaves);
+    # callers encode it in the containing dict key ("resample:<mode>").
+    p = {}
+    k = jax.random.split(key, 2)
+    if mode in ("upsample2d", "upsample3d"):
+        p["conv"] = _conv_init(k[0], 1, 3, 3, dim, dim // 2)
+        if mode == "upsample3d":
+            p["time_conv"] = _conv_init(k[1], 3, 1, 1, dim, dim * 2)
+    elif mode in ("downsample2d", "downsample3d"):
+        p["conv"] = _conv_init(k[0], 1, 3, 3, dim, dim)
+        if mode == "downsample3d":
+            p["time_conv"] = _conv_init(k[1], 3, 1, 1, dim, dim)
+    return p
+
+
+def resample(p, x, ctx: _CacheCtx, mode: str):
+    b, t, h, w, c = x.shape
+
+    if mode == "upsample3d":
+        name = ctx.slot()
+        if ctx.first:
+            # reference 'Rep' marker: first chunk passes through untouched,
+            # cache stays zeros (vae.py:108-112)
+            pass
+        else:
+            cache = ctx.pull(name, (b, 2, h, w, c), x.dtype)
+            x_in = jnp.concatenate([cache, x], axis=1)
+            ctx.push(name, x_in[:, -2:])
+            y = _conv3d(p["time_conv"], x_in, spatial_pad="none")  # [B,t,h,w,2C]
+            # interleave: channel groups (2, C) -> doubled frames
+            y = y.reshape(b, t, h, w, 2, c)
+            y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, t * 2, h, w, c)
+            x = y
+            t = t * 2
+
+    if mode in ("upsample2d", "upsample3d"):
+        # nearest-exact 2x then 3x3 conv to half channels
+        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        x = _conv2d(p["conv"], x)
+    elif mode in ("downsample2d", "downsample3d"):
+        x = _conv2d(p["conv"], x, stride=2, spatial_pad="down")
+        if mode == "downsample3d":
+            name = ctx.slot()
+            if ctx.first:
+                ctx.push(name, x[:, -1:])
+            else:
+                cache = ctx.pull(name, (x.shape[0], 1, *x.shape[2:]), x.dtype)
+                new_cache = x[:, -1:]
+                x = _conv3d(p["time_conv"],
+                            jnp.concatenate([cache, x], axis=1),
+                            t_stride=2, spatial_pad="none")
+                ctx.push(name, new_cache)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder
+# ---------------------------------------------------------------------------
+
+def init_encoder(key, cfg: VAEConfig):
+    dims = [cfg.dim * u for u in (1, *cfg.dim_mult)]
+    keys = iter(jax.random.split(key, 64))
+    p: Params = {"conv1": _conv_init(next(keys), 3, 3, 3, 3, dims[0])}
+    downs: List[Params] = []
+    scale = 1.0
+    for i, (cin, cout) in enumerate(zip(dims[:-1], dims[1:])):
+        for _ in range(cfg.num_res_blocks):
+            downs.append({"res": init_res_block(next(keys), cin, cout)})
+            if scale in cfg.attn_scales:
+                downs.append({"attn": init_attn_block(next(keys), cout)})
+            cin = cout
+        if i != len(cfg.dim_mult) - 1:
+            mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
+            downs.append({f"resample:{mode}": init_resample(next(keys), cout, mode)})
+            scale /= 2.0
+    p["downsamples"] = downs
+    p["middle"] = {
+        "res1": init_res_block(next(keys), dims[-1], dims[-1]),
+        "attn": init_attn_block(next(keys), dims[-1]),
+        "res2": init_res_block(next(keys), dims[-1], dims[-1]),
+    }
+    p["head_norm"] = {"gamma": jnp.ones((dims[-1],))}
+    p["head_conv"] = _conv_init(next(keys), 3, 3, 3, dims[-1], cfg.z_dim * 2)
+    return p
+
+
+def encoder_apply(p, x, ctx: _CacheCtx):
+    x = causal_conv3d(p["conv1"], x, ctx)
+    for layer in p["downsamples"]:
+        if "res" in layer:
+            x = res_block(layer["res"], x, ctx)
+        elif "attn" in layer:
+            x = attn_block(layer["attn"], x)
+        else:
+            (key,) = layer.keys()
+            x = resample(layer[key], x, ctx, mode=key.split(":")[1])
+    x = res_block(p["middle"]["res1"], x, ctx)
+    x = attn_block(p["middle"]["attn"], x)
+    x = res_block(p["middle"]["res2"], x, ctx)
+    x = jax.nn.silu(rms_norm_spatial(p["head_norm"], x))
+    return causal_conv3d(p["head_conv"], x, ctx)
+
+
+def init_decoder(key, cfg: VAEConfig):
+    dims = [cfg.dim * u for u in (cfg.dim_mult[-1], *reversed(cfg.dim_mult))]
+    keys = iter(jax.random.split(key, 64))
+    p: Params = {"conv1": _conv_init(next(keys), 3, 3, 3, cfg.z_dim, dims[0])}
+    p["middle"] = {
+        "res1": init_res_block(next(keys), dims[0], dims[0]),
+        "attn": init_attn_block(next(keys), dims[0]),
+        "res2": init_res_block(next(keys), dims[0], dims[0]),
+    }
+    ups: List[Params] = []
+    scale = 1.0 / 2 ** (len(cfg.dim_mult) - 2)
+    for i, (cin, cout) in enumerate(zip(dims[:-1], dims[1:])):
+        if i in (1, 2, 3):
+            cin = cin // 2
+        for _ in range(cfg.num_res_blocks + 1):
+            ups.append({"res": init_res_block(next(keys), cin, cout)})
+            if scale in cfg.attn_scales:
+                ups.append({"attn": init_attn_block(next(keys), cout)})
+            cin = cout
+        if i != len(cfg.dim_mult) - 1:
+            mode = "upsample3d" if cfg.temperal_upsample[i] else "upsample2d"
+            ups.append({f"resample:{mode}": init_resample(next(keys), cout, mode)})
+            scale *= 2.0
+    p["upsamples"] = ups
+    p["head_norm"] = {"gamma": jnp.ones((cfg.dim,))}
+    p["head_conv"] = _conv_init(next(keys), 3, 3, 3, cfg.dim, 3)
+    return p
+
+
+def decoder_apply(p, x, ctx: _CacheCtx):
+    x = causal_conv3d(p["conv1"], x, ctx)
+    x = res_block(p["middle"]["res1"], x, ctx)
+    x = attn_block(p["middle"]["attn"], x)
+    x = res_block(p["middle"]["res2"], x, ctx)
+    for layer in p["upsamples"]:
+        if "res" in layer:
+            x = res_block(layer["res"], x, ctx)
+        elif "attn" in layer:
+            x = attn_block(layer["attn"], x)
+        else:
+            (key,) = layer.keys()
+            x = resample(layer[key], x, ctx, mode=key.split(":")[1])
+    x = jax.nn.silu(rms_norm_spatial(p["head_norm"], x))
+    return causal_conv3d(p["head_conv"], x, ctx)
+
+
+# ---------------------------------------------------------------------------
+# Public VAE wrapper
+# ---------------------------------------------------------------------------
+
+class CausalVAE:
+    """Functional VAE with jitted chunked encode/decode.
+
+    Latents use the pipeline layout [B, T_latent, H/8, W/8, z] with per-channel
+    normalization (mean/std) applied, matching `WanVAEWrapper.encode_to_latent
+    / decode_to_pixel` (`wrapper.py:87-168`).
+    """
+
+    def __init__(self, cfg: VAEConfig = VAEConfig(), params: Optional[Params] = None,
+                 key: Optional[jax.Array] = None, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        if params is None:
+            key = key if key is not None else jax.random.key(0)
+            ek, dk, ck1, ck2 = jax.random.split(key, 4)
+            params = {
+                "encoder": init_encoder(ek, cfg),
+                "decoder": init_decoder(dk, cfg),
+                "conv1": _conv_init(ck1, 1, 1, 1, cfg.z_dim * 2, cfg.z_dim * 2),
+                "conv2": _conv_init(ck2, 1, 1, 1, cfg.z_dim, cfg.z_dim),
+            }
+        self.params = params
+        self._decode_first = jax.jit(self._decode_chunk_impl,
+                                     static_argnames=("first",))
+        self._encode_chunk = jax.jit(self._encode_chunk_impl,
+                                     static_argnames=("first",))
+
+    # -- decode -------------------------------------------------------------
+
+    def _latent_stats(self, dtype):
+        z = self.cfg.z_dim
+        mean, std = LATENT_MEAN, LATENT_STD
+        if z <= mean.shape[0]:
+            mean, std = mean[:z], std[:z]
+        else:
+            mean = np.pad(mean, (0, z - mean.shape[0]))
+            std = np.pad(std, (0, z - std.shape[0]), constant_values=1.0)
+        return jnp.asarray(mean, dtype), jnp.asarray(std, dtype)
+
+    def _decode_chunk_impl(self, params, z, cache, *, first):
+        ctx = _CacheCtx(cache, first)
+        mean, std = self._latent_stats(z.dtype)
+        z = z * std + mean
+        x = _conv3d(params["conv2"], z)
+        out = decoder_apply(params["decoder"], x, ctx)
+        return out, ctx.cache
+
+    def decode_chunk(self, z_frame: jax.Array, cache: Optional[Cache],
+                     first: bool) -> Tuple[jax.Array, Cache]:
+        """Decode ONE latent frame [B, 1, h, w, z] -> pixels [B, 1 or 4, H, W, 3]."""
+        return self._decode_first(self.params, z_frame, cache, first=first)
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        """latents: [B, T, h, w, z] -> video [B, 1+4(T-1), H, W, 3] in [-1, 1]."""
+        chunks = []
+        cache: Optional[Cache] = None
+        for i in range(latents.shape[1]):
+            out, cache = self.decode_chunk(latents[:, i:i + 1], cache,
+                                           first=(i == 0))
+            chunks.append(out)
+        video = jnp.concatenate(chunks, axis=1)
+        return jnp.clip(video, -1.0, 1.0)
+
+    # -- encode -------------------------------------------------------------
+
+    def _encode_chunk_impl(self, params, x, cache, *, first):
+        ctx = _CacheCtx(cache, first)
+        out = encoder_apply(params["encoder"], x, ctx)
+        out = _conv3d(params["conv1"], out)
+        mu = out[..., : self.cfg.z_dim]
+        mean, std = self._latent_stats(mu.dtype)
+        return (mu - mean) / std, ctx.cache
+
+    def encode(self, video: jax.Array) -> jax.Array:
+        """video: [B, T, H, W, 3] with T = 1 + 4k -> latents [B, 1+k, h, w, z]."""
+        t = video.shape[1]
+        assert (t - 1) % 4 == 0, f"pixel frames must be 1+4k, got {t}"
+        outs = []
+        cache: Optional[Cache] = None
+        pos = 0
+        for i in range(1 + (t - 1) // 4):
+            n = 1 if i == 0 else 4
+            out, cache = self._encode_chunk(
+                self.params, video[:, pos:pos + n], cache, first=(i == 0)
+            )
+            outs.append(out)
+            pos += n
+        return jnp.concatenate(outs, axis=1)

@@ -1,0 +1,163 @@
+"""Attention ops: XLA reference implementation + memory-bounded chunked
+online-softmax variant, plus the dispatch wrapper used by the models.
+
+These replace the reference's FlashAttention-2/3 + FlashInfer backend registry
+(`inferix/models/attention/backends.py`, `flash_attention.py:42-200`) with a
+single uniform entry point. On TPU the hot path is the Pallas kernel in
+`inferix_tpu/ops/flash_attention.py`; the XLA paths here are the portable
+fallback (CPU tests, tiny shapes) and the numerics oracle for kernel tests.
+
+All variants return (out, lse) so partial results can be merged across ring
+steps exactly as the reference merges with the log-sum-exp trick
+(`inferix/models/attention/distributed.py:30-48`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Plain masked attention, fp32 softmax. O(Sq*Skv) memory.
+
+    q: [B, Sq, H, D]; k, v: [B, Skv, H, D]; kv_mask: [B, Skv] or [Skv] bool
+    (True = attend). Returns (out [B, Sq, H, D] in q.dtype, lse [B, H, Sq] fp32).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if kv_mask is not None:
+        m = kv_mask if kv_mask.ndim == 2 else kv_mask[None, :]
+        logits = jnp.where(m[:, None, None, :], logits, -jnp.inf)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    probs = jnp.exp(logits - lse[..., None])
+    # Fully-masked rows (no valid kv) produce nan via (-inf) - (-inf); zero them.
+    probs = jnp.nan_to_num(probs)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype), lse
+
+
+def attention_chunked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    chunk_size: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Online-softmax attention scanning over KV chunks — O(Sq*chunk) memory.
+
+    Same contract as attention_reference. This is the XLA "flash" fallback
+    used when the Pallas kernel is unavailable (CPU mesh tests).
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    if skv <= chunk_size:
+        return attention_reference(q, k, v, kv_mask, scale)
+
+    num_chunks = -(-skv // chunk_size)
+    pad = num_chunks * chunk_size - skv
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, skv), dtype=bool)
+    elif kv_mask.ndim == 1:
+        kv_mask = jnp.broadcast_to(kv_mask[None, :], (b, skv))
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
+
+    kc = k.reshape(b, num_chunks, chunk_size, h, d).transpose(1, 0, 2, 3, 4)
+    vc = v.reshape(b, num_chunks, chunk_size, h, d).transpose(1, 0, 2, 3, 4)
+    mc = kv_mask.reshape(b, num_chunks, chunk_size).transpose(1, 0, 2)
+
+    def body(carry, inputs):
+        acc, m_run, l_run = carry  # acc [B,Q,H,D] f32, m/l [B,H,Q] f32
+        kk, vv, mm = inputs
+        logits = (
+            jnp.einsum("bqhd,bkhd->bhqk", q, kk,
+                       preferred_element_type=jnp.float32)
+            * scale
+        )
+        logits = jnp.where(mm[:, None, None, :], logits, -jnp.inf)
+        m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1))
+        # guard: all -inf so far -> keep -inf but avoid nan in exp corrections
+        corr = jnp.exp(jnp.where(jnp.isfinite(m_run), m_run - m_new, -jnp.inf))
+        corr = jnp.nan_to_num(corr)
+        p = jnp.exp(logits - m_new[..., None])
+        p = jnp.nan_to_num(p)
+        l_new = l_run * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vv.dtype), vv,
+                        preferred_element_type=jnp.float32)
+        acc_new = acc * corr.transpose(0, 2, 1)[..., None] + pv
+        return (acc_new, m_new, l_new), None
+
+    acc0 = jnp.zeros((b, sq, h, d), jnp.float32)
+    m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, sq), jnp.float32)
+    (acc, m_run, l_run), _ = jax.lax.scan(body, (acc0, m0, l0), (kc, vc, mc))
+    denom = jnp.maximum(l_run, 1e-30)
+    out = acc / denom.transpose(0, 2, 1)[..., None]
+    lse = m_run + jnp.log(denom)
+    return out.astype(q.dtype), lse
+
+
+def merge_attention_partials(
+    outs: jax.Array, lses: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge N partial attention results with the LSE trick.
+
+    outs: [N, B, Sq, H, D]; lses: [N, B, H, Sq].
+    Used by ring attention to combine per-ring-step partial outputs
+    (reference `distributed.py:30-48 update_out_and_lse_pass_q`).
+    """
+    m = jnp.max(lses, axis=0)                    # [B, H, Sq]
+    w = jnp.exp(lses - m[None])                  # [N, B, H, Sq]
+    denom = jnp.sum(w, axis=0)
+    w_t = (w / denom[None]).transpose(0, 1, 3, 2)[..., None]  # [N,B,Sq,H,1]
+    out = jnp.sum(outs.astype(jnp.float32) * w_t, axis=0)
+    lse = m + jnp.log(denom)
+    return out.astype(outs.dtype), lse
+
+
+def cache_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatcher: Pallas flash kernel on TPU, chunked XLA elsewhere.
+
+    The models call this for both self-attention over the KV cache and
+    cross-attention over text keys.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from .flash_attention import flash_attention as pallas_flash
+
+            return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale)
+        except ImportError:
+            pass
+    out, _ = attention_chunked(q, k, v, kv_mask=kv_mask, scale=scale)
+    return out

@@ -1,0 +1,218 @@
+"""Pallas TPU flash attention over a (partially filled) KV cache.
+
+Replaces the reference's external FlashAttention-2/3 / FlashInfer kernels
+(`inferix/models/attention/backends.py:36-151`, `flash_attention.py:42-200`)
+with a TPU-native fused kernel:
+
+* online-softmax accumulation over KV blocks (classic flash), fp32 state
+* prefix-validity aware: the KV cache's live region is always a prefix
+  (`inferix_tpu/kvcache/cache.py valid_mask`), so the kernel takes `kv_len`
+  as a SCALAR-PREFETCH argument. KV blocks beyond the prefix are skipped:
+  the BlockSpec index map clamps their index (so Pallas re-uses the previous
+  DMA instead of fetching dead cache lines) and `@pl.when` skips the FLOPs.
+  Early semi-AR blocks therefore pay only for the cache they have.
+* LSE output for ring-attention partial merging (same contract as the XLA
+  fallback in `inferix_tpu/ops/attention.py`).
+
+Grid: (B*H, q_blocks, kv_blocks), kv innermost; scratch accumulators persist
+across the kv dimension.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    # scalar prefetch
+    kv_len_ref,
+    # inputs
+    q_ref, k_ref, v_ref,
+    # outputs
+    o_ref, lse_ref,
+    # scratch
+    acc_ref, m_ref, l_ref,
+    *,
+    scale: float,
+    kv_block: int,
+    num_kv_blocks: int,
+):
+    ki = pl.program_id(2)
+    kv_len = kv_len_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    block_start = ki * kv_block
+
+    @pl.when(block_start < kv_len)
+    def _compute():
+        q = q_ref[0]  # [q_blk, D]
+        k = k_ref[0]  # [kv_blk, D]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [q_blk, kv_blk]
+
+        col = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[...]          # [q_blk, 128] lane-replicated
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)       # [q_blk, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :1])                    # [q_blk, kv_blk]
+        l_new = l_prev * corr + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
+        m_ref[...] = m_new
+        l_ref[...] = l_new
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[...][:, :1]                            # [q_blk, 1]
+        denom = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        lse = m_ref[...][:, :1] + jnp.log(denom)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret"),
+)
+def flash_attention_prefix(
+    q: jax.Array,          # [B, Sq, H, D]
+    k: jax.Array,          # [B, Skv, H, D]
+    v: jax.Array,          # [B, Skv, H, D]
+    kv_len: jax.Array,     # scalar int32: valid prefix length of k/v
+    scale: Optional[float] = None,
+    q_block: int = 512,
+    kv_block: int = 512,
+    return_lse: bool = False,
+    interpret: bool = False,
+):
+    """Flash attention where valid KV is the prefix [0, kv_len)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    q_block = min(q_block, -(-sq // 16) * 16)
+    kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
+
+    # [B, S, H, D] -> [B*H, S, D]
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qb, kb, vb = bh(q), bh(k), bh(v)
+    qb = _pad_to(qb, 1, q_block)
+    kb = _pad_to(kb, 1, kv_block)
+    vb = _pad_to(vb, 1, kv_block)
+    sq_p, skv_p = qb.shape[1], kb.shape[1]
+    n_q = sq_p // q_block
+    n_kv = skv_p // kv_block
+
+    kv_len_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    # NOTE: index maps receive (grid indices..., scalar-prefetch refs) — grid
+    # first, scalars last (kernel bodies receive scalars first).
+    def q_map(bhi, qi, ki, kv_len_ref):
+        return (bhi, qi, 0)
+
+    def kv_map(bhi, qi, ki, kv_len_ref):
+        # clamp dead-prefix blocks onto the last valid block: Pallas skips the
+        # DMA when the block index is unchanged between grid steps.
+        last_valid = jnp.maximum(
+            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, jnp.minimum(ki, last_valid), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, q_block, 128), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, d), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_block=kv_block, num_kv_blocks=n_kv
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+    )(kv_len_arr, qb, kb, vb)
+
+    out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:, :sq, 0].reshape(b, h, sq)
+    return out
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Mask-based wrapper matching the `cache_attention` contract. The mask
+    must be a prefix mask (all our masks are — cache validity and full text
+    context); its population count is the prefix length."""
+    skv = k.shape[1]
+    if kv_mask is None:
+        kv_len = jnp.int32(skv)
+    else:
+        m = kv_mask if kv_mask.ndim == 1 else kv_mask[0]
+        kv_len = jnp.sum(m.astype(jnp.int32))
+    return flash_attention_prefix(q, k, v, kv_len, scale=scale)

@@ -1,0 +1,118 @@
+"""Device mesh + sharding rules.
+
+One `jax.sharding.Mesh` with axes (dp, sp, tp, pp) replaces the reference's
+three process-group stacks (Megatron-style `inferix/distributed/parallel_state.py`,
+xfuser/yunchang groups in `models/self_forcing/wrapper.py:191-206`). All
+parallelism is expressed as NamedSharding annotations — XLA GSPMD inserts the
+collectives (all-gather / reduce-scatter over ICI) that the reference issues
+by hand through NCCL.
+
+Axis meaning:
+  dp — data parallel: independent requests/streams (continuous batching)
+  sp — sequence parallel: tokens within a frame's HW grid (context parallel)
+  tp — tensor parallel: attention heads / ffn hidden
+  pp — pipeline stages over layer ranges (optional)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import ParallelConfig
+
+AXES = ("dp", "sp", "tp")
+
+
+def make_mesh(
+    cfg: ParallelConfig, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    need = cfg.dp * cfg.sp * cfg.tp
+    if len(devices) < need:
+        raise ValueError(
+            f"Parallel config needs {need} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:need]).reshape(cfg.dp, cfg.sp, cfg.tp)
+    return Mesh(grid, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), AXES)
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules
+# ---------------------------------------------------------------------------
+
+def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec tree for the causal-DiT parameter pytree.
+
+    Tensor-parallel layout (Megatron-style column/row split, which the
+    reference reserves but never implements — SURVEY.md §2.1 notes TP groups
+    exist with no TP layers; here it is real):
+      qkv projections: output dim over tp (head-sharded)
+      o projection:    input dim over tp
+      ffn fc1:         output dim over tp; fc2: input dim over tp
+    Block params carry a leading stacked-layer axis L (unsharded).
+    """
+
+    def spec_for(path: str, leaf) -> P:
+        nd = leaf.ndim
+        if "blocks" in path:
+            # leading L axis
+            if path.endswith("/w"):
+                if any(f"/{n}/w" in path for n in ("q", "k", "v")) and "ffn" not in path:
+                    return P(None, None, "tp")
+                if "/o/w" in path:
+                    return P(None, "tp", None)
+                if "/fc1/w" in path:
+                    return P(None, None, "tp")
+                if "/fc2/w" in path:
+                    return P(None, "tp", None)
+                return P(*([None] * nd))
+            if path.endswith("/b"):
+                if "/fc1/b" in path:
+                    return P(None, "tp")
+                if any(f"/{n}/b" in path for n in ("q", "k", "v")) and "ffn" not in path:
+                    return P(None, "tp")
+                return P(*([None] * nd))
+            return P(*([None] * nd))
+        return P(*([None] * nd))
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        return spec_for(path, tree)
+
+    return walk(params)
+
+
+def kv_cache_pspec() -> P:
+    """[L, B, S, H, D]: batch over dp, heads over tp."""
+    return P(None, "dp", None, "tp", None)
+
+
+def xattn_cache_pspec() -> P:
+    """[L, B, text_len, H, D]: batch over dp, heads over tp."""
+    return P(None, "dp", None, "tp", None)
+
+
+def latent_pspec() -> P:
+    """[B, F, H, W, C]: batch over dp, spatial rows over sp."""
+    return P("dp", None, "sp", None, None)
+
+
+def to_named(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = to_named(param_pspecs(params), mesh)
+    return jax.device_put(params, shardings)

@@ -1,0 +1,221 @@
+"""Semi-autoregressive block-diffusion denoise loop.
+
+This is the TPU re-design of the reference's canonical inner loop
+(`inferix/pipeline/self_forcing/CausalInferencePipeline.py:108-421`):
+
+  per temporal block of `num_frame_per_block` latent frames:
+    1. few-step denoise (denoising_step_list, re-noising between steps)
+    2. record the final x0 prediction
+    3. re-run the generator at t=context_noise so the KV cache holds CLEAN
+       context for subsequent blocks (`:348-361`)
+
+Everything inside one block — all denoise steps plus the context re-run — is a
+single jitted, cache-donating function, so the whole block runs on-device with
+no host round-trips. The block loop itself stays in Python (one compilation,
+static shapes; the number of blocks varies across calls without recompiling).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EngineConfig
+from ..kvcache.cache import CrossAttnCache, KVCache, init_kv_cache
+from ..models.schedulers.flow_match import FlowMatchSchedule, warp_denoising_steps
+from ..models.wan.causal_dit import (
+    DiTStatics,
+    Params,
+    build_rope_tables,
+    dit_forward_inference,
+    make_statics,
+    precompute_crossattn_cache,
+)
+
+
+class SemiARGenerator:
+    """Owns the compiled step functions for one (batch, block, latent) geometry."""
+
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        params: Params,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.dtype = dtype
+        m, r = cfg.model, cfg.runtime
+
+        self.statics = make_statics(
+            m, r.batch_size, m.num_frame_per_block, r.latent_height,
+            r.latent_width, dtype,
+        )
+        self.rope_tables = build_rope_tables(m.head_dim, m.rope_max_seq_len)
+        self.schedule = FlowMatchSchedule.create(shift=r.timestep_shift)
+        if r.warp_denoising_step:
+            self.denoising_steps = warp_denoising_steps(
+                self.schedule, r.denoising_step_list
+            )
+        else:
+            self.denoising_steps = tuple(float(s) for s in r.denoising_step_list)
+        self.context_noise = float(r.context_noise)
+        self.frame_seq = self.statics.geo.frame_seq
+
+        self._block_step = jax.jit(
+            functools.partial(_denoise_block_impl, statics=self.statics,
+                              steps=self.denoising_steps,
+                              context_noise=self.context_noise),
+            static_argnames=(),
+            donate_argnames=("cache",),
+        )
+        self._context_step = jax.jit(
+            functools.partial(_context_cache_impl, statics=self.statics,
+                              context_noise=self.context_noise),
+            donate_argnames=("cache",),
+        )
+        self._xattn = jax.jit(
+            functools.partial(precompute_crossattn_cache, cfg=m)
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def init_cache(self) -> KVCache:
+        return init_kv_cache(self.statics.spec)
+
+    def encode_text_context(self, context: jax.Array) -> CrossAttnCache:
+        """context: [B, text_len, text_dim] text-encoder features."""
+        return self._xattn(self.params, context=context)
+
+    def denoise_block(
+        self,
+        cache: KVCache,
+        xattn: CrossAttnCache,
+        noisy: jax.Array,        # [B, f, H, W, C]
+        rng: jax.Array,
+        current_start_frame: int | jax.Array,
+    ) -> Tuple[jax.Array, KVCache]:
+        start = jnp.asarray(current_start_frame, jnp.int32) * self.frame_seq
+        return self._block_step(
+            self.params, self.rope_tables, self.schedule, cache, xattn,
+            noisy, rng, start,
+        )
+
+    def cache_context_block(
+        self,
+        cache: KVCache,
+        xattn: CrossAttnCache,
+        clean: jax.Array,
+        current_start_frame: int | jax.Array,
+    ) -> KVCache:
+        """Write a block of clean (already-generated or reference) latents into
+        the KV cache without denoising — used for initial_latent prefixes
+        (reference `CausalInferencePipeline.py:211-248`)."""
+        start = jnp.asarray(current_start_frame, jnp.int32) * self.frame_seq
+        return self._context_step(
+            self.params, self.rope_tables, cache, xattn, clean, start,
+        )
+
+    def generate(
+        self,
+        noise: jax.Array,        # [B, F, H, W, C]
+        xattn: CrossAttnCache,
+        rng: jax.Array,
+        initial_latent: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        block_callback: Optional[Callable] = None,
+    ) -> Tuple[jax.Array, KVCache]:
+        """Full clip generation. Returns (latents [B, F(+F_init), H, W, C], cache)."""
+        fpb = self.cfg.model.num_frame_per_block
+        b, num_frames = noise.shape[0], noise.shape[1]
+        assert num_frames % fpb == 0, (
+            f"num_frames {num_frames} must be divisible by block size {fpb}"
+        )
+        num_blocks = num_frames // fpb
+        if cache is None:
+            cache = self.init_cache()
+
+        outputs = []
+        start_frame = 0
+        if initial_latent is not None:
+            ninit = initial_latent.shape[1]
+            assert ninit % fpb == 0
+            for i in range(ninit // fpb):
+                blk = initial_latent[:, i * fpb:(i + 1) * fpb]
+                cache = self.cache_context_block(cache, xattn, blk, start_frame)
+                start_frame += fpb
+            outputs.append(initial_latent)
+
+        for bi in range(num_blocks):
+            rng, step_rng = jax.random.split(rng)
+            noisy = noise[:, bi * fpb:(bi + 1) * fpb]
+            x0, cache = self.denoise_block(
+                cache, xattn, noisy, step_rng, start_frame
+            )
+            outputs.append(x0)
+            start_frame += fpb
+            if block_callback is not None:
+                block_callback(x0, bi)
+
+        return jnp.concatenate(outputs, axis=1), cache
+
+
+# ---------------------------------------------------------------------------
+# jitted implementations
+# ---------------------------------------------------------------------------
+
+def _denoise_block_impl(
+    params: Params,
+    rope_tables,
+    schedule: FlowMatchSchedule,
+    cache: KVCache,
+    xattn: CrossAttnCache,
+    noisy: jax.Array,
+    rng: jax.Array,
+    current_start: jax.Array,
+    *,
+    statics: DiTStatics,
+    steps: Sequence[float],
+    context_noise: float,
+) -> Tuple[jax.Array, KVCache]:
+    b, f = noisy.shape[0], noisy.shape[1]
+    x0 = noisy
+    for i, t_val in enumerate(steps):
+        t = jnp.full((b, f), t_val, jnp.float32)
+        flow, cache = dit_forward_inference(
+            params, statics, rope_tables, noisy, t, xattn, cache, current_start
+        )
+        x0 = schedule.flow_to_x0(flow, noisy, t)
+        if i < len(steps) - 1:
+            rng, sub = jax.random.split(rng)
+            t_next = jnp.full((b, f), steps[i + 1], jnp.float32)
+            fresh = jax.random.normal(sub, x0.shape, dtype=jnp.float32).astype(x0.dtype)
+            noisy = schedule.add_noise(x0, fresh, t_next)
+
+    # context re-run: refresh the cache with (nearly) clean KV
+    t_ctx = jnp.full((b, f), context_noise, jnp.float32)
+    _, cache = dit_forward_inference(
+        params, statics, rope_tables, x0, t_ctx, xattn, cache, current_start
+    )
+    return x0, cache
+
+
+def _context_cache_impl(
+    params: Params,
+    rope_tables,
+    cache: KVCache,
+    xattn: CrossAttnCache,
+    clean: jax.Array,
+    current_start: jax.Array,
+    *,
+    statics: DiTStatics,
+    context_noise: float,
+) -> KVCache:
+    b, f = clean.shape[0], clean.shape[1]
+    t = jnp.full((b, f), context_noise, jnp.float32)
+    _, cache = dit_forward_inference(
+        params, statics, rope_tables, clean, t, xattn, cache, current_start
+    )
+    return cache

@@ -1,0 +1,56 @@
+"""Pallas flash attention kernel vs XLA oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferix_tpu.ops.attention import attention_reference
+from inferix_tpu.ops.flash_attention import flash_attention_prefix
+
+
+@pytest.mark.parametrize("kv_len", [640, 511, 300, 17, 1])
+def test_flash_prefix_parity(kv_len):
+    rng = np.random.default_rng(0)
+    b, sq, skv, h, d = 1, 24, 640, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    mask = jnp.arange(skv) < kv_len
+    want, want_lse = attention_reference(q, k, v, mask)
+    got, lse = flash_attention_prefix(
+        q, k, v, jnp.int32(kv_len), return_lse=True, interpret=True,
+        q_block=16, kv_block=128,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_flash_unpadded_q_and_kv():
+    """Shapes not multiples of the block sizes are padded internally."""
+    rng = np.random.default_rng(1)
+    b, sq, skv, h, d = 2, 13, 200, 3, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    want, _ = attention_reference(q, k, v, jnp.arange(skv) < 150)
+    got = flash_attention_prefix(q, k, v, jnp.int32(150), interpret=True,
+                                 q_block=16, kv_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bf16():
+    rng = np.random.default_rng(2)
+    b, sq, skv, h, d = 1, 16, 256, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.bfloat16)
+    want, _ = attention_reference(q, k, v, jnp.arange(skv) < 200)
+    got = flash_attention_prefix(q, k, v, jnp.int32(200), interpret=True,
+                                 q_block=16, kv_block=128)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )

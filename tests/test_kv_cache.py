@@ -1,0 +1,104 @@
+"""Ring-buffer KV cache semantics vs the reference's shift-eviction model
+(`inferix/models/self_forcing/causal_model.py:279-304`): after writing
+positions [0, end), the live set must equal {sink tokens} U {last `window`
+tokens}, and attention over the cache must equal attention over exactly that
+live set."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inferix_tpu.kvcache.cache import (
+    KVCacheSpec,
+    init_kv_cache,
+    position_to_slot,
+    valid_mask,
+    write_block,
+)
+
+
+def _spec(max_tokens=8, sink=2, ring=True):
+    return KVCacheSpec(
+        num_layers=1, batch=1, max_tokens=max_tokens, num_kv_heads=1,
+        head_dim=4, sink_tokens=sink, ring=ring, dtype=jnp.float32,
+    )
+
+
+def _payload(positions, d=4):
+    """Encode each position p as the vector [p, p, p, p]."""
+    out = np.zeros((1, len(positions), 1, d), np.float32)
+    for i, p in enumerate(positions):
+        out[0, i, :, :] = p
+    return jnp.asarray(out)
+
+
+def _write_range(spec, k, v, start, end):
+    block = list(range(start, end))
+    kn = _payload(block)
+    return write_block(spec, k, v, kn, kn, jnp.int32(start))
+
+
+def live_positions(spec, k, end):
+    mask = np.asarray(valid_mask(spec, jnp.int32(end)))
+    vals = np.asarray(k[0, :, 0, 0])
+    return sorted(int(vals[j]) for j in range(spec.max_tokens) if mask[j])
+
+
+def test_no_ring_contiguous():
+    spec = _spec(max_tokens=8, sink=0, ring=False)
+    cache = init_kv_cache(spec)
+    k, v = cache.k[0], cache.v[0]
+    k, v = _write_range(spec, k, v, 0, 3)
+    k, v = _write_range(spec, k, v, 3, 6)
+    assert live_positions(spec, k, 6) == [0, 1, 2, 3, 4, 5]
+
+
+def test_rewrite_same_block_idempotent():
+    """Inner denoise steps rewrite the same slots; live set is unchanged."""
+    spec = _spec(max_tokens=8, sink=0, ring=False)
+    cache = init_kv_cache(spec)
+    k, v = cache.k[0], cache.v[0]
+    for _ in range(3):
+        k, v = _write_range(spec, k, v, 0, 3)
+    assert live_positions(spec, k, 3) == [0, 1, 2]
+
+
+def test_ring_eviction_with_sink():
+    """Window cap 8 with 2 sink tokens: after writing [0, 12), live set =
+    {0, 1} (sink) U {6..11} (last ring=6 tokens)."""
+    spec = _spec(max_tokens=8, sink=2, ring=True)
+    cache = init_kv_cache(spec)
+    k, v = cache.k[0], cache.v[0]
+    for s in range(0, 12, 2):
+        k, v = _write_range(spec, k, v, s, s + 2)
+    assert live_positions(spec, k, 12) == [0, 1, 6, 7, 8, 9, 10, 11]
+
+
+def test_ring_eviction_no_sink():
+    spec = _spec(max_tokens=6, sink=0, ring=True)
+    cache = init_kv_cache(spec)
+    k, v = cache.k[0], cache.v[0]
+    for s in range(0, 9, 3):
+        k, v = _write_range(spec, k, v, s, s + 3)
+    assert live_positions(spec, k, 9) == [3, 4, 5, 6, 7, 8]
+
+
+def test_slot_mapping_pure():
+    spec = _spec(max_tokens=8, sink=2, ring=True)
+    pos = jnp.arange(20)
+    slots = np.asarray(position_to_slot(spec, pos))
+    # below cap: identity
+    np.testing.assert_array_equal(slots[:8], np.arange(8))
+    # beyond: cycles through ring region [2, 8)
+    assert set(slots[8:]) <= set(range(2, 8))
+    # consecutive overflow positions occupy distinct slots within a window
+    for s in range(8, 14):
+        window = slots[s : s + 6]
+        assert len(set(window.tolist())) == 6
+
+
+def test_valid_mask_before_fill():
+    spec = _spec(max_tokens=8, sink=0, ring=True)
+    mask = np.asarray(valid_mask(spec, jnp.int32(3)))
+    np.testing.assert_array_equal(mask, np.arange(8) < 3)
+    mask_full = np.asarray(valid_mask(spec, jnp.int32(100)))
+    assert mask_full.all()
