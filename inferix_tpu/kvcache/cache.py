@@ -42,6 +42,11 @@ class KVCacheSpec:
     sink_tokens: int = 0  # pinned prefix (sink_size frames * frame_seq_length)
     ring: bool = False    # True iff rolling window (local_attn_size != -1)
     dtype: jnp.dtype = jnp.bfloat16
+    # int8 KV cache (the reference never implemented a quantized KV cache —
+    # BASELINE.json requires it): values stored int8 with per-(token, head)
+    # scales; attention dequantizes in-kernel via logit/probability column
+    # scaling, so the cache's HBM traffic halves.
+    quantized: bool = False
 
     @property
     def ring_tokens(self) -> int:
@@ -49,10 +54,17 @@ class KVCacheSpec:
 
 
 class KVCache(NamedTuple):
-    """Device state. Donate-friendly: the step function threads it through."""
+    """Device state. Donate-friendly: the step function threads it through.
+
+    When the spec is quantized, k/v are int8 and k_scale/v_scale hold
+    per-(token, head) dequant scales [L, B, S, H]; otherwise the scale
+    fields are None.
+    """
 
     k: jax.Array  # [L, B, S, H, D]
     v: jax.Array  # [L, B, S, H, D]
+    k_scale: Optional[jax.Array] = None  # [L, B, S, H] f32
+    v_scale: Optional[jax.Array] = None
 
 
 def init_kv_cache(spec: KVCacheSpec) -> KVCache:
@@ -63,10 +75,27 @@ def init_kv_cache(spec: KVCacheSpec) -> KVCache:
         spec.num_kv_heads,
         spec.head_dim,
     )
+    if spec.quantized:
+        sshape = shape[:-1]
+        return KVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype=spec.dtype),
         v=jnp.zeros(shape, dtype=spec.dtype),
     )
+
+
+def quantize_kv_block(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x: [B, n, H, D] -> (int8 values, per-(token, head) scale [B, n, H])."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def position_to_slot(spec: KVCacheSpec, pos: jax.Array) -> jax.Array:
@@ -78,6 +107,22 @@ def position_to_slot(spec: KVCacheSpec, pos: jax.Array) -> jax.Array:
     return jnp.where(pos < spec.max_tokens, pos, sink + (pos - sink) % ring)
 
 
+def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
+               current_start: jax.Array) -> jax.Array:
+    """Write [B, n, ...] into [B, S, ...] at logical position current_start."""
+    n = new.shape[1]
+    new = new.astype(cache.dtype)
+    if not spec.ring:
+        # Contiguous dynamic-update-slice in slot space (common path; the
+        # pipeline guarantees current_start + n <= S when ring is off).
+        start = (jnp.zeros((), jnp.int32), current_start.astype(jnp.int32)) + \
+            tuple(jnp.zeros((), jnp.int32) for _ in range(cache.ndim - 2))
+        return jax.lax.dynamic_update_slice(cache, new, start)
+    pos = current_start.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+    slots = position_to_slot(spec, pos)
+    return cache.at[:, slots].set(new)
+
+
 def write_block(
     spec: KVCacheSpec,
     k_cache: jax.Array,
@@ -85,26 +130,29 @@ def write_block(
     k_new: jax.Array,
     v_new: jax.Array,
     current_start: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
+    k_scale_cache: Optional[jax.Array] = None,
+    v_scale_cache: Optional[jax.Array] = None,
+):
     """Write a contiguous block of new tokens into one layer's cache.
 
-    k_cache/v_cache: [B, S, H, D]; k_new/v_new: [B, n, H, D];
+    k_cache/v_cache: [B, S, H, D]; k_new/v_new: [B, n, H, D] (unquantized);
     current_start: traced int32 logical position of the block's first token.
+    Quantized specs also update the per-(token, head) scale caches and return
+    a 4-tuple; plain specs return a 2-tuple.
     """
-    n = k_new.shape[1]
-    if not spec.ring:
-        # Contiguous dynamic-update-slice in slot space (common path; the
-        # pipeline guarantees current_start + n <= S when ring is off).
-        start = (jnp.zeros((), jnp.int32), current_start.astype(jnp.int32),
-                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), start)
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), start)
-        return k_cache, v_cache
-    pos = current_start.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
-    slots = position_to_slot(spec, pos)
-    k_cache = k_cache.at[:, slots].set(k_new.astype(k_cache.dtype))
-    v_cache = v_cache.at[:, slots].set(v_new.astype(v_cache.dtype))
-    return k_cache, v_cache
+    if spec.quantized:
+        k_q, k_s = quantize_kv_block(k_new)
+        v_q, v_s = quantize_kv_block(v_new)
+        return (
+            _write_one(spec, k_cache, k_q, current_start),
+            _write_one(spec, v_cache, v_q, current_start),
+            _write_one(spec, k_scale_cache, k_s, current_start),
+            _write_one(spec, v_scale_cache, v_s, current_start),
+        )
+    return (
+        _write_one(spec, k_cache, k_new, current_start),
+        _write_one(spec, v_cache, v_new, current_start),
+    )
 
 
 def valid_mask(

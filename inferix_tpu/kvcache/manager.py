@@ -1,0 +1,134 @@
+"""Request-level KV cache manager.
+
+Behavioral parity with the reference's generic manager
+(`inferix/kvcache_manager/kvcache_manager.py:56-243`: per-request allocation,
+free / free-before-VAE, host offload) and its per-request batching pattern
+(one `KVCacheRequest` per sample, `pipeline/self_forcing/pipeline.py:386-391`)
+— re-designed for a functional device cache:
+
+The device state is ONE batched cache pytree (`KVCache` with a fixed batch
+axis). Requests claim batch SLOTS; admission/retirement of concurrent streams
+reuses slots without any reallocation or recompilation (the continuous-
+batching primitive BASELINE.json config #5 requires). "Freeing" a request
+zeroes its row; "free before VAE" drops the whole device cache (the arrays
+are donated back on the next init). Host offload round-trips the pytree
+through pinned host memory via jax.device_put.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .cache import KVCache, KVCacheSpec, init_kv_cache
+
+
+@dataclasses.dataclass
+class KVCacheRequest:
+    """Handle for one generation stream (reference `KVCacheRequest`)."""
+
+    request_id: str
+
+
+class KVCacheManager:
+    """Slot allocator over a batched functional KV cache."""
+
+    def __init__(self, spec: KVCacheSpec):
+        self.spec = spec
+        self.max_requests = spec.batch
+        self._slots: Dict[str, int] = {}
+        self._free_slots = list(range(self.max_requests))
+        self._cache: Optional[KVCache] = None
+        self._host_cache: Optional[KVCache] = None
+
+    # -- request lifecycle --------------------------------------------------
+
+    def allocate_slots(self, request: KVCacheRequest) -> int:
+        """Claim a batch slot for a request (idempotent)."""
+        if request.request_id in self._slots:
+            return self._slots[request.request_id]
+        if not self._free_slots:
+            raise RuntimeError(
+                f"no free KV cache slots (max {self.max_requests} concurrent "
+                f"requests); free() a finished stream first"
+            )
+        slot = self._free_slots.pop(0)
+        self._slots[request.request_id] = slot
+        if self._cache is not None:
+            self._zero_slot(slot)
+        return slot
+
+    def slot_of(self, request: KVCacheRequest) -> int:
+        return self._slots[request.request_id]
+
+    def free(self, request: KVCacheRequest) -> None:
+        """Retire a request; its slot becomes claimable and its row is zeroed."""
+        slot = self._slots.pop(request.request_id, None)
+        if slot is None:
+            return
+        self._free_slots.append(slot)
+        if self._cache is not None:
+            self._zero_slot(slot)
+
+    def active_requests(self) -> List[str]:
+        return list(self._slots)
+
+    # -- cache state --------------------------------------------------------
+
+    @property
+    def cache(self) -> KVCache:
+        if self._cache is None:
+            self._cache = init_kv_cache(self.spec)
+        return self._cache
+
+    def update(self, cache: KVCache) -> None:
+        """Store the cache returned by a jitted step (threading pattern)."""
+        self._cache = cache
+
+    def _zero_slot(self, slot: int) -> None:
+        c = self._cache
+        self._cache = jax.tree.map(
+            lambda x: x.at[:, slot].set(jnp.zeros_like(x[:, slot])), c
+        )
+
+    def clear(self) -> None:
+        """Free-before-VAE (reference `free`/`clear_cache` choreography,
+        `CausalInferencePipeline.py:395-400`): drop the device arrays so the
+        VAE decode can use the HBM."""
+        self._cache = None
+        self._host_cache = None
+
+    # -- host offload -------------------------------------------------------
+
+    def offload_to_host(self) -> None:
+        """Move the cache to host memory (reference kv_offload: pinned-host
+        allocation, `kvcache_manager.py:240-242`)."""
+        if self._cache is None:
+            return
+        host = jax.device_put(
+            self._cache,
+            jax.tree.map(
+                lambda _: jax.sharding.SingleDeviceSharding(
+                    jax.devices()[0], memory_kind="pinned_host"
+                ),
+                self._cache,
+            ),
+        )
+        self._host_cache = jax.block_until_ready(host)
+        self._cache = None
+
+    def restore_from_host(self) -> None:
+        if self._host_cache is None:
+            return
+        self._cache = jax.device_put(self._host_cache, jax.devices()[0])
+        self._host_cache = None
+
+    # -- accounting ---------------------------------------------------------
+
+    def device_bytes(self) -> int:
+        if self._cache is None:
+            return 0
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(self._cache))

@@ -57,6 +57,10 @@ def _linear_init(key, in_dim, out_dim, dtype):
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
+    if "w_q" in p:
+        from ...quant.api import quantized_linear
+
+        return quantized_linear(p, x)
     return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
 
 
@@ -156,7 +160,7 @@ class DiTGeometry:
 
 
 def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
-                 dtype=jnp.bfloat16) -> KVCacheSpec:
+                 dtype=jnp.bfloat16, quantized: bool = False) -> KVCacheSpec:
     geo = DiTGeometry(1, latent_h, latent_w, cfg.patch_size)
     frame_seq = geo.frame_seq
     window_frames = cfg.attention_window_frames
@@ -169,6 +173,7 @@ def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
         sink_tokens=cfg.sink_size * frame_seq,
         ring=(cfg.local_attn_size != -1),
         dtype=dtype,
+        quantized=quantized,
     )
 
 
@@ -266,13 +271,12 @@ def block_forward(
     x: jax.Array,              # [B, S, C]
     e0: jax.Array,             # [B, F, 6, C] fp32
     angles: jax.Array,         # [S, head_dim//2] rope angles for this block
-    k_cache: jax.Array,        # [B, Smax, H, D]
-    v_cache: jax.Array,
+    layer_cache: tuple,        # (k, v) or (k, v, k_scale, v_scale) per layer
     xattn_k: jax.Array,        # [B, text_len, H, D]
     xattn_v: jax.Array,
     current_start: jax.Array,  # scalar int32, token offset of this block
     kv_mask: jax.Array,        # [Smax] bool — valid cache slots after write
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, tuple]:
     b, s, c = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     frames = e0.shape[1]
@@ -290,8 +294,20 @@ def block_forward(
     q = apply_rope(q.reshape(b, s, nh, hd), angles)
     k = apply_rope(k.reshape(b, s, nh, hd), angles)
 
-    k_cache, v_cache = write_block(spec, k_cache, v_cache, k, v, current_start)
-    attn = cache_attention(q, k_cache, v_cache, kv_mask=kv_mask)
+    if spec.quantized:
+        k_c, v_c, ks_c, vs_c = write_block(
+            spec, layer_cache[0], layer_cache[1], k, v, current_start,
+            layer_cache[2], layer_cache[3],
+        )
+        attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
+                               k_scale=ks_c, v_scale=vs_c)
+        new_cache = (k_c, v_c, ks_c, vs_c)
+    else:
+        k_c, v_c = write_block(
+            spec, layer_cache[0], layer_cache[1], k, v, current_start
+        )
+        attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask)
+        new_cache = (k_c, v_c)
     y = linear(sa["o"], attn.reshape(b, s, c))
     x = x + _gate(y, gate_msa, frames)
 
@@ -309,7 +325,7 @@ def block_forward(
     y = linear(block["ffn"]["fc2"],
                jax.nn.gelu(linear(block["ffn"]["fc1"], h_f), approximate=True))
     x = x + _gate(y, gate_mlp, frames)
-    return x, k_cache, v_cache
+    return x, new_cache
 
 
 def head_forward(params: Params, cfg: ModelConfig, x: jax.Array,
@@ -335,10 +351,11 @@ class DiTStatics(NamedTuple):
 
 
 def make_statics(cfg: ModelConfig, batch: int, frames: int, latent_h: int,
-                 latent_w: int, dtype=jnp.bfloat16) -> DiTStatics:
+                 latent_w: int, dtype=jnp.bfloat16,
+                 quantized_kv: bool = False) -> DiTStatics:
     return DiTStatics(
         cfg=cfg,
-        spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype),
+        spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype, quantized_kv),
         geo=DiTGeometry(frames, latent_h, latent_w, cfg.patch_size),
     )
 
@@ -368,19 +385,43 @@ def dit_forward_inference(
     current_end = current_start + geo.tokens
     kv_mask = valid_mask(spec, current_end)
 
+    # The full cache arrays ride the scan CARRY and each layer's slice is
+    # updated with dynamic_update_index_in_dim — carry updates bufferize
+    # in-place, whereas emitting per-layer caches as stacked scan outputs (ys)
+    # forces XLA to allocate a second full cache (an extra 2x2.8 GB for the
+    # 1.3B model: OOM on a 16 GB chip).
+    cache_fields = [f for f in (cache.k, cache.v, cache.k_scale, cache.v_scale)
+                    if f is not None]
+    n_fields = len(cache_fields)
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
     def layer(carry, xs):
-        h = carry
-        block, k_c, v_c, xk, xv = xs
-        h, k_c, v_c = block_forward(
-            block, cfg, spec, h, e0, angles, k_c, v_c, xk, xv,
+        h, caches = carry
+        block, xk, xv, lid = xs
+        layer_cache = tuple(
+            jax.lax.dynamic_index_in_dim(c, lid, 0, keepdims=False)
+            for c in caches
+        )
+        h, new_layer_cache = block_forward(
+            block, cfg, spec, h, e0, angles, layer_cache, xk, xv,
             current_start, kv_mask,
         )
-        return h, (k_c, v_c)
+        caches = tuple(
+            jax.lax.dynamic_update_index_in_dim(c, nc.astype(c.dtype), lid, 0)
+            for c, nc in zip(caches, new_layer_cache)
+        )
+        return (h, caches), None
 
-    h, (new_k, new_v) = jax.lax.scan(
-        layer, tokens, (params["blocks"], cache.k, cache.v, xattn.k, xattn.v)
+    (h, new_fields), _ = jax.lax.scan(
+        layer, (tokens, tuple(cache_fields)),
+        (params["blocks"], xattn.k, xattn.v, layer_ids),
     )
 
     out = head_forward(params, cfg, h, e)
     flow = unpatchify(out, cfg, geo)
-    return flow, KVCache(k=new_k, v=new_v)
+    if spec.quantized:
+        new = KVCache(k=new_fields[0], v=new_fields[1],
+                      k_scale=new_fields[2], v_scale=new_fields[3])
+    else:
+        new = KVCache(k=new_fields[0], v=new_fields[1])
+    return flow, new

@@ -144,20 +144,39 @@ def cache_attention(
     kv_mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas flash kernel on TPU, chunked XLA elsewhere.
 
     The models call this for both self-attention over the KV cache and
-    cross-attention over text keys.
+    cross-attention over text keys. Pass k_scale/v_scale ([B, Skv, H] f32)
+    when k/v are an int8-quantized KV cache.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        try:
-            from .flash_attention import flash_attention as pallas_flash
 
-            return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale)
-        except ImportError:
-            pass
+    if k_scale is not None:
+        if use_pallas:
+            from .flash_attention import flash_attention_prefix_quant
+
+            if kv_mask is None:
+                kv_len = jnp.int32(k.shape[1])
+            else:
+                m = kv_mask if kv_mask.ndim == 1 else kv_mask[0]
+                kv_len = jnp.sum(m.astype(jnp.int32))
+            return flash_attention_prefix_quant(
+                q, k, v, k_scale, v_scale, kv_len, scale=scale
+            )
+        # XLA fallback: dequantize then attend
+        k = k.astype(jnp.float32) * k_scale[..., None].astype(jnp.float32)
+        v = v.astype(jnp.float32) * v_scale[..., None].astype(jnp.float32)
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+
+    if use_pallas:
+        from .flash_attention import flash_attention as pallas_flash
+
+        return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale)
     out, _ = attention_chunked(q, k, v, kv_mask=kv_mask, scale=scale)
     return out

@@ -216,3 +216,175 @@ def flash_attention(
         m = kv_mask if kv_mask.ndim == 1 else kv_mask[0]
         kv_len = jnp.sum(m.astype(jnp.int32))
     return flash_attention_prefix(q, k, v, kv_len, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-KV variant: int8 K/V with per-(token, head) scales, dequantized
+# in-kernel via column scaling (q.(k_q*s) == (q.k_q)*s on logits, and
+# p.(v_q*s) == (p*s).v_q on probabilities) — the cache's HBM traffic halves
+# and no dequantized copy ever exists in HBM.
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_quant(
+    kv_len_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *,
+    scale: float,
+    kv_block: int,
+    num_kv_blocks: int,
+):
+    ki = pl.program_id(2)
+    kv_len = kv_len_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    block_start = ki * kv_block
+
+    @pl.when(block_start < kv_len)
+    def _compute():
+        q = q_ref[0]                                     # [q_blk, D]
+        k = k_ref[0].astype(q.dtype)                     # int8 -> compute dtype
+        v = v_ref[0]
+        ks = ks_ref[0]                                   # [1, kv_blk] f32
+        vs = vs_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks * scale
+
+        col = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :1])
+        l_new = l_prev * corr + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        p_scaled = (p * vs).astype(q.dtype)
+        pv = jax.lax.dot_general(
+            p_scaled, v.astype(q.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
+        m_ref[...] = m_new
+        l_ref[...] = l_new
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[...][:, :1]
+        denom = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        lse = m_ref[...][:, :1] + jnp.log(denom)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret"),
+)
+def flash_attention_prefix_quant(
+    q: jax.Array,          # [B, Sq, H, D] bf16/f32
+    k_q: jax.Array,        # [B, Skv, H, D] int8
+    v_q: jax.Array,        # [B, Skv, H, D] int8
+    k_scale: jax.Array,    # [B, Skv, H] f32
+    v_scale: jax.Array,    # [B, Skv, H] f32
+    kv_len: jax.Array,
+    scale: Optional[float] = None,
+    q_block: int = 512,
+    kv_block: int = 512,
+    return_lse: bool = False,
+    interpret: bool = False,
+):
+    b, sq, h, d = q.shape
+    skv = k_q.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    q_block = min(q_block, -(-sq // 16) * 16)
+    kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
+
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    def bh_scale(s):
+        return s.transpose(0, 2, 1).reshape(b * h, 1, s.shape[1])
+
+    qb = _pad_to(bh(q), 1, q_block)
+    kb = _pad_to(bh(k_q), 1, kv_block)
+    vb = _pad_to(bh(v_q), 1, kv_block)
+    ksb = _pad_to(bh_scale(k_scale.astype(jnp.float32)), 2, kv_block)
+    vsb = _pad_to(bh_scale(v_scale.astype(jnp.float32)), 2, kv_block)
+    sq_p, skv_p = qb.shape[1], kb.shape[1]
+    n_q, n_kv = sq_p // q_block, skv_p // kv_block
+
+    kv_len_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def q_map(bhi, qi, ki, kv_len_ref):
+        return (bhi, qi, 0)
+
+    def kv_map(bhi, qi, ki, kv_len_ref):
+        last_valid = jnp.maximum(
+            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, jnp.minimum(ki, last_valid), 0)
+
+    def scale_map(bhi, qi, ki, kv_len_ref):
+        last_valid = jnp.maximum(
+            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, 0, jnp.minimum(ki, last_valid))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, 1, kv_block), scale_map),
+            pl.BlockSpec((1, 1, kv_block), scale_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, q_block, 128), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, d), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _flash_kernel_quant, scale=scale, kv_block=kv_block, num_kv_blocks=n_kv
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=qb.size * 2 + kb.size + vb.size,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+    )(kv_len_arr, qb, kb, vb, ksb, vsb)
+
+    out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:, :sq, 0].reshape(b, h, sq)
+    return out

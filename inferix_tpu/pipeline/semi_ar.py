@@ -52,6 +52,7 @@ class SemiARGenerator:
         self.statics = make_statics(
             m, r.batch_size, m.num_frame_per_block, r.latent_height,
             r.latent_width, dtype,
+            quantized_kv=(cfg.quant.enabled and cfg.quant.quantize_kv_cache),
         )
         self.rope_tables = build_rope_tables(m.head_dim, m.rope_max_seq_len)
         self.schedule = FlowMatchSchedule.create(shift=r.timestep_shift)
@@ -181,18 +182,34 @@ def _denoise_block_impl(
     context_noise: float,
 ) -> Tuple[jax.Array, KVCache]:
     b, f = noisy.shape[0], noisy.shape[1]
-    x0 = noisy
-    for i, t_val in enumerate(steps):
+    n_steps = len(steps)
+
+    # scan over denoise steps: ONE compiled forward instance instead of
+    # n_steps unrolled copies (the graph is dominated by the 30-layer DiT;
+    # unrolling multiplied compile time ~5x).
+    t_vals = jnp.asarray(steps, jnp.float32)                       # [n]
+    t_nexts = jnp.asarray(list(steps[1:]) + [0.0], jnp.float32)    # [n]
+    is_last = jnp.arange(n_steps) == n_steps - 1
+    step_rngs = jax.random.split(rng, n_steps)
+
+    def step(carry, xs):
+        noisy_c, x0_c, cache_c = carry
+        t_val, t_next, last, srng = xs
         t = jnp.full((b, f), t_val, jnp.float32)
-        flow, cache = dit_forward_inference(
-            params, statics, rope_tables, noisy, t, xattn, cache, current_start
+        flow, cache_c = dit_forward_inference(
+            params, statics, rope_tables, noisy_c, t, xattn, cache_c,
+            current_start,
         )
-        x0 = schedule.flow_to_x0(flow, noisy, t)
-        if i < len(steps) - 1:
-            rng, sub = jax.random.split(rng)
-            t_next = jnp.full((b, f), steps[i + 1], jnp.float32)
-            fresh = jax.random.normal(sub, x0.shape, dtype=jnp.float32).astype(x0.dtype)
-            noisy = schedule.add_noise(x0, fresh, t_next)
+        x0 = schedule.flow_to_x0(flow, noisy_c, t)
+        fresh = jax.random.normal(srng, x0.shape, jnp.float32).astype(x0.dtype)
+        t_next_b = jnp.full((b, f), t_next, jnp.float32)
+        renoised = schedule.add_noise(x0, fresh, t_next_b)
+        noisy_next = jnp.where(last, x0, renoised)
+        return (noisy_next, x0, cache_c), None
+
+    (_, x0, cache), _ = jax.lax.scan(
+        step, (noisy, noisy, cache), (t_vals, t_nexts, is_last, step_rngs)
+    )
 
     # context re-run: refresh the cache with (nearly) clean KV
     t_ctx = jnp.full((b, f), context_noise, jnp.float32)

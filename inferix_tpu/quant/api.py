@@ -1,0 +1,113 @@
+"""Quantization API: qconfig-driven weight quantization + quantized linear.
+
+Replaces the reference's two quantization mechanisms with one in-repo module
+(SURVEY.md §5 "Quantization"):
+* DAX dynamic quant for the Wan family — qconfig dict applied post-load with
+  module-name opt-outs (`example/quantization/run_self_forcing_quantized.py:33-65`)
+* MAGI built-in FP8 linears (`dit_module.py:367-490`)
+
+Recipes:
+  int8 per_channel: dynamic per-token activation absmax x per-channel weight
+                    (the DAX W8A8 recipe; no calibration needed)
+  int8 per_tensor:  per-tensor weight scale, dynamic per-token activation
+  fp8:              e4m3 weights (memory format; bf16 MXU compute on v5e)
+
+`quantize_params` walks the causal-DiT parameter pytree and replaces each
+eligible linear's {"w", "b"} with {"w_q", "scale", "b"}; the model's `linear`
+dispatches on the presence of "w_q".
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import QuantConfig
+from .kernels import (
+    fp8_matmul,
+    fp8_matmul_xla,
+    int8_matmul,
+    int8_matmul_xla,
+    quantize_act_int8_per_token,
+    quantize_weight_fp8,
+    quantize_weight_int8,
+)
+
+Params = Dict[str, Any]
+
+# parameter paths (substring match) that hold quantizable linears inside the
+# stacked transformer blocks
+_BLOCK_LINEARS = (
+    "self_attn/q", "self_attn/k", "self_attn/v", "self_attn/o",
+    "cross_attn/q", "cross_attn/k", "cross_attn/v", "cross_attn/o",
+    "ffn/fc1", "ffn/fc2",
+)
+
+
+def quantized_linear(p: Params, x: jax.Array, use_pallas: Optional[bool] = None
+                     ) -> jax.Array:
+    """x: [..., K] with p = {"w_q", "scale", "b"}. Returns [..., N]."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    *lead, k = x.shape
+    x2 = x.reshape(-1, k)
+    w_q, scale = p["w_q"], p["scale"]
+    if w_q.dtype == jnp.int8:
+        x_q, x_scale = quantize_act_int8_per_token(x2)
+        if use_pallas:
+            out = int8_matmul(x_q, w_q, x_scale, scale, out_dtype=x.dtype)
+        else:
+            out = int8_matmul_xla(x_q, w_q, x_scale, scale, out_dtype=x.dtype)
+    else:  # fp8 weights
+        if use_pallas:
+            out = fp8_matmul(x2, w_q, scale, out_dtype=x.dtype)
+        else:
+            out = fp8_matmul_xla(x2, w_q, scale, out_dtype=x.dtype)
+    out = out + p["b"].astype(out.dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _quantize_leaf_linear(p: Params, qcfg: QuantConfig) -> Params:
+    """{"w": [.., K, N], "b"} -> {"w_q", "scale", "b"}; supports a leading
+    stacked-layer axis (vmapped quantization per layer)."""
+    w = p["w"]
+    per_channel = qcfg.granularity == "per_channel"
+
+    if qcfg.dtype == "int8":
+        qfn = lambda wi: quantize_weight_int8(wi, per_channel)
+    elif qcfg.dtype == "fp8":
+        qfn = lambda wi: quantize_weight_fp8(wi, per_channel)
+    else:
+        raise ValueError(f"unknown quant dtype {qcfg.dtype!r}")
+
+    if w.ndim == 3:  # stacked layers [L, K, N]
+        w_q, scale = jax.vmap(qfn)(w)
+    else:
+        w_q, scale = qfn(w)
+    return {"w_q": w_q, "scale": scale, "b": p["b"]}
+
+
+def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
+    """Quantize the causal-DiT parameter pytree per the qconfig. Excluded
+    module paths (qcfg.exclude substrings) keep their bf16 weights."""
+    if not qcfg.enabled:
+        return params
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            if "w" in tree and "b" in tree and getattr(tree["w"], "ndim", 0) >= 2:
+                inside_block = any(s in path for s in _BLOCK_LINEARS)
+                excluded = any(s in path for s in qcfg.exclude)
+                if inside_block and not excluded:
+                    return _quantize_leaf_linear(tree, qcfg)
+                return tree
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def memory_bytes(params: Params) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree.leaves(params))

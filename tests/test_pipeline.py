@@ -1,0 +1,145 @@
+"""Pipeline layer: decode modes, streaming segments with overlap carry,
+interactive session control, KV cache manager lifecycle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferix_tpu.core.config import tiny_test_config
+from inferix_tpu.core.interactive import InteractiveSession
+from inferix_tpu.core.types import (
+    DecodeMode,
+    GenerationCommand,
+    SegmentBoundary,
+    StreamingMode,
+)
+from inferix_tpu.kvcache.manager import KVCacheManager, KVCacheRequest
+from inferix_tpu.models.wan.causal_dit import init_params, make_kv_spec
+from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+from inferix_tpu.pipeline.self_forcing import SelfForcingPipeline
+
+
+def _tiny_vae():
+    return CausalVAE(
+        VAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2), num_res_blocks=1,
+                  temperal_downsample=(True, True)),
+        key=jax.random.key(9),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_test_config()
+    cfg.runtime.num_frames = 4
+    cfg.runtime.frames_per_segment = 4
+    cfg.runtime.overlap_frames = 1
+    cfg.runtime.streaming_mode = StreamingMode.TRUE_STREAMING
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    p = SelfForcingPipeline(cfg, params=params, vae=_tiny_vae(),
+                            dtype=jnp.float32)
+    p.setup()
+    return p
+
+
+def test_no_decode_returns_latents(pipe):
+    out = pipe.run_text_to_video(["a cat"], decode_mode=DecodeMode.NO_DECODE)
+    r = pipe.config.runtime
+    assert out.shape == (1, 4, r.latent_height, r.latent_width,
+                         r.latent_channels)
+
+
+def test_after_all_decode(pipe):
+    video = pipe.run_text_to_video(["a cat"],
+                                   decode_mode=DecodeMode.AFTER_ALL)
+    # 4 latent frames -> 1 + 4*3 = 13 pixel frames, [0, 1] range
+    assert video.shape[1] == 13
+    v = np.asarray(video)
+    assert v.min() >= 0.0 and v.max() <= 1.0
+
+
+def test_profiler_records_blocks(pipe):
+    pipe.run_text_to_video(["x"], decode_mode=DecodeMode.NO_DECODE)
+    s = pipe.profiler.summary()
+    assert s["num_blocks"] == 4
+    assert s["time_to_first_block_s"] is not None
+    assert "diffusion_generation" in s["stages_ms"]
+
+
+def test_streaming_segments_with_overlap(pipe):
+    streamed = []
+    segments = pipe.run_streaming_generation(
+        ["prompt a", "prompt b"], num_segments=3,
+        stream_callback=lambda px: streamed.append(np.asarray(px)),
+    )
+    assert len(segments) == 3
+    # segment 0: 4 new frames; segments 1+: 1 overlap + 3 new
+    assert segments[0].shape[1] == 4
+    assert segments[1].shape[1] == 4
+    # overlap carry: first frame of segment i+1 == last frame of segment i
+    np.testing.assert_array_equal(
+        np.asarray(segments[0][:, -1]), np.asarray(segments[1][:, 0])
+    )
+    # TRUE_STREAMING delivered pixel blocks
+    assert len(streamed) > 0
+    total_px = sum(s.shape[1] for s in streamed)
+    assert total_px > 0
+
+
+def test_interactive_stop_and_prompt_update(pipe):
+    session = InteractiveSession()
+    session.submit_input(prompt="new world")
+    res = session.evaluate_checkpoint("segment", 0)
+    assert res.command == GenerationCommand.UPDATE_PROMPT
+    assert res.new_prompt == "new world"
+    # queue consumed
+    assert session.evaluate_checkpoint("segment", 1).command \
+        == GenerationCommand.CONTINUE
+
+    session2 = InteractiveSession()
+    session2.stop()
+    segs = pipe.run_interactive_generation(session2, "p", num_segments=3)
+    assert segs == []
+
+
+def test_interactive_generation_runs(pipe):
+    session = InteractiveSession()
+    segs = pipe.run_interactive_generation(session, "p", num_segments=2)
+    assert len(segs) == 2
+    assert session.status.frames_generated == sum(s.shape[1] for s in segs)
+
+
+def test_boundary_validation():
+    with pytest.raises(ValueError):
+        SegmentBoundary(frames_per_segment=7, frames_per_block=3)
+    with pytest.raises(ValueError):
+        SegmentBoundary(frames_per_segment=6, frames_per_block=3,
+                        overlap_frames=6)
+    b = SegmentBoundary(frames_per_segment=21, frames_per_block=3,
+                        overlap_frames=3)
+    assert b.blocks_per_segment == 7
+    assert b.unique_frames(10) == 183  # reference accounting (BASELINE.md)
+
+
+def test_kv_manager_slots():
+    cfg = tiny_test_config()
+    spec = make_kv_spec(cfg.model, batch=2, latent_h=8, latent_w=8,
+                        dtype=jnp.float32)
+    mgr = KVCacheManager(spec)
+    r1, r2 = KVCacheRequest("a"), KVCacheRequest("b")
+    s1 = mgr.allocate_slots(r1)
+    s2 = mgr.allocate_slots(r2)
+    assert {s1, s2} == {0, 1}
+    with pytest.raises(RuntimeError):
+        mgr.allocate_slots(KVCacheRequest("c"))
+    assert mgr.cache.k.shape[1] == 2
+    # free slot and write-then-zero semantics
+    cache = mgr.cache
+    dirty = jax.tree.map(lambda x: x + 1 if x.dtype != jnp.int8 else x, cache)
+    mgr.update(dirty)
+    mgr.free(r1)
+    assert float(jnp.abs(mgr.cache.k[:, s1]).max()) == 0.0
+    assert float(jnp.abs(mgr.cache.k[:, s2]).max()) > 0.0
+    s3 = mgr.allocate_slots(KVCacheRequest("c"))
+    assert s3 == s1
+    mgr.clear()
+    assert mgr.device_bytes() == 0
