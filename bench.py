@@ -14,10 +14,20 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
 import jax.numpy as jnp
+import numpy as np
 
 
 REFERENCE_FRAMES_PER_S = 6.0  # ~500 ms / 3-frame block (BASELINE.md)
+
+
+def _sync(x) -> None:
+    """Force completion with a host readback — on the axon relay,
+    block_until_ready returns before the computation finishes."""
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
 
 def main() -> None:
@@ -44,7 +54,7 @@ def main() -> None:
     # Warmup: compile + fill cache a bit
     cache = gen.init_cache()
     x0, cache = gen.denoise_block(cache, xattn, noise_block, rng, 0)
-    x0.block_until_ready()
+    _sync(x0)
 
     # Steady state: generate a full 21-frame clip's worth of blocks with the
     # cache progressively filling (block 7 attends to the full 32760-token
@@ -57,7 +67,7 @@ def main() -> None:
         rng, sub = jax.random.split(rng)
         x0, cache = gen.denoise_block(cache, xattn, noise_block, sub, frame)
         frame += fpb
-    x0.block_until_ready()
+    _sync(x0)
     elapsed = time.perf_counter() - start
 
     frames_per_s = (num_blocks * fpb * r.batch_size) / elapsed

@@ -31,8 +31,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    # scalar prefetch
-    kv_len_ref,
+    # scalar prefetch: bounds [kv_start, kv_end)
+    bounds_ref,
     # inputs
     q_ref, k_ref, v_ref,
     # outputs
@@ -45,7 +45,8 @@ def _flash_kernel(
     num_kv_blocks: int,
 ):
     ki = pl.program_id(2)
-    kv_len = kv_len_ref[0]
+    kv_start = bounds_ref[0]
+    kv_len = bounds_ref[1]
 
     @pl.when(ki == 0)
     def _init():
@@ -55,7 +56,7 @@ def _flash_kernel(
 
     block_start = ki * kv_block
 
-    @pl.when(block_start < kv_len)
+    @pl.when((block_start < kv_len) & (block_start + kv_block > kv_start))
     def _compute():
         q = q_ref[0]  # [q_blk, D]
         k = k_ref[0]  # [kv_blk, D]
@@ -68,7 +69,7 @@ def _flash_kernel(
         col = block_start + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1
         )
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        s = jnp.where((col >= kv_start) & (col < kv_len), s, NEG_INF)
 
         m_prev = m_ref[...]          # [q_blk, 128] lane-replicated
         l_prev = l_ref[...]
@@ -114,14 +115,15 @@ def flash_attention_prefix(
     q: jax.Array,          # [B, Sq, H, D]
     k: jax.Array,          # [B, Skv, H, D]
     v: jax.Array,          # [B, Skv, H, D]
-    kv_len: jax.Array,     # scalar int32: valid prefix length of k/v
+    kv_len: jax.Array,     # scalar int32: end of the valid span
+    kv_start: jax.Array | int = 0,  # start of the valid span
     scale: Optional[float] = None,
     q_block: int = 512,
     kv_block: int = 512,
     return_lse: bool = False,
     interpret: bool = False,
 ):
-    """Flash attention where valid KV is the prefix [0, kv_len)."""
+    """Flash attention where valid KV is the span [kv_start, kv_len)."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     if scale is None:
@@ -141,20 +143,24 @@ def flash_attention_prefix(
     n_q = sq_p // q_block
     n_kv = skv_p // kv_block
 
-    kv_len_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    bounds = jnp.stack([
+        jnp.asarray(kv_start, jnp.int32).reshape(()),
+        jnp.asarray(kv_len, jnp.int32).reshape(()),
+    ])
 
     # NOTE: index maps receive (grid indices..., scalar-prefetch refs) — grid
     # first, scalars last (kernel bodies receive scalars first).
-    def q_map(bhi, qi, ki, kv_len_ref):
+    def q_map(bhi, qi, ki, bounds_ref):
         return (bhi, qi, 0)
 
-    def kv_map(bhi, qi, ki, kv_len_ref):
-        # clamp dead-prefix blocks onto the last valid block: Pallas skips the
-        # DMA when the block index is unchanged between grid steps.
+    def kv_map(bhi, qi, ki, bounds_ref):
+        # clamp dead blocks onto the valid range: Pallas skips the DMA when
+        # the block index is unchanged between grid steps.
+        first_valid = bounds_ref[0] // kv_block
         last_valid = jnp.maximum(
-            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+            (bounds_ref[1] + kv_block - 1) // kv_block - 1, first_valid
         )
-        return (bhi, jnp.minimum(ki, last_valid), 0)
+        return (bhi, jnp.clip(ki, first_valid, last_valid), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -191,7 +197,7 @@ def flash_attention_prefix(
             bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
             transcendentals=b * h * sq_p * skv_p,
         ),
-    )(kv_len_arr, qb, kb, vb)
+    )(bounds, qb, kb, vb)
 
     out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     if return_lse:

@@ -1,0 +1,229 @@
+"""MAGI-1 pipeline: chunk-windowed AR-diffusion generation.
+
+Parity with the reference `MagiPipeline` + `SampleTransport.walk`
+(`inferix/pipeline/magi/pipeline.py:32-114`, `video_generate.py:253-769`):
+T2V/I2V/V2V via prefix chunks, the windowed denoise loop that yields clean
+chunks as they finish (enabling per-chunk VAE decode downstream), the
+fwd_extra_1st_chunk clean re-forward that persists a finished chunk's KV, CFG
+dispatch (3-forward cond_pre+text / cond_pre / uncond with per-t-range scales,
+`dit_model.py:399-536`, or distilled single forward), and kv-range policies.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Generator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kvcache.cache import KVCache, init_kv_cache
+from ..models.magi.dit import (
+    MagiModelConfig,
+    MagiStatics,
+    Params,
+    init_magi_params,
+    magi_forward,
+    make_magi_statics,
+)
+from ..models.magi.scheduler import ChunkSchedule, MagiScheduleConfig
+from ..ops.rope import build_rope_tables
+from ..profiling.profiler import InferixProfiler
+
+
+@dataclasses.dataclass
+class MagiRuntimeConfig:
+    """Runtime knobs (reference 4.5B json `runtime_config`)."""
+
+    cfg_number: int = 1                     # 1 = distilled, 3 = full CFG
+    cfg_t_range: Sequence[float] = (0.0, 0.0217, 0.1, 0.3, 0.999)
+    prev_chunk_scales: Sequence[float] = (1.5, 1.5, 1.5, 1.0, 1.0)
+    text_scales: Sequence[float] = (7.5, 7.5, 7.5, 0.0, 0.0)
+    num_steps: int = 8
+    window_size: int = 4
+    chunk_width: int = 6
+    noise2clean_kvrange: Sequence[int] = ()
+    clean_chunk_kvrange: int = -1
+    clean_t: float = 0.9999
+    seed: int = 1234
+
+
+class MagiPipeline:
+    def __init__(
+        self,
+        model_cfg: MagiModelConfig = MagiModelConfig(),
+        runtime: MagiRuntimeConfig = MagiRuntimeConfig(),
+        params: Optional[Params] = None,
+        latent_h: int = 32,
+        latent_w: int = 32,
+        max_chunks: int = 16,
+        dtype=jnp.float32,
+        profiler: Optional[InferixProfiler] = None,
+    ):
+        self.cfg = model_cfg
+        self.rt = runtime
+        self.dtype = dtype
+        self.profiler = profiler or InferixProfiler()
+        # batch 2 = (conditional, unconditional) halves, reference x.chunk(2)
+        self.batch = 2
+        self.statics = make_magi_statics(
+            model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype
+        )
+        self.rope_tables = build_rope_tables(model_cfg.kv_channels,
+                                             model_cfg.rope_max_seq_len)
+        self.params = params if params is not None else init_magi_params(
+            jax.random.key(runtime.seed), model_cfg, dtype
+        )
+        self._fwd = jax.jit(
+            functools.partial(magi_forward, statics=self.statics,
+                              rope_tables=self.rope_tables),
+            static_argnames=(),
+            donate_argnames=("cache",),
+        )
+
+    # -- CFG ----------------------------------------------------------------
+
+    def _cfg_scales(self, t_val: float) -> Tuple[float, float]:
+        """Per-t-range (prev_chunk_scale, text_scale) lookup
+        (reference forward_3cfg range buckets)."""
+        rng = self.rt.cfg_t_range
+        idx = 0
+        for i in range(len(rng) - 1, -1, -1):
+            if t_val >= rng[i]:
+                idx = i
+                break
+        return (self.rt.prev_chunk_scales[idx], self.rt.text_scales[idx])
+
+    # -- generation ---------------------------------------------------------
+
+    def generate_chunks(
+        self,
+        caption_emb: jax.Array,    # [1, cap_len, cap_dim]
+        caption_mask: jax.Array,   # [1, cap_len]
+        chunk_num: int,
+        prefix_latents: Optional[jax.Array] = None,  # [1, F0, H, W, C]
+        rng: Optional[jax.Array] = None,
+    ) -> Generator[Tuple[int, jax.Array], None, None]:
+        """Yields (chunk_index, clean latents [1, chunk_width, H, W, C]) as
+        chunks finish denoising — the reference `walk()` generator."""
+        cfg, rt = self.cfg, self.rt
+        geo = self.statics.geo
+        cw = rt.chunk_width
+        rng = rng if rng is not None else jax.random.key(rt.seed)
+
+        chunk_offset = 0
+        if prefix_latents is not None:
+            assert prefix_latents.shape[1] % cw == 0
+            chunk_offset = prefix_latents.shape[1] // cw
+
+        sched = ChunkSchedule(MagiScheduleConfig(
+            chunk_num=chunk_num,
+            chunk_width=cw,
+            window_size=rt.window_size,
+            num_steps=rt.num_steps,
+            chunk_offset=chunk_offset,
+            noise2clean_kvrange=rt.noise2clean_kvrange,
+            clean_chunk_kvrange=rt.clean_chunk_kvrange,
+            clean_t=rt.clean_t,
+        ))
+
+        # state: all-chunk latents x, initialized to noise (cond/uncond halves
+        # share noise), prefix chunks filled with the prefix
+        rng, nkey = jax.random.split(rng)
+        x = jax.random.normal(
+            nkey, (1, chunk_num * cw, geo.latent_h, geo.latent_w,
+                   cfg.in_channels)
+        ).astype(self.dtype)
+        x = jnp.concatenate([x, x], axis=0)  # [2, ...] cond/uncond
+        if prefix_latents is not None:
+            pref = jnp.concatenate([prefix_latents, prefix_latents], axis=0)
+            x = x.at[:, : chunk_offset * cw].set(pref.astype(x.dtype))
+
+        cache = init_kv_cache(self.statics.spec)
+
+        # caption: conditional half = real caption, uncond half = zeros
+        cap = jnp.concatenate(
+            [caption_emb, jnp.zeros_like(caption_emb)], axis=0
+        )
+        cmask = jnp.concatenate([caption_mask, caption_mask], axis=0)
+
+        # prefix feature extraction at clean_t fills the cache
+        if chunk_offset > 0:
+            for ci in range(chunk_offset):
+                cache = self._forward_window(
+                    x[:, ci * cw:(ci + 1) * cw],
+                    np.array([rt.clean_t]),
+                    cap, cmask,
+                    cache, slice_point=ci,
+                    kv_ranges=np.array([[0, ci + 1]], np.int32),
+                )[1]
+
+        for step in range(sched.total_forward_steps):
+            c_start, c_end, t_s, t_e = sched.window(step)
+            extra_clean = sched.fwd_extra_1st_chunk(step)
+            w_start = c_start - 1 if extra_clean else c_start
+            n_chunks = c_end - w_start
+
+            t_vals = sched.timesteps(step)
+            if extra_clean:
+                t_vals = np.concatenate([[rt.clean_t], t_vals])
+            kv_ranges = sched.kv_ranges(step, include_clean=extra_clean)
+
+            x_window = x[:, w_start * cw: c_end * cw]
+            velocity, cache = self._forward_window(
+                x_window, t_vals, cap, cmask, cache,
+                slice_point=w_start, kv_ranges=kv_ranges,
+            )
+
+            # Euler integrate over the denoising chunks only
+            if extra_clean:
+                velocity = velocity[:, cw:]
+            deltas = sched.integrate_deltas(step)
+            v = velocity.reshape(velocity.shape[0], c_end - c_start, cw,
+                                 *velocity.shape[2:])
+            d = jnp.asarray(deltas, v.dtype).reshape(1, -1, 1, 1, 1, 1)
+            x_den = x[:, c_start * cw: c_end * cw].reshape(v.shape)
+            x_new = (x_den + v * d).reshape(
+                x.shape[0], (c_end - c_start) * cw, *x.shape[2:])
+            x = x.at[:, c_start * cw: c_end * cw].set(x_new)
+
+            done = sched.mark_integrated(step)
+            if done is not None:
+                clean = x[:1, done * cw:(done + 1) * cw]
+                yield done - chunk_offset, clean
+
+    def _forward_window(self, x_window, t_vals, cap, cmask, cache,
+                        slice_point, kv_ranges):
+        """One (optionally CFG) window forward. Returns (velocity, cache)."""
+        rt = self.rt
+        n_chunks = len(t_vals)
+        t = jnp.broadcast_to(
+            jnp.asarray(t_vals, jnp.float32)[None], (self.batch, n_chunks)
+        )
+        caps = jnp.broadcast_to(
+            cap[:, None], (self.batch, n_chunks, *cap.shape[1:])
+        )
+        masks = jnp.broadcast_to(
+            cmask[:, None], (self.batch, n_chunks, cmask.shape[-1])
+        )
+        velocity, cache = self._fwd(
+            self.params,
+            x_window=x_window,
+            t=t,
+            captions=caps,
+            caption_mask=masks,
+            cache=cache,
+            slice_point=jnp.int32(slice_point),
+            kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
+        )
+        if rt.cfg_number >= 2:
+            # cond/uncond halves -> per-chunk text-scale combination (the
+            # 3-cfg structure collapses to 2 forward halves here because the
+            # uncond caption IS the zero caption; prev-chunk CFG uses the
+            # denoising chunk's t bucket)
+            v_cond, v_uncond = velocity[:1], velocity[1:]
+            _, text_scale = self._cfg_scales(float(np.min(t_vals)))
+            velocity = v_uncond + (1.0 + text_scale) * (v_cond - v_uncond)
+            velocity = jnp.concatenate([velocity, velocity], axis=0)
+        return velocity, cache

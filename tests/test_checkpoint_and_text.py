@@ -1,0 +1,143 @@
+"""Checkpoint conversion round-trips and the UMT5 text encoder."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from inferix_tpu.core.config import tiny_test_config
+from inferix_tpu.models.text.umt5 import (
+    UMT5Config,
+    WanTextEncoder,
+    init_umt5_params,
+    relative_position_buckets,
+    tiny_umt5_config,
+    umt5_encode,
+)
+from inferix_tpu.utils.checkpoint import convert_causal_wan_state_dict
+
+
+def _torch_causal_wan_sd(cfg, seed=0):
+    """Build a torch state dict shaped like the reference CausalWanModel."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = torch.randn(o, i, generator=g) * 0.02
+        sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.01
+
+    pt, ph, pw = cfg.patch_size
+    sd["patch_embedding.weight"] = torch.randn(
+        cfg.dim, cfg.in_dim, pt, ph, pw, generator=g) * 0.02
+    sd["patch_embedding.bias"] = torch.zeros(cfg.dim)
+    lin("text_embedding.0", cfg.text_dim, cfg.dim)
+    lin("text_embedding.2", cfg.dim, cfg.dim)
+    lin("time_embedding.0", cfg.freq_dim, cfg.dim)
+    lin("time_embedding.2", cfg.dim, cfg.dim)
+    lin("time_projection.1", cfg.dim, cfg.dim * 6)
+    lin("head.head", cfg.dim, pt * ph * pw * cfg.out_dim)
+    sd["head.modulation"] = torch.randn(1, 2, cfg.dim, generator=g)
+    for i in range(cfg.num_layers):
+        p = f"blocks.{i}"
+        for mod in ("self_attn", "cross_attn"):
+            for name in ("q", "k", "v", "o"):
+                lin(f"{p}.{mod}.{name}", cfg.dim, cfg.dim)
+            sd[f"{p}.{mod}.norm_q.weight"] = torch.ones(cfg.dim)
+            sd[f"{p}.{mod}.norm_k.weight"] = torch.ones(cfg.dim)
+        sd[f"{p}.norm3.weight"] = torch.ones(cfg.dim)
+        sd[f"{p}.norm3.bias"] = torch.zeros(cfg.dim)
+        lin(f"{p}.ffn.0", cfg.dim, cfg.ffn_dim)
+        lin(f"{p}.ffn.2", cfg.ffn_dim, cfg.dim)
+        sd[f"{p}.modulation"] = torch.randn(1, 6, cfg.dim, generator=g)
+    return sd
+
+
+def test_convert_causal_wan_linear_parity():
+    """Converted params reproduce torch linear/patch-embed outputs."""
+    cfg = tiny_test_config().model
+    sd = _torch_causal_wan_sd(cfg)
+    params = convert_causal_wan_state_dict(sd, cfg, dtype=jnp.float32)
+
+    # linear parity (self_attn.q of layer 1)
+    x = torch.randn(3, cfg.dim)
+    want = x @ sd["blocks.1.self_attn.q.weight"].T + sd["blocks.1.self_attn.q.bias"]
+    w = np.asarray(params["blocks"]["self_attn"]["q"]["w"])[1]
+    b = np.asarray(params["blocks"]["self_attn"]["q"]["b"])[1]
+    got = x.numpy() @ w + b
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-5)
+
+    # patch embedding parity vs torch Conv3d
+    conv = torch.nn.Conv3d(cfg.in_dim, cfg.dim, cfg.patch_size,
+                           stride=cfg.patch_size)
+    conv.weight.data = sd["patch_embedding.weight"]
+    conv.bias.data = sd["patch_embedding.bias"]
+    video = torch.randn(1, cfg.in_dim, 2, 4, 4)  # [B, C, F, H, W]
+    want = conv(video).flatten(2).transpose(1, 2)  # [B, L, dim]
+
+    from inferix_tpu.models.wan.causal_dit import patch_embed
+
+    x_cl = jnp.asarray(video.permute(0, 2, 3, 4, 1).numpy())  # [B,F,H,W,C]
+    got = patch_embed(params, cfg, x_cl)
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rel_pos_buckets_match_torch_reference():
+    """Bucket math matches the reference `_relative_position_bucket`
+    (t5.py:247-266), re-derived in torch here."""
+    num_buckets, max_dist, L = 8, 16, 12
+
+    rel_pos = torch.arange(L)[None, :] - torch.arange(L)[:, None]
+    nb = num_buckets // 2
+    rel_buckets = (rel_pos > 0).long() * nb
+    rel_pos = torch.abs(rel_pos)
+    max_exact = nb // 2
+    rel_pos_large = max_exact + (
+        torch.log(rel_pos.float() / max_exact)
+        / np.log(max_dist / max_exact) * (nb - max_exact)
+    ).long()
+    rel_pos_large = torch.min(rel_pos_large,
+                              torch.full_like(rel_pos_large, nb - 1))
+    want = rel_buckets + torch.where(rel_pos < max_exact, rel_pos,
+                                     rel_pos_large)
+
+    got = relative_position_buckets(L, num_buckets, max_dist)
+    np.testing.assert_array_equal(got, want.numpy())
+
+
+def test_umt5_encode_shapes_and_mask():
+    cfg = tiny_umt5_config()
+    params = init_umt5_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size,
+                                                        (2, 10)))
+    mask = jnp.asarray([[1] * 10, [1] * 4 + [0] * 6])
+    out = umt5_encode(params, cfg, ids, mask)
+    assert out.shape == (2, 10, cfg.dim)
+    assert np.isfinite(np.asarray(out)).all()
+    # masked tokens must not influence real tokens: change a padded token id
+    ids2 = ids.at[1, 7].set(5)
+    out2 = umt5_encode(params, cfg, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out[1, :4]), np.asarray(out2[1, :4]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wan_text_encoder_with_stub_tokenizer():
+    cfg = tiny_umt5_config()
+
+    class StubTok:
+        def __call__(self, prompts, **kw):
+            n = kw.get("max_length", 16)
+            ids = np.zeros((len(prompts), n), np.int64)
+            mask = np.zeros((len(prompts), n), np.int64)
+            for i, p in enumerate(prompts):
+                toks = [hash(w) % 100 + 1 for w in p.split()][:n]
+                ids[i, :len(toks)] = toks
+                mask[i, :len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    enc = WanTextEncoder(cfg, tokenizer=StubTok(), text_len=16,
+                         dtype=jnp.float32)
+    feats = enc(["hello world", "a"])
+    assert feats.shape == (2, 16, cfg.dim)
+    # padded positions zeroed
+    assert float(jnp.abs(feats[1, 1:]).max()) == 0.0
+    assert float(jnp.abs(feats[0, :2]).max()) > 0.0

@@ -54,3 +54,19 @@ def test_flash_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_flash_kv_span():
+    """[kv_start, kv_end) span masking (MAGI noise2clean kv ranges)."""
+    rng = np.random.default_rng(3)
+    b, sq, skv, h, d = 1, 16, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    start, end = 130, 400
+    mask = (jnp.arange(skv) >= start) & (jnp.arange(skv) < end)
+    want, _ = attention_reference(q, k, v, mask)
+    got = flash_attention_prefix(q, k, v, jnp.int32(end), kv_start=jnp.int32(start),
+                                 interpret=True, q_block=16, kv_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

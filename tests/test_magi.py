@@ -1,0 +1,119 @@
+"""MAGI: schedule math vs reference examples, windowed generation e2e."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferix_tpu.models.magi.dit import tiny_magi_config
+from inferix_tpu.models.magi.scheduler import (
+    ChunkSchedule,
+    MagiScheduleConfig,
+    generate_sequences,
+    init_t,
+)
+from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+
+def test_generate_sequences_reference_examples():
+    """The docstring examples in the reference (video_generate.py:140-163)."""
+    cs, ce, ts, te = generate_sequences(8, 4, 0)
+    assert cs == [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7]
+    assert ce == [1, 2, 3, 4, 5, 6, 7, 8, 8, 8, 8]
+    assert ts == [0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3]
+    assert te == [1, 2, 3, 4, 4, 4, 4, 4, 4, 4, 4]
+
+    cs, ce, ts, te = generate_sequences(8, 4, 2)
+    assert cs == [2, 2, 2, 2, 3, 4, 5, 6, 7]
+    assert ce == [3, 4, 5, 6, 7, 8, 8, 8, 8]
+    assert ts == [0, 0, 0, 0, 0, 0, 1, 2, 3]
+    assert te == [1, 2, 3, 4, 4, 4, 4, 4, 4]
+
+    cs, ce, ts, te = generate_sequences(8, 1, 0)
+    assert cs == list(range(8))
+    assert ce == [i + 1 for i in range(8)]
+    assert te == [1] * 8
+
+
+def test_init_t_sd3():
+    t = init_t(64, "sd3", shift=3.0)
+    assert t.shape == (65,)
+    assert t[0] == 0.0 and abs(t[-1] - 1.0) < 1e-9
+    assert np.all(np.diff(t) >= 0)
+    # sd3 transform compresses early steps
+    assert t[32] < 0.5
+
+
+def test_schedule_denoise_accounting():
+    sched = ChunkSchedule(MagiScheduleConfig(chunk_num=4, window_size=2,
+                                             num_steps=4, chunk_width=2))
+    clean_order = []
+    for step in range(sched.total_forward_steps):
+        done = sched.mark_integrated(step)
+        if done is not None:
+            clean_order.append(done)
+    assert clean_order == [0, 1, 2, 3]
+    assert (sched.chunk_denoise_count == 4).all()
+
+
+def test_kv_ranges_policies():
+    cfg = MagiScheduleConfig(chunk_num=6, window_size=3, num_steps=6,
+                             chunk_width=2,
+                             noise2clean_kvrange=[3, 2, 1],
+                             clean_chunk_kvrange=1)
+    sched = ChunkSchedule(cfg)
+    # a mid-run step with a full window
+    step = 2 * sched.steps_per_stage  # stage 2: chunks [0..3)
+    c_start, c_end, t_s, t_e = sched.window(step)
+    ranges = sched.kv_ranges(step, include_clean=False)
+    assert ranges.shape == (c_end - c_start, 2)
+    for i, (lo, hi) in enumerate(ranges):
+        assert hi == c_start + i + 1
+        assert 0 <= lo < hi
+
+    # default policy: full prefix
+    sched2 = ChunkSchedule(MagiScheduleConfig(chunk_num=6, window_size=3,
+                                              num_steps=6, chunk_width=2))
+    ranges2 = sched2.kv_ranges(step, include_clean=False)
+    assert (ranges2[:, 0] == 0).all()
+
+
+@pytest.mark.parametrize("cfg_number", [1, 2])
+def test_magi_generate_chunks_e2e(cfg_number):
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cfg_number=cfg_number)
+    pipe = MagiPipeline(mcfg, rt, latent_h=8, latent_w=8, max_chunks=6,
+                        dtype=jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=3))
+    assert [c[0] for c in chunks] == [0, 1, 2]
+    for _, lat in chunks:
+        assert lat.shape == (1, 2, 8, 8, mcfg.in_channels)
+        assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_magi_prefix_video():
+    """I2V/V2V: prefix chunks condition generation and are not re-emitted."""
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    pipe = MagiPipeline(mcfg, rt, latent_h=8, latent_w=8, max_chunks=6,
+                        dtype=jnp.float32)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    prefix = jax.random.normal(jax.random.key(5), (1, 2, 8, 8,
+                                                   mcfg.in_channels))
+
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=3,
+                                       prefix_latents=prefix))
+    # chunk 0 is the prefix (offset 1); generated chunks are 0-indexed after it
+    assert [c[0] for c in chunks] == [0, 1]
+
+    # prefix must influence the result
+    chunks2 = list(pipe.generate_chunks(cap, cmask, chunk_num=3,
+                                        prefix_latents=prefix * -1.0))
+    a = np.asarray(chunks[0][1])
+    b = np.asarray(chunks2[0][1])
+    assert np.abs(a - b).max() > 1e-6

@@ -143,3 +143,23 @@ def test_kv_manager_slots():
     assert s3 == s1
     mgr.clear()
     assert mgr.device_bytes() == 0
+
+
+def test_causvid_rollouts(pipe):
+    from inferix_tpu.pipeline.causvid import CausVidPipeline
+
+    cfg = tiny_test_config()
+    cfg.runtime.num_frames = 4
+    cfg.runtime.frames_per_segment = 4
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    cv = CausVidPipeline(cfg, params=params, vae=_tiny_vae(),
+                         dtype=jnp.float32)
+    segs = cv.run_rollouts("a windmill", num_rollouts=2,
+                           num_overlap_frames=2)
+    assert len(segs) == 2
+    # segment 0: 13 pixel frames minus trimmed overlap (4*1+1=5) = 8
+    assert segs[0].shape[1] == 8
+    # segment 1 keeps everything; started from 2 overlap latents -> 4 total
+    assert segs[1].shape[1] == 13
+    for s in segs:
+        assert np.isfinite(np.asarray(s)).all()
