@@ -2,13 +2,17 @@
 
 Runs the full denoise loop (4 DMD steps + context re-run per 3-frame block)
 at the reference geometry — latents [B=1, 21, 60x104, 16] @ 480x832
-(`inferix/pipeline/self_forcing/pipeline.py:398`) — in bf16 on one chip,
-NO_DECODE path, and reports steady-state frames/s.
+(`inferix/pipeline/self_forcing/pipeline.py:398`) — on one chip, NO_DECODE
+path, in two configurations:
+  * bf16 weights + bf16 KV cache (baseline)
+  * int8 W8A8 weights (per-token act x per-channel weight) + int8 KV cache
+    (the quantized serving path; v5e has no fp8 MXU so int8 is the
+    low-precision compute format — fp8 weights are supported as a memory
+    format and benchmark ~equal to bf16 compute)
 
-vs_baseline compares against the reference's stated ~500 ms per 3-frame block
-(=> 6 frames/s; `pipeline/self_forcing/pipeline.py:577` docstring, BASELINE.md).
-
-Prints exactly one JSON line.
+vs_baseline compares the QUANTIZED path against the reference's stated
+~500 ms per 3-frame block (=> 6 frames/s; BASELINE.md). Prints exactly one
+JSON line.
 """
 import json
 import time
@@ -30,35 +34,26 @@ def _sync(x) -> None:
     np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
 
-def main() -> None:
-    from inferix_tpu.core.config import EngineConfig
-    from inferix_tpu.models.wan.causal_dit import init_params
+def run_config(cfg, params, dtype):
     from inferix_tpu.pipeline.semi_ar import SemiARGenerator
 
-    cfg = EngineConfig()  # Wan 1.3B shapes, 21 frames, 3-frame blocks
     m, r = cfg.model, cfg.runtime
-
-    params = init_params(jax.random.key(0), m, dtype=jnp.bfloat16)
-    gen = SemiARGenerator(cfg, params, dtype=jnp.bfloat16)
-
-    context = jnp.zeros((r.batch_size, m.text_len, m.text_dim), jnp.bfloat16)
+    gen = SemiARGenerator(cfg, params, dtype=dtype)
+    context = jnp.zeros((r.batch_size, m.text_len, m.text_dim), dtype)
     xattn = gen.encode_text_context(context)
     fpb = m.num_frame_per_block
     noise_block = jax.random.normal(
         jax.random.key(1),
         (r.batch_size, fpb, r.latent_height, r.latent_width,
          r.latent_channels),
-    ).astype(jnp.bfloat16)
+    ).astype(dtype)
     rng = jax.random.key(2)
 
-    # Warmup: compile + fill cache a bit
+    # warmup / compile
     cache = gen.init_cache()
     x0, cache = gen.denoise_block(cache, xattn, noise_block, rng, 0)
     _sync(x0)
 
-    # Steady state: generate a full 21-frame clip's worth of blocks with the
-    # cache progressively filling (block 7 attends to the full 32760-token
-    # window — the realistic mix).
     num_blocks = r.num_frames // fpb
     cache = gen.init_cache()
     start = time.perf_counter()
@@ -69,13 +64,34 @@ def main() -> None:
         frame += fpb
     _sync(x0)
     elapsed = time.perf_counter() - start
+    return (num_blocks * fpb * r.batch_size) / elapsed
 
-    frames_per_s = (num_blocks * fpb * r.batch_size) / elapsed
+
+def main() -> None:
+    from inferix_tpu.core.config import EngineConfig
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.quant.api import quantize_params
+
+    cfg = EngineConfig()  # Wan 1.3B shapes, 21 frames, 3-frame blocks
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
+
+    bf16_fps = run_config(cfg, params, jnp.bfloat16)
+
+    qcfg = EngineConfig()
+    qcfg.quant.enabled = True
+    qcfg.quant.dtype = "int8"
+    qcfg.quant.granularity = "per_channel"
+    qcfg.quant.quantize_kv_cache = True
+    qparams = quantize_params(params, qcfg.quant)
+    int8_fps = run_config(qcfg, qparams, jnp.bfloat16)
+
     print(json.dumps({
-        "metric": "frames_per_s_per_chip_self_forcing_1p3b_bf16",
-        "value": round(frames_per_s, 3),
+        "metric": "frames_per_s_per_chip_self_forcing_1p3b_w8a8",
+        "value": round(int8_fps, 3),
         "unit": "frames/s/chip",
-        "vs_baseline": round(frames_per_s / REFERENCE_FRAMES_PER_S, 3),
+        "vs_baseline": round(int8_fps / REFERENCE_FRAMES_PER_S, 3),
+        "bf16_frames_per_s": round(bf16_fps, 3),
+        "quant_speedup_vs_bf16": round(int8_fps / bf16_fps, 3),
     }))
 
 

@@ -118,8 +118,8 @@ def flash_attention_prefix(
     kv_len: jax.Array,     # scalar int32: end of the valid span
     kv_start: jax.Array | int = 0,  # start of the valid span
     scale: Optional[float] = None,
-    q_block: int = 512,
-    kv_block: int = 512,
+    q_block: int = 1024,
+    kv_block: int = 1024,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -308,8 +308,8 @@ def flash_attention_prefix_quant(
     v_scale: jax.Array,    # [B, Skv, H] f32
     kv_len: jax.Array,
     scale: Optional[float] = None,
-    q_block: int = 512,
-    kv_block: int = 512,
+    q_block: int = 1024,
+    kv_block: int = 1024,
     return_lse: bool = False,
     interpret: bool = False,
 ):
