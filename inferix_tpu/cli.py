@@ -1,0 +1,196 @@
+"""Command-line entry points for every model family.
+
+The reference exposes argparse scripts per model (`example/self_forcing/
+run_self_forcing.py`, `run_causvid.py`, `run_magi.py`, streaming/interactive
+runners) plus console-script stubs that point at a nonexistent module
+(`setup.py:40-46`). Here the console scripts are real: inferix-tpu-self-forcing,
+inferix-tpu-causvid, inferix-tpu-magi, inferix-tpu-stream.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _common_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--prompt", type=str, default="a scenic mountain valley",
+                   action="append" if False else None)
+    p.add_argument("--config", type=str, default=None,
+                   help="EngineConfig JSON path")
+    p.add_argument("--model-path", type=str, default=None,
+                   help="checkpoint dir or .pt file (random init if absent)")
+    p.add_argument("--output", type=str, default="output.mp4")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--frames", type=int, default=21,
+                   help="latent frames to generate")
+    p.add_argument("--quant", choices=["none", "int8", "fp8"], default="none")
+    p.add_argument("--quant-kv", action="store_true",
+                   help="quantize the KV cache to int8")
+    p.add_argument("--decode-mode",
+                   choices=["after_all", "per_block", "no_decode"],
+                   default="after_all")
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (no real weights; smoke runs)")
+    return p
+
+
+def _build_config(args):
+    from .core.config import EngineConfig, tiny_test_config
+    from .core.types import DecodeMode
+
+    if args.config:
+        cfg = EngineConfig.from_json(args.config)
+    elif args.tiny:
+        cfg = tiny_test_config()
+    else:
+        cfg = EngineConfig()
+    if args.model_path:
+        cfg.model_path = args.model_path
+    cfg.runtime.seed = args.seed
+    cfg.runtime.decode_mode = DecodeMode(args.decode_mode)
+    if args.quant != "none":
+        cfg.quant.enabled = True
+        cfg.quant.dtype = args.quant
+        cfg.quant.quantize_kv_cache = args.quant_kv
+    return cfg
+
+
+def _save(video, path: str) -> None:
+    from .core.media.streaming_backend import latents_to_uint8
+    from .core.media.video_utils import save_video
+
+    if video is None:
+        print("NO_DECODE: latents only, nothing saved")
+        return
+    out = save_video(latents_to_uint8(np.asarray(video)), path)
+    print(f"saved {out}")
+
+
+def main_self_forcing(argv: Optional[List[str]] = None) -> int:
+    args = _common_parser("Self-Forcing semi-AR text-to-video").parse_args(argv)
+    import jax.numpy as jnp
+
+    from .pipeline.self_forcing import SelfForcingPipeline
+    from .profiling.profiler import InferixProfiler, ProfilingConfig
+
+    cfg = _build_config(args)
+    profiler = InferixProfiler(ProfilingConfig(enabled=args.profile))
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    pipe = SelfForcingPipeline(cfg, profiler=profiler, dtype=dtype)
+    t0 = time.perf_counter()
+    video = pipe.run_text_to_video([args.prompt], num_frames=args.frames)
+    print(f"generated in {time.perf_counter() - t0:.1f}s")
+    if args.profile:
+        print(json.dumps(pipe.profiler.summary(), indent=2, default=str))
+        pipe.profiler.save_report()
+    if cfg.runtime.decode_mode.value != "no_decode":
+        _save(video, args.output)
+    return 0
+
+
+def main_causvid(argv: Optional[List[str]] = None) -> int:
+    p = _common_parser("CausVid multi-segment rollout")
+    p.add_argument("--rollouts", type=int, default=3)
+    p.add_argument("--overlap-frames", type=int, default=3)
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+
+    from .pipeline.causvid import CausVidPipeline
+
+    cfg = _build_config(args)
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    pipe = CausVidPipeline(cfg, dtype=dtype)
+    videos = pipe.run_rollouts(args.prompt, num_rollouts=args.rollouts,
+                               num_overlap_frames=args.overlap_frames)
+    full = np.concatenate([np.asarray(v) for v in videos], axis=1)
+    _save(full, args.output)
+    return 0
+
+
+def main_magi(argv: Optional[List[str]] = None) -> int:
+    p = _common_parser("MAGI-1 chunked generation")
+    p.add_argument("--chunks", type=int, default=4)
+    p.add_argument("--num-steps", type=int, default=8)
+    p.add_argument("--window-size", type=int, default=4)
+    args = p.parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from .models.magi.dit import MagiModelConfig, tiny_magi_config
+    from .pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = tiny_magi_config() if args.tiny else MagiModelConfig()
+    rt = MagiRuntimeConfig(num_steps=args.num_steps,
+                           window_size=args.window_size, seed=args.seed,
+                           chunk_width=2 if args.tiny else 6)
+    lat = 8 if args.tiny else 90
+    pipe = MagiPipeline(mcfg, rt, latent_h=lat, latent_w=lat,
+                        max_chunks=args.chunks + 2,
+                        dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    for idx, chunk in pipe.generate_chunks(cap, cmask, chunk_num=args.chunks):
+        print(f"chunk {idx}: {tuple(chunk.shape)} "
+              f"finite={bool(jnp.isfinite(chunk).all())}")
+    return 0
+
+
+def main_stream(argv: Optional[List[str]] = None) -> int:
+    p = _common_parser("Progressive / interactive streaming")
+    p.add_argument("--segments", type=int, default=3)
+    p.add_argument("--backend",
+                   choices=["memory", "file", "gradio", "rtmp", "webrtc"],
+                   default="file")
+    p.add_argument("--interactive", action="store_true")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+
+    from .core.interactive import InteractiveSession
+    from .core.media.streaming_backend import (
+        create_streaming_backend,
+        latents_to_uint8,
+    )
+    from .core.types import StreamingMode
+    from .pipeline.self_forcing import SelfForcingPipeline
+
+    cfg = _build_config(args)
+    cfg.runtime.streaming_mode = StreamingMode.TRUE_STREAMING
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    pipe = SelfForcingPipeline(cfg, dtype=dtype)
+
+    kwargs = {"path": args.output} if args.backend == "file" else \
+        {"port": args.port} if args.backend in ("gradio", "webrtc") else {}
+    backend = create_streaming_backend(args.backend, **kwargs)
+    with backend:
+        cb = lambda px: backend.stream_batch(latents_to_uint8(np.asarray(px)))
+        if args.interactive:
+            session = InteractiveSession()
+            pipe.run_interactive_generation(session, args.prompt,
+                                            num_segments=args.segments,
+                                            stream_callback=cb)
+        else:
+            pipe.run_streaming_generation([args.prompt],
+                                          num_segments=args.segments,
+                                          stream_callback=cb)
+    frames = getattr(backend, "frames_streamed", None)
+    print(f"streamed {frames} frames via {args.backend}")
+    return 0
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "self-forcing"
+    entry = {
+        "self-forcing": main_self_forcing,
+        "causvid": main_causvid,
+        "magi": main_magi,
+        "stream": main_stream,
+    }[cmd]
+    sys.exit(entry(sys.argv[2:]))

@@ -54,10 +54,12 @@ class FileStreamingBackend(StreamingBackend):
 
     def connect(self) -> None:
         self._frames = []
+        self.frames_streamed = 0
         self.connected = True
 
     def stream_batch(self, frames: np.ndarray) -> None:
         self._frames.extend(np.asarray(frames))
+        self.frames_streamed = len(self._frames)
 
     def disconnect(self) -> None:
         if self._frames:
