@@ -30,6 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+LOG2E = 1.4426950408889634
+
+
 def _flash_kernel(
     # scalar prefetch: bounds [kv_start, kv_end)
     bounds_ref,
@@ -40,10 +43,15 @@ def _flash_kernel(
     # scratch
     acc_ref, m_ref, l_ref,
     *,
-    scale: float,
     kv_block: int,
     num_kv_blocks: int,
 ):
+    """Softmax runs in the exp2 domain: the wrapper pre-multiplies q by
+    scale*log2(e), so the kernel computes p = exp2(s - m) — saving the
+    per-element scale multiply and the ln2 fold inside exp. The kernel is
+    VPU-bound (the MXU matmuls cover <50% of its runtime), so per-element
+    op count is the figure of merit; interior (fully valid) KV blocks skip
+    the column masking entirely."""
     ki = pl.program_id(2)
     kv_start = bounds_ref[0]
     kv_len = bounds_ref[1]
@@ -56,44 +64,52 @@ def _flash_kernel(
 
     block_start = ki * kv_block
 
-    @pl.when((block_start < kv_len) & (block_start + kv_block > kv_start))
-    def _compute():
-        q = q_ref[0]  # [q_blk, D]
-        k = k_ref[0]  # [kv_blk, D]
-        v = v_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [q_blk, kv_blk]
-
-        col = block_start + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
-        )
-        s = jnp.where((col >= kv_start) & (col < kv_len), s, NEG_INF)
-
+    def _update(s):
         m_prev = m_ref[...]          # [q_blk, 128] lane-replicated
         l_prev = l_ref[...]
         m_cur = jnp.max(s, axis=-1, keepdims=True)       # [q_blk, 1]
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        corr = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, :1])                    # [q_blk, kv_blk]
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, :1])                   # [q_blk, kv_blk]
         l_new = l_prev * corr + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
         m_ref[...] = m_new
         l_ref[...] = l_new
 
+    def _logits():
+        return jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [q_blk, kv_blk]; q pre-scaled by scale*log2(e)
+
+    interior = (block_start >= kv_start) & (block_start + kv_block <= kv_len)
+
+    @pl.when(interior)
+    def _compute_interior():
+        _update(_logits())
+
+    @pl.when(jnp.logical_not(interior)
+             & (block_start < kv_len) & (block_start + kv_block > kv_start))
+    def _compute_boundary():
+        s = _logits()
+        col = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        _update(jnp.where((col >= kv_start) & (col < kv_len), s, NEG_INF))
+
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():
         l = l_ref[...][:, :1]                            # [q_blk, 1]
         denom = jnp.maximum(l, 1e-30)
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
-        lse = m_ref[...][:, :1] + jnp.log(denom)
+        # convert back from the exp2 domain: lse = ln(sum exp) = (m + log2 l)/log2e
+        lse = (m_ref[...][:, :1] + jnp.log2(denom)) / LOG2E
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -136,6 +152,8 @@ def flash_attention_prefix(
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qb, kb, vb = bh(q), bh(k), bh(v)
+    # fold softmax scale + log2(e) into q (kernel softmax runs in exp2 domain)
+    qb = (qb.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     qb = _pad_to(qb, 1, q_block)
     kb = _pad_to(kb, 1, kv_block)
     vb = _pad_to(vb, 1, kv_block)
@@ -182,7 +200,7 @@ def flash_attention_prefix(
     )
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_block=kv_block, num_kv_blocks=n_kv
+        _flash_kernel, kv_block=kv_block, num_kv_blocks=n_kv
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -237,7 +255,6 @@ def _flash_kernel_quant(
     o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *,
-    scale: float,
     kv_block: int,
     num_kv_blocks: int,
 ):
@@ -252,47 +269,58 @@ def _flash_kernel_quant(
 
     block_start = ki * kv_block
 
-    @pl.when(block_start < kv_len)
-    def _compute():
-        q = q_ref[0]                                     # [q_blk, D]
-        k = k_ref[0].astype(q.dtype)                     # int8 -> compute dtype
-        v = v_ref[0]
-        ks = ks_ref[0]                                   # [1, kv_blk] f32
-        vs = vs_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * ks * scale
-
-        col = block_start + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
-        )
-        s = jnp.where(col < kv_len, s, NEG_INF)
-
+    def _update(s):
         m_prev = m_ref[...]
         l_prev = l_ref[...]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        corr = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, :1])
         l_new = l_prev * corr + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
-        p_scaled = (p * vs).astype(q.dtype)
+        # v dequant scale folded into V ROWS (kv_blk x D ops), not into p
+        # (q_blk x kv_blk ops — 8x more at q_blk=1024)
+        vs_col = jnp.transpose(vs_ref[0])                # [kv_blk, 1]
+        v_deq = (v_ref[0].astype(jnp.float32) * vs_col).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p_scaled, v.astype(q.dtype), (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), v_deq, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
         m_ref[...] = m_new
         l_ref[...] = l_new
 
+    def _logits():
+        # k dequant scale folded into K ROWS; q is pre-scaled by
+        # scale*log2(e) in the wrapper
+        ks_col = jnp.transpose(ks_ref[0])                # [kv_blk, 1]
+        k_deq = (k_ref[0].astype(jnp.float32) * ks_col).astype(q_ref.dtype)
+        return jax.lax.dot_general(
+            q_ref[0], k_deq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    interior = block_start + kv_block <= kv_len
+
+    @pl.when(interior)
+    def _compute_interior():
+        _update(_logits())
+
+    @pl.when(jnp.logical_not(interior) & (block_start < kv_len))
+    def _compute_boundary():
+        s = _logits()
+        col = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        _update(jnp.where(col < kv_len, s, NEG_INF))
+
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():
         l = l_ref[...][:, :1]
         denom = jnp.maximum(l, 1e-30)
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
-        lse = m_ref[...][:, :1] + jnp.log(denom)
+        lse = (m_ref[...][:, :1] + jnp.log2(denom)) / LOG2E
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -326,7 +354,8 @@ def flash_attention_prefix_quant(
     def bh_scale(s):
         return s.transpose(0, 2, 1).reshape(b * h, 1, s.shape[1])
 
-    qb = _pad_to(bh(q), 1, q_block)
+    qb = (bh(q).astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    qb = _pad_to(qb, 1, q_block)
     kb = _pad_to(bh(k_q), 1, kv_block)
     vb = _pad_to(bh(v_q), 1, kv_block)
     ksb = _pad_to(bh_scale(k_scale.astype(jnp.float32)), 2, kv_block)
@@ -373,7 +402,7 @@ def flash_attention_prefix_quant(
     )
 
     kernel = functools.partial(
-        _flash_kernel_quant, scale=scale, kv_block=kv_block, num_kv_blocks=n_kv
+        _flash_kernel_quant, kv_block=kv_block, num_kv_blocks=n_kv
     )
     out, lse = pl.pallas_call(
         kernel,

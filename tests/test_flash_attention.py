@@ -70,3 +70,27 @@ def test_flash_kv_span():
                                  interpret=True, q_block=16, kv_block=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_flash_quant_parity():
+    """int8-KV kernel (interpret) vs dequantized XLA oracle."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant
+
+    rng = np.random.default_rng(5)
+    b, sq, skv, h, d = 1, 16, 384, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    kv_len = 300
+    want, _ = attention_reference(q, k_deq, v_deq, jnp.arange(skv) < kv_len)
+    got = flash_attention_prefix_quant(
+        q, k_q, v_q, k_s, v_s, jnp.int32(kv_len), interpret=True,
+        q_block=16, kv_block=128,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
