@@ -170,8 +170,11 @@ class CrossAttnCache(NamedTuple):
     The reference computes these lazily behind an `is_init` flag
     (`wan_base/model.py:79-95`); here they are produced eagerly by a
     dedicated precompute pass, which removes mutable-state flags from the
-    jitted hot loop.
+    jitted hot loop. For i2v models, k_img/v_img hold the CLIP image-token
+    K/V (reference `WanI2VCrossAttention`, `wan_base/model.py:105-147`).
     """
 
     k: jax.Array  # [L, B, text_len, H, D]
     v: jax.Array  # [L, B, text_len, H, D]
+    k_img: Optional[jax.Array] = None  # [L, B, 257, H, D]
+    v_img: Optional[jax.Array] = None

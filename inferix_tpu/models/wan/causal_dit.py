@@ -84,6 +84,11 @@ def init_block_params(key, cfg: ModelConfig, dtype) -> Params:
             "o": _linear_init(keys[7], d, d, dtype),
             "norm_q": {"w": jnp.ones((d,), dtype)},
             "norm_k": {"w": jnp.ones((d,), dtype)},
+            **({
+                "k_img": _linear_init(jax.random.fold_in(keys[5], 1), d, d, dtype),
+                "v_img": _linear_init(jax.random.fold_in(keys[6], 1), d, d, dtype),
+                "norm_k_img": {"w": jnp.ones((d,), dtype)},
+            } if cfg.model_type == "i2v" else {}),
         },
         # norm3 is the affine LayerNorm before cross attention
         "norm3": {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
@@ -126,6 +131,14 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> Params:
                            / math.sqrt(d)).astype(jnp.float32),
         },
     }
+    if cfg.model_type == "i2v":
+        ik = jax.random.fold_in(keys[1], 7)
+        params["img_emb"] = {
+            "norm1": {"w": jnp.ones((1280,), dtype), "b": jnp.zeros((1280,), dtype)},
+            "fc1": _linear_init(jax.random.fold_in(ik, 0), 1280, 1280, dtype),
+            "fc2": _linear_init(jax.random.fold_in(ik, 1), 1280, d, dtype),
+            "norm2": {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        }
     return params
 
 
@@ -223,11 +236,13 @@ def embed_text(params: Params, cfg: ModelConfig, context: jax.Array) -> jax.Arra
 
 
 def precompute_crossattn_cache(
-    params: Params, cfg: ModelConfig, context: jax.Array
+    params: Params, cfg: ModelConfig, context: jax.Array,
+    clip_features: Optional[jax.Array] = None,
 ) -> CrossAttnCache:
     """Project text context through every layer's cross-attn K/V once per
     prompt (replaces the reference's lazy `is_init` crossattn cache,
-    `wan_base/model.py:79-95`)."""
+    `wan_base/model.py:79-95`). For i2v models, clip_features [B, 257, 1280]
+    are projected through img_emb (MLPProj) and each layer's k_img/v_img."""
     ctx = embed_text(params, cfg, context)
     b, s, d = ctx.shape
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -239,6 +254,24 @@ def precompute_crossattn_cache(
         return k.reshape(b, s, nh, hd), v.reshape(b, s, nh, hd)
 
     k, v = jax.vmap(layer_kv)(params["blocks"])
+
+    if cfg.model_type == "i2v" and clip_features is not None:
+        ie = params["img_emb"]
+        h = layer_norm(clip_features, ie["norm1"]["w"], ie["norm1"]["b"])
+        h = jax.nn.gelu(linear(ie["fc1"], h), approximate=False)
+        img_tokens = layer_norm(linear(ie["fc2"], h), ie["norm2"]["w"],
+                                ie["norm2"]["b"])
+        si = img_tokens.shape[1]
+
+        def layer_img_kv(block):
+            ca = block["cross_attn"]
+            ki = rms_norm(linear(ca["k_img"], img_tokens),
+                          ca["norm_k_img"]["w"], cfg.eps)
+            vi = linear(ca["v_img"], img_tokens)
+            return ki.reshape(b, si, nh, hd), vi.reshape(b, si, nh, hd)
+
+        k_img, v_img = jax.vmap(layer_img_kv)(params["blocks"])
+        return CrossAttnCache(k=k, v=v, k_img=k_img, v_img=v_img)
     return CrossAttnCache(k=k, v=v)
 
 
@@ -274,6 +307,7 @@ def block_forward(
     layer_cache: tuple,        # (k, v) or (k, v, k_scale, v_scale) per layer
     xattn_k: jax.Array,        # [B, text_len, H, D]
     xattn_v: jax.Array,
+    xattn_img: Optional[tuple],  # (k_img, v_img) for i2v, else None
     current_start: jax.Array,  # scalar int32, token offset of this block
     kv_mask: jax.Array,        # [Smax] bool — valid cache slots after write
 ) -> Tuple[jax.Array, tuple]:
@@ -311,13 +345,17 @@ def block_forward(
     y = linear(sa["o"], attn.reshape(b, s, c))
     x = x + _gate(y, gate_msa, frames)
 
-    # --- cross attention (cached text K/V) ---
+    # --- cross attention (cached text K/V; + image K/V for i2v) ---
     ca = block["cross_attn"]
     h_x = layer_norm(x, block["norm3"]["w"], block["norm3"]["b"], cfg.eps) \
         if cfg.cross_attn_norm else layer_norm(x, eps=cfg.eps)
     cq = rms_norm(linear(ca["q"], h_x), ca["norm_q"]["w"], cfg.eps)
     cq = cq.reshape(b, s, nh, hd)
     xa = cache_attention(cq, xattn_k, xattn_v)
+    if xattn_img is not None:
+        # i2v: separate image attention summed with text attention
+        # (reference WanI2VCrossAttention, wan_base/model.py:118-141)
+        xa = xa + cache_attention(cq, xattn_img[0], xattn_img[1])
     x = x + linear(ca["o"], xa.reshape(b, s, c))
 
     # --- FFN ---
@@ -395,15 +433,22 @@ def dit_forward_inference(
     n_fields = len(cache_fields)
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
+    has_img = xattn.k_img is not None
+
     def layer(carry, xs):
         h, caches = carry
-        block, xk, xv, lid = xs
+        if has_img:
+            block, xk, xv, xki, xvi, lid = xs
+            img = (xki, xvi)
+        else:
+            block, xk, xv, lid = xs
+            img = None
         layer_cache = tuple(
             jax.lax.dynamic_index_in_dim(c, lid, 0, keepdims=False)
             for c in caches
         )
         h, new_layer_cache = block_forward(
-            block, cfg, spec, h, e0, angles, layer_cache, xk, xv,
+            block, cfg, spec, h, e0, angles, layer_cache, xk, xv, img,
             current_start, kv_mask,
         )
         caches = tuple(
@@ -412,10 +457,12 @@ def dit_forward_inference(
         )
         return (h, caches), None
 
-    (h, new_fields), _ = jax.lax.scan(
-        layer, (tokens, tuple(cache_fields)),
-        (params["blocks"], xattn.k, xattn.v, layer_ids),
-    )
+    if has_img:
+        xs = (params["blocks"], xattn.k, xattn.v, xattn.k_img, xattn.v_img,
+              layer_ids)
+    else:
+        xs = (params["blocks"], xattn.k, xattn.v, layer_ids)
+    (h, new_fields), _ = jax.lax.scan(layer, (tokens, tuple(cache_fields)), xs)
 
     out = head_forward(params, cfg, h, e)
     flow = unpatchify(out, cfg, geo)
@@ -425,3 +472,34 @@ def dit_forward_inference(
     else:
         new = KVCache(k=new_fields[0], v=new_fields[1])
     return flow, new
+
+
+def dit_forward_bidirectional(
+    params: Params,
+    cfg: ModelConfig,
+    rope_tables: RopeTables,
+    x: jax.Array,               # [B, F, H, W, C] full clip
+    t: jax.Array,               # [B, F]
+    xattn: CrossAttnCache,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Non-causal Wan forward (the wan_base `WanBaseModel` path used by
+    standard bidirectional diffusion, `inferix/models/wan_base/model.py:202`):
+    every token attends to the whole clip. Implemented as one inference call
+    whose KV 'cache' is exactly the clip — with current_start=0 and the full
+    clip as the block, the prefix mask covers all tokens, i.e. full
+    bidirectional attention. No state survives the call."""
+    b, f, hh, ww, c = x.shape
+    statics = make_statics(cfg, b, f, hh, ww, dtype)
+    # cache sized to the clip
+    spec = KVCacheSpec(
+        num_layers=cfg.num_layers, batch=b,
+        max_tokens=statics.geo.tokens, num_kv_heads=cfg.num_heads,
+        head_dim=cfg.head_dim, dtype=dtype,
+    )
+    statics = DiTStatics(cfg=cfg, spec=spec, geo=statics.geo)
+    cache = init_kv_cache(spec)
+    flow, _ = dit_forward_inference(
+        params, statics, rope_tables, x, t, xattn, cache, jnp.int32(0)
+    )
+    return flow

@@ -279,12 +279,12 @@ def _flash_kernel_quant(
         l_new = l_prev * corr + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
-        # v dequant scale folded into V ROWS (kv_blk x D ops), not into p
-        # (q_blk x kv_blk ops — 8x more at q_blk=1024)
-        vs_col = jnp.transpose(vs_ref[0])                # [kv_blk, 1]
-        v_deq = (v_ref[0].astype(jnp.float32) * vs_col).astype(jnp.bfloat16)
+        # v dequant via probability-column scaling: p*vs is a lane-aligned
+        # [q_blk, kv_blk] x [1, kv_blk] broadcast (an in-kernel transpose of
+        # the scales to V rows measured SLOWER — sublane relayout cost)
+        p_scaled = (p * vs_ref[0]).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_deq, (((1,), (0,)), ((), ())),
+            p_scaled, v_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
@@ -292,14 +292,13 @@ def _flash_kernel_quant(
         l_ref[...] = l_new
 
     def _logits():
-        # k dequant scale folded into K ROWS; q is pre-scaled by
-        # scale*log2(e) in the wrapper
-        ks_col = jnp.transpose(ks_ref[0])                # [kv_blk, 1]
-        k_deq = (k_ref[0].astype(jnp.float32) * ks_col).astype(q_ref.dtype)
-        return jax.lax.dot_general(
-            q_ref[0], k_deq, (((1,), (1,)), ((), ())),
+        # q is pre-scaled by scale*log2(e) in the wrapper; k dequant scale is
+        # applied to the logits columns (lane-aligned broadcast)
+        s_ = jax.lax.dot_general(
+            q_ref[0], k_ref[0].astype(q_ref.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return s_ * ks_ref[0]
 
     interior = block_start + kv_block <= kv_len
 

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import ParallelConfig
 
-AXES = ("dp", "sp", "tp")
+AXES = ("dp", "sp", "tp", "pp")
 
 
 def make_mesh(
@@ -31,17 +31,17 @@ def make_mesh(
 ) -> Mesh:
     if devices is None:
         devices = jax.devices()
-    need = cfg.dp * cfg.sp * cfg.tp
+    need = cfg.dp * cfg.sp * cfg.tp * cfg.pp
     if len(devices) < need:
         raise ValueError(
             f"Parallel config needs {need} devices, have {len(devices)}"
         )
-    grid = np.asarray(devices[:need]).reshape(cfg.dp, cfg.sp, cfg.tp)
+    grid = np.asarray(devices[:need]).reshape(cfg.dp, cfg.sp, cfg.tp, cfg.pp)
     return Mesh(grid, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), AXES)
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), AXES)
 
 
 # ---------------------------------------------------------------------------
@@ -63,24 +63,24 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     def spec_for(path: str, leaf) -> P:
         nd = leaf.ndim
         if "blocks" in path:
-            # leading L axis
+            # leading stacked-layer axis shards over pp (pipeline stages)
             if path.endswith("/w"):
                 if any(f"/{n}/w" in path for n in ("q", "k", "v")) and "ffn" not in path:
-                    return P(None, None, "tp")
+                    return P("pp", None, "tp")
                 if "/o/w" in path:
-                    return P(None, "tp", None)
+                    return P("pp", "tp", None)
                 if "/fc1/w" in path:
-                    return P(None, None, "tp")
+                    return P("pp", None, "tp")
                 if "/fc2/w" in path:
-                    return P(None, "tp", None)
-                return P(*([None] * nd))
+                    return P("pp", "tp", None)
+                return P(*(["pp"] + [None] * (nd - 1)))
             if path.endswith("/b"):
                 if "/fc1/b" in path:
-                    return P(None, "tp")
+                    return P("pp", "tp")
                 if any(f"/{n}/b" in path for n in ("q", "k", "v")) and "ffn" not in path:
-                    return P(None, "tp")
-                return P(*([None] * nd))
-            return P(*([None] * nd))
+                    return P("pp", "tp")
+                return P(*(["pp"] + [None] * (nd - 1)))
+            return P(*(["pp"] + [None] * (nd - 1)))
         return P(*([None] * nd))
 
     def walk(tree, path=""):
@@ -92,18 +92,22 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def kv_cache_pspec() -> P:
-    """[L, B, S, H, D]: batch over dp, heads over tp."""
-    return P(None, "dp", None, "tp", None)
+    """[L, B, S, H, D]: layers over pp, batch over dp, heads over tp."""
+    return P("pp", "dp", None, "tp", None)
 
 
 def xattn_cache_pspec() -> P:
-    """[L, B, text_len, H, D]: batch over dp, heads over tp."""
-    return P(None, "dp", None, "tp", None)
+    """[L, B, text_len, H, D]: layers over pp, batch over dp, heads over tp."""
+    return P("pp", "dp", None, "tp", None)
 
 
 def latent_pspec() -> P:
     """[B, F, H, W, C]: batch over dp, spatial rows over sp."""
     return P("dp", None, "sp", None, None)
+
+
+def rng_pspec() -> P:
+    return P()
 
 
 def to_named(tree, mesh: Mesh):

@@ -92,3 +92,58 @@ def test_initial_latent_prefix(gen):
     latents2, _ = gen.generate(noise, xattn, jax.random.key(2),
                                initial_latent=init * -1.0)
     assert np.abs(np.asarray(latents2[:, 1:]) - np.asarray(latents[:, 1:])).max() > 1e-6
+
+
+def test_i2v_cross_attention_branch():
+    """i2v models consume CLIP image tokens through a separate K/V branch."""
+    from inferix_tpu.models.wan.causal_dit import (
+        init_params, make_statics, dit_forward_inference,
+        precompute_crossattn_cache,
+    )
+    from inferix_tpu.kvcache.cache import init_kv_cache
+    from inferix_tpu.ops.rope import build_rope_tables
+
+    cfg = tiny_test_config()
+    cfg.model.model_type = "i2v"
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    assert "img_emb" in params
+    assert "k_img" in params["blocks"]["cross_attn"]
+
+    statics = make_statics(cfg.model, 1, 1, 8, 8, jnp.float32)
+    tables = build_rope_tables(cfg.model.head_dim, 64)
+    ctx = jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim))
+    clip_a = jax.random.normal(jax.random.key(1), (1, 257, 1280)) * 0.1
+    xattn_a = precompute_crossattn_cache(params, cfg.model, ctx, clip_a)
+    xattn_b = precompute_crossattn_cache(params, cfg.model, ctx, clip_a * -1)
+    assert xattn_a.k_img is not None
+
+    x = jax.random.normal(jax.random.key(2), (1, 1, 8, 8, 16))
+    t = jnp.zeros((1, 1))
+    out_a, _ = dit_forward_inference(params, statics, tables, x, t, xattn_a,
+                                     init_kv_cache(statics.spec), jnp.int32(0))
+    out_b, _ = dit_forward_inference(params, statics, tables, x, t, xattn_b,
+                                     init_kv_cache(statics.spec), jnp.int32(0))
+    # image conditioning must influence the output
+    assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-6
+
+
+def test_bidirectional_forward():
+    from inferix_tpu.models.wan.causal_dit import (
+        dit_forward_bidirectional, init_params, precompute_crossattn_cache,
+    )
+    from inferix_tpu.ops.rope import build_rope_tables
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    tables = build_rope_tables(cfg.model.head_dim, 64)
+    xattn = jax.jit(
+        lambda p, c: precompute_crossattn_cache(p, cfg.model, c)
+    )(params, jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim)))
+    x = jax.random.normal(jax.random.key(3), (1, 3, 8, 8, 16))
+    t = jnp.full((1, 3), 500.0)
+    flow = dit_forward_bidirectional(params, cfg.model, tables, x, t, xattn)
+    assert flow.shape == x.shape
+    # bidirectional: changing the LAST frame changes the FIRST frame's output
+    x2 = x.at[:, 2].multiply(-1.0)
+    flow2 = dit_forward_bidirectional(params, cfg.model, tables, x2, t, xattn)
+    assert np.abs(np.asarray(flow[:, 0]) - np.asarray(flow2[:, 0])).max() > 1e-6
