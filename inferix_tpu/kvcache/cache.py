@@ -109,16 +109,32 @@ def position_to_slot(spec: KVCacheSpec, pos: jax.Array) -> jax.Array:
 
 def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
                current_start: jax.Array) -> jax.Array:
-    """Write [B, n, ...] into [B, S, ...] at logical position current_start."""
+    """Write [B, n, ...] into [B, S, ...] at logical position current_start.
+
+    current_start may be a scalar (all batch slots at the same position) or
+    a [B] vector (continuous batching: each stream at its own block)."""
     n = new.shape[1]
     new = new.astype(cache.dtype)
+    start = jnp.asarray(current_start, jnp.int32)
+    if start.ndim == 1:
+        # per-slot positions: vmap the single-slot write over batch
+        def write_slot(c_b, new_b, st):
+            if not spec.ring:
+                idx = (st,) + tuple(jnp.zeros((), jnp.int32)
+                                    for _ in range(c_b.ndim - 1))
+                return jax.lax.dynamic_update_slice(c_b, new_b, idx)
+            pos = st + jnp.arange(n, dtype=jnp.int32)
+            slots = position_to_slot(spec, pos)
+            return c_b.at[slots].set(new_b)
+
+        return jax.vmap(write_slot)(cache, new, start)
     if not spec.ring:
         # Contiguous dynamic-update-slice in slot space (common path; the
         # pipeline guarantees current_start + n <= S when ring is off).
-        start = (jnp.zeros((), jnp.int32), current_start.astype(jnp.int32)) + \
+        idx = (jnp.zeros((), jnp.int32), start) + \
             tuple(jnp.zeros((), jnp.int32) for _ in range(cache.ndim - 2))
-        return jax.lax.dynamic_update_slice(cache, new, start)
-    pos = current_start.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+        return jax.lax.dynamic_update_slice(cache, new, idx)
+    pos = start + jnp.arange(n, dtype=jnp.int32)
     slots = position_to_slot(spec, pos)
     return cache.at[:, slots].set(new)
 
@@ -158,10 +174,14 @@ def write_block(
 def valid_mask(
     spec: KVCacheSpec, current_end: jax.Array
 ) -> jax.Array:
-    """[S] bool: which slots hold live tokens once positions [0, current_end)
-    have been written."""
+    """Which slots hold live tokens once positions [0, current_end) have been
+    written. current_end scalar -> [S]; [B] vector -> [B, S] (continuous
+    batching: each stream has its own live prefix)."""
     idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
-    return idx < jnp.minimum(current_end.astype(jnp.int32), spec.max_tokens)
+    end = jnp.asarray(current_end, jnp.int32)
+    if end.ndim == 1:
+        return idx[None, :] < jnp.minimum(end, spec.max_tokens)[:, None]
+    return idx < jnp.minimum(end, spec.max_tokens)
 
 
 class CrossAttnCache(NamedTuple):

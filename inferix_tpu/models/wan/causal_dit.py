@@ -417,11 +417,20 @@ def dit_forward_inference(
     tokens = patch_embed(params, cfg, x)        # [B, S, C]
     e, e0 = time_embeddings(params, cfg, t)     # fp32
 
+    # current_start: scalar (whole batch at one position) or [B]
+    # (continuous batching — each stream at its own block)
+    current_start = jnp.asarray(current_start, jnp.int32)
     start_frame = current_start // geo.frame_seq
-    angles = rope_angles(rope_tables, geo.frames, geo.grid_h, geo.grid_w,
-                         start_frame)
+    if current_start.ndim == 1:
+        angles = jax.vmap(
+            lambda s0: rope_angles(rope_tables, geo.frames, geo.grid_h,
+                                   geo.grid_w, s0)
+        )(start_frame)                           # [B, S, D//2]
+    else:
+        angles = rope_angles(rope_tables, geo.frames, geo.grid_h, geo.grid_w,
+                             start_frame)
     current_end = current_start + geo.tokens
-    kv_mask = valid_mask(spec, current_end)
+    kv_mask = valid_mask(spec, current_end)      # [S] or [B, S]
 
     # The full cache arrays ride the scan CARRY and each layer's slice is
     # updated with dynamic_update_index_in_dim — carry updates bufferize

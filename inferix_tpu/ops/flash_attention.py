@@ -34,7 +34,7 @@ LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(
-    # scalar prefetch: bounds [kv_start, kv_end)
+    # scalar prefetch: bounds [B, 2] = per-batch [kv_start, kv_end)
     bounds_ref,
     # inputs
     q_ref, k_ref, v_ref,
@@ -45,6 +45,7 @@ def _flash_kernel(
     *,
     kv_block: int,
     num_kv_blocks: int,
+    num_heads: int,
 ):
     """Softmax runs in the exp2 domain: the wrapper pre-multiplies q by
     scale*log2(e), so the kernel computes p = exp2(s - m) — saving the
@@ -53,8 +54,9 @@ def _flash_kernel(
     op count is the figure of merit; interior (fully valid) KV blocks skip
     the column masking entirely."""
     ki = pl.program_id(2)
-    kv_start = bounds_ref[0]
-    kv_len = bounds_ref[1]
+    batch = pl.program_id(0) // num_heads
+    kv_start = bounds_ref[batch, 0]
+    kv_len = bounds_ref[batch, 1]
 
     @pl.when(ki == 0)
     def _init():
@@ -161,10 +163,9 @@ def flash_attention_prefix(
     n_q = sq_p // q_block
     n_kv = skv_p // kv_block
 
-    bounds = jnp.stack([
-        jnp.asarray(kv_start, jnp.int32).reshape(()),
-        jnp.asarray(kv_len, jnp.int32).reshape(()),
-    ])
+    start_v = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32).reshape(-1), (b,))
+    len_v = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,))
+    bounds = jnp.stack([start_v, len_v], axis=1)  # [B, 2]
 
     # NOTE: index maps receive (grid indices..., scalar-prefetch refs) — grid
     # first, scalars last (kernel bodies receive scalars first).
@@ -174,9 +175,10 @@ def flash_attention_prefix(
     def kv_map(bhi, qi, ki, bounds_ref):
         # clamp dead blocks onto the valid range: Pallas skips the DMA when
         # the block index is unchanged between grid steps.
-        first_valid = bounds_ref[0] // kv_block
+        bb = bhi // h
+        first_valid = bounds_ref[bb, 0] // kv_block
         last_valid = jnp.maximum(
-            (bounds_ref[1] + kv_block - 1) // kv_block - 1, first_valid
+            (bounds_ref[bb, 1] + kv_block - 1) // kv_block - 1, first_valid
         )
         return (bhi, jnp.clip(ki, first_valid, last_valid), 0)
 
@@ -200,7 +202,7 @@ def flash_attention_prefix(
     )
 
     kernel = functools.partial(
-        _flash_kernel, kv_block=kv_block, num_kv_blocks=n_kv
+        _flash_kernel, kv_block=kv_block, num_kv_blocks=n_kv, num_heads=h
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -236,9 +238,10 @@ def flash_attention(
     skv = k.shape[1]
     if kv_mask is None:
         kv_len = jnp.int32(skv)
+    elif kv_mask.ndim == 2:
+        kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)  # [B] per-stream
     else:
-        m = kv_mask if kv_mask.ndim == 1 else kv_mask[0]
-        kv_len = jnp.sum(m.astype(jnp.int32))
+        kv_len = jnp.sum(kv_mask.astype(jnp.int32))
     return flash_attention_prefix(q, k, v, kv_len, scale=scale)
 
 
@@ -422,3 +425,218 @@ def flash_attention_prefix_quant(
     if return_lse:
         return out, lse[:, :sq, 0].reshape(b, h, sq)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full-int8 attention compute: Q is dynamically quantized per-(token, head)
+# and BOTH matmuls run on the int8 MXU path (2x bf16 throughput on v5e).
+# QK: s = (q_q . k_q)_i32 * q_scale_row * k_scale_col  (scales fold softmax
+# scale and the exp2-domain log2(e)); PV: p is folded with the v scales and
+# re-quantized per row to int8 with a fixed row scale.
+# The kernel-time budget is ~75% matmuls at bf16, so int8 compute is the
+# main lever past the ~114 TF/s bf16 plateau.
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_quant_i8(
+    kv_len_ref,
+    q_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *,
+    kv_block: int,
+    num_kv_blocks: int,
+):
+    ki = pl.program_id(2)
+    kv_len = kv_len_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    block_start = ki * kv_block
+
+    def _update(s):
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, :1])
+        l_new = l_prev * corr + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        # fold v scales into p, requantize per row to int8
+        p_v = p * vs_ref[0]                              # [q_blk, kv_blk]
+        row_max = jnp.maximum(
+            jnp.max(p_v, axis=-1, keepdims=True), 1e-20
+        )                                                # [q_blk, 1]
+        p_q = jnp.round(p_v * (127.0 / row_max)).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p_q, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (row_max / 127.0)
+        acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
+        m_ref[...] = m_new
+        l_ref[...] = l_new
+
+    def _logits():
+        s_i32 = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # qs folds softmax scale * log2(e); ks is the cache dequant scale
+        return s_i32.astype(jnp.float32) * qs_ref[0] * ks_ref[0]
+
+    interior = block_start + kv_block <= kv_len
+
+    @pl.when(interior)
+    def _compute_interior():
+        _update(_logits())
+
+    @pl.when(jnp.logical_not(interior) & (block_start < kv_len))
+    def _compute_boundary():
+        s = _logits()
+        col = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        _update(jnp.where(col < kv_len, s, NEG_INF))
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[...][:, :1]
+        denom = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        lse = (m_ref[...][:, :1] + jnp.log2(denom)) / LOG2E
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret"),
+)
+def flash_attention_prefix_quant_i8(
+    q: jax.Array,          # [B, Sq, H, D] bf16/f32 (quantized inside)
+    k_q: jax.Array,        # [B, Skv, H, D] int8
+    v_q: jax.Array,        # [B, Skv, H, D] int8
+    k_scale: jax.Array,    # [B, Skv, H] f32
+    v_scale: jax.Array,    # [B, Skv, H] f32
+    kv_len: jax.Array,
+    scale: Optional[float] = None,
+    q_block: int = 1024,
+    kv_block: int = 1024,
+    return_lse: bool = False,
+    interpret: bool = False,
+):
+    b, sq, h, d = q.shape
+    skv = k_q.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    q_block = min(q_block, -(-sq // 32) * 32)
+    kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
+
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    def bh_scale(s_):
+        return s_.transpose(0, 2, 1).reshape(b * h, 1, s_.shape[1])
+
+    # dynamic per-(token, head) int8 quantization of q (XLA; fuses upstream)
+    qf = q.astype(jnp.float32)
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8)
+    q_i8 = jnp.clip(jnp.round(qf * (127.0 / q_absmax)), -127, 127
+                    ).astype(jnp.int8)
+    # row scale folds dequant + softmax scale + exp2-domain log2(e)
+    q_row_scale = (q_absmax / 127.0) * (scale * LOG2E)      # [B, Sq, H, 1]
+
+    qb = _pad_to(bh(q_i8), 1, q_block)
+    qs = _pad_to(
+        q_row_scale[..., 0].transpose(0, 2, 1).reshape(b * h, sq, 1), 1,
+        q_block,
+    )
+    kb = _pad_to(bh(k_q), 1, kv_block)
+    vb = _pad_to(bh(v_q), 1, kv_block)
+    ksb = _pad_to(bh_scale(k_scale.astype(jnp.float32)), 2, kv_block)
+    vsb = _pad_to(bh_scale(v_scale.astype(jnp.float32)), 2, kv_block)
+    sq_p, skv_p = qb.shape[1], kb.shape[1]
+    n_q, n_kv = sq_p // q_block, skv_p // kv_block
+
+    kv_len_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def q_map(bhi, qi, ki, kv_len_ref):
+        return (bhi, qi, 0)
+
+    def kv_map(bhi, qi, ki, kv_len_ref):
+        last_valid = jnp.maximum(
+            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, jnp.minimum(ki, last_valid), 0)
+
+    def scale_map(bhi, qi, ki, kv_len_ref):
+        last_valid = jnp.maximum(
+            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, 0, jnp.minimum(ki, last_valid))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, q_block, 1), q_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, 1, kv_block), scale_map),
+            pl.BlockSpec((1, 1, kv_block), scale_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, q_block, 128), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, d), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+        ],
+    )
+
+    def kernel(kv_len_ref, q_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
+               o_ref, lse_ref, acc_ref, m_ref, l_ref):
+        # qs block arrives as [1, q_block, 1]; squeeze the leading axis
+        return _flash_kernel_quant_i8(
+            kv_len_ref,
+            q_ref, _QsView(qs_ref), k_ref, v_ref, ks_ref, vs_ref,
+            o_ref, lse_ref, acc_ref, m_ref, l_ref,
+            kv_block=kv_block, num_kv_blocks=n_kv,
+        )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=qb.size + kb.size + vb.size,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+    )(kv_len_arr, qb, qs, kb, vb, ksb, vsb)
+
+    out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:, :sq, 0].reshape(b, h, sq)
+    return out
+
+
+class _QsView:
+    """Adapter presenting a [1, q_block, 1] ref as [q_block, 1] reads."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        return self._ref[0]

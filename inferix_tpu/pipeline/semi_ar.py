@@ -190,7 +190,15 @@ def _denoise_block_impl(
     t_vals = jnp.asarray(steps, jnp.float32)                       # [n]
     t_nexts = jnp.asarray(list(steps[1:]) + [0.0], jnp.float32)    # [n]
     is_last = jnp.arange(n_steps) == n_steps - 1
-    step_rngs = jax.random.split(rng, n_steps)
+    # rng: one key (whole batch shares draws) or [B] keys — continuous
+    # batching needs PER-STREAM noise so a stream's trajectory does not
+    # depend on which batch slot it occupies.
+    per_slot = rng.ndim == 1
+    if per_slot:
+        step_rngs = jax.vmap(lambda k_: jax.random.split(k_, n_steps),
+                             out_axes=1)(rng)   # [n_steps, B]
+    else:
+        step_rngs = jax.random.split(rng, n_steps)
 
     def step(carry, xs):
         noisy_c, x0_c, cache_c = carry
@@ -201,7 +209,12 @@ def _denoise_block_impl(
             current_start,
         )
         x0 = schedule.flow_to_x0(flow, noisy_c, t)
-        fresh = jax.random.normal(srng, x0.shape, jnp.float32).astype(x0.dtype)
+        if per_slot:
+            fresh = jax.vmap(
+                lambda kk: jax.random.normal(kk, x0.shape[1:], jnp.float32)
+            )(srng).astype(x0.dtype)
+        else:
+            fresh = jax.random.normal(srng, x0.shape, jnp.float32).astype(x0.dtype)
         t_next_b = jnp.full((b, f), t_next, jnp.float32)
         renoised = schedule.add_noise(x0, fresh, t_next_b)
         noisy_next = jnp.where(last, x0, renoised)

@@ -94,3 +94,45 @@ def test_flash_quant_parity():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_flash_quant_i8_parity():
+    """Full-int8 attention compute vs dequantized f32 oracle."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant_i8
+
+    rng = np.random.default_rng(6)
+    b, sq, skv, h, d = 1, 32, 384, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    kv_len = 300
+    want, _ = attention_reference(q, k_deq, v_deq, jnp.arange(skv) < kv_len)
+    got = flash_attention_prefix_quant_i8(
+        q, k_q, v_q, k_s, v_s, jnp.int32(kv_len), interpret=True,
+        q_block=32, kv_block=128,
+    )
+    # int8 q + int8 p quantization add noise; attention outputs are O(1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.06, atol=0.06)
+
+
+def test_flash_per_batch_kv_len():
+    """Continuous batching: each batch slot has its own live prefix length."""
+    rng = np.random.default_rng(7)
+    b, sq, skv, h, d = 3, 16, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    lens = jnp.asarray([100, 512, 257], jnp.int32)
+    got = flash_attention_prefix(q, k, v, lens, interpret=True,
+                                 q_block=16, kv_block=128)
+    for i, L in enumerate([100, 512, 257]):
+        want, _ = attention_reference(q[i:i+1], k[i:i+1], v[i:i+1],
+                                      jnp.arange(skv) < L)
+        np.testing.assert_allclose(np.asarray(got[i:i+1]), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
