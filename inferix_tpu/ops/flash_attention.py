@@ -115,6 +115,18 @@ def _flash_kernel(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def _fit_block(size: int, max_block: int, align: int = 16) -> int:
+    """Largest block <= max_block (aligned) that minimizes padding: with
+    n = ceil(size/max_block) blocks, per-block = ceil(size/n) rounded up to
+    the alignment. E.g. Sq=4680: naive 1024-blocks pad 9.4%; this picks 944
+    (5 blocks, 0.9% padding)."""
+    if size <= align:
+        return align
+    n = -(-size // max_block)
+    per = -(-size // n)
+    return -(-per // align) * align
+
+
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % mult
@@ -146,7 +158,7 @@ def flash_attention_prefix(
     skv = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    q_block = min(q_block, -(-sq // 16) * 16)
+    q_block = _fit_block(sq, q_block)
     kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
 
     # [B, S, H, D] -> [B*H, S, D]

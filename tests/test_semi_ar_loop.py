@@ -147,3 +147,29 @@ def test_bidirectional_forward():
     x2 = x.at[:, 2].multiply(-1.0)
     flow2 = dit_forward_bidirectional(params, cfg.model, tables, x2, t, xattn)
     assert np.abs(np.asarray(flow[:, 0]) - np.asarray(flow2[:, 0])).max() > 1e-6
+
+
+def test_rolling_window_generation():
+    """local_attn_size != -1: generation past the window uses the ring cache
+    (sink frames pinned, oldest evicted) and stays finite/causal."""
+    cfg = tiny_test_config()
+    cfg.model.local_attn_size = 3   # 3-frame rolling window
+    cfg.model.sink_size = 1         # pin the first frame
+    cfg.model.max_attention_frames = 3
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    gen = SemiARGenerator(cfg, params, dtype=jnp.float32)
+    assert gen.statics.spec.ring
+    xattn = gen.encode_text_context(
+        jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim)))
+    noise = jax.random.normal(
+        jax.random.key(1),
+        (1, 6, cfg.runtime.latent_height, cfg.runtime.latent_width,
+         cfg.runtime.latent_channels), jnp.float32)
+    latents, cache = gen.generate(noise, xattn, jax.random.key(2))
+    assert latents.shape[1] == 6
+    assert np.isfinite(np.asarray(latents)).all()
+    # causality still holds across the window boundary
+    n2 = noise.at[:, 5].multiply(-1.0)
+    latents2, _ = gen.generate(n2, xattn, jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(latents[:, :5]),
+                                  np.asarray(latents2[:, :5]))
