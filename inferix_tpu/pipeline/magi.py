@@ -227,3 +227,50 @@ class MagiPipeline:
             velocity = v_uncond + (1.0 + text_scale) * (v_cond - v_uncond)
             velocity = jnp.concatenate([velocity, velocity], axis=0)
         return velocity, cache
+
+
+class MagiVideoPipeline(MagiPipeline):
+    """MAGI pipeline with per-chunk VAE decode (reference post_chunk_process,
+    `pipeline/magi/video_process.py:348-388`: each clean chunk is decoded —
+    optionally through tiled data-parallel processing — as it is yielded)."""
+
+    def __init__(self, *args, vae=None, tile: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vae = vae
+        self.tile = tile
+
+    def generate_video(
+        self,
+        caption_emb: jax.Array,
+        caption_mask: jax.Array,
+        chunk_num: int,
+        prefix_latents: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+        chunk_callback: Optional[callable] = None,
+    ) -> jax.Array:
+        """Generate + decode chunk-by-chunk; returns pixels [1, T, H, W, 3]."""
+        assert self.vae is not None, "MagiVideoPipeline needs a vae"
+        pixels = []
+        for idx, chunk in self.generate_chunks(
+            caption_emb, caption_mask, chunk_num, prefix_latents, rng
+        ):
+            if self.tile:
+                from ..parallel.tile_parallel import TileProcessor
+
+                tp = TileProcessor(
+                    fn=self.vae.decode,
+                    scale_t=self.vae.cfg.patch_length,
+                    scale_hw=self.vae.cfg.patch_size,
+                )
+                px = jnp.asarray(tp.process(
+                    chunk, tile_t=chunk.shape[1],
+                    tile_h=max(chunk.shape[2] // 2, 4),
+                    tile_w=max(chunk.shape[3] // 2, 4),
+                    overlap_h=2, overlap_w=2,
+                ))
+            else:
+                px = self.vae.decode(chunk)
+            pixels.append(px)
+            if chunk_callback is not None:
+                chunk_callback(px, idx)
+        return jnp.concatenate(pixels, axis=1)

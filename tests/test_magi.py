@@ -117,3 +117,28 @@ def test_magi_prefix_video():
     a = np.asarray(chunks[0][1])
     b = np.asarray(chunks2[0][1])
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_magi_video_pipeline_decodes_chunks():
+    from inferix_tpu.models.magi.vae import ViTVAE, tiny_vitvae_config
+    from inferix_tpu.pipeline.magi import MagiVideoPipeline
+
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=2, window_size=1, chunk_width=2)
+    vcfg = tiny_vitvae_config()
+    assert vcfg.z_chans == 4
+    # match DiT latent channels to the VAE z channels for the tiny setup
+    import dataclasses
+    mcfg = dataclasses.replace(mcfg, in_channels=4, out_channels=4)
+    vae = ViTVAE(vcfg, key=jax.random.key(1))
+    pipe = MagiVideoPipeline(mcfg, rt, latent_h=8, latent_w=8, max_chunks=4,
+                             dtype=jnp.float32, vae=vae)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    seen = []
+    video = pipe.generate_video(cap, cmask, chunk_num=2,
+                                chunk_callback=lambda px, i: seen.append(i))
+    # chunk_width 2 latent frames * patch_length 2 = 4 px frames per chunk
+    assert video.shape == (1, 8, 32, 32, 3)
+    assert seen == [0, 1]
+    assert np.isfinite(np.asarray(video)).all()
