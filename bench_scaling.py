@@ -1,0 +1,131 @@
+"""Scaling-efficiency benchmark: tokens/s across mesh configurations.
+
+BASELINE.md target: >=80% tokens/s scaling efficiency 1 chip -> 1 host ->
+2+ hosts. This harness runs the fully-sharded semi-AR denoise block over a
+(dp, sp, tp, pp) mesh and reports per-chip token throughput and efficiency
+vs the single-chip baseline.
+
+Usage:
+  python bench_scaling.py                 # all factorizations of the local
+                                          # device count (8 virtual on CPU)
+  MESH=dp2,sp2,tp2 python bench_scaling.py
+
+On this environment only one real TPU chip is attached, so TPU numbers are
+single-chip; the multi-device path runs on virtual CPU devices to validate
+the sharding + collective structure (wall-clock there is NOT a TPU
+prediction). On a real pod slice the same script measures true efficiency.
+
+Prints one JSON line per mesh config.
+"""
+import functools
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
+
+def run_mesh(pcfg, steps: int = 4):
+    from jax.sharding import NamedSharding
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.parallel.mesh import (
+        kv_cache_pspec, latent_pspec, make_mesh, param_pspecs, to_named,
+        xattn_cache_pspec,
+    )
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator, _denoise_block_impl
+
+    mesh = make_mesh(pcfg)
+    cfg = tiny_test_config()
+    cfg.model.num_heads = 4
+    cfg.model.num_frame_per_block = 2
+    cfg.runtime.latent_height = 16
+    cfg.runtime.latent_width = 16
+    cfg.runtime.batch_size = max(pcfg.dp, 1)
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    gen = SemiARGenerator(cfg, params, dtype=jnp.float32)
+    m, r = cfg.model, cfg.runtime
+
+    cache = gen.init_cache()
+    xattn = gen.encode_text_context(
+        jnp.zeros((r.batch_size, m.text_len, m.text_dim)))
+    noisy = jax.random.normal(
+        jax.random.key(1),
+        (r.batch_size, m.num_frame_per_block, r.latent_height,
+         r.latent_width, r.latent_channels), jnp.float32)
+
+    params = jax.device_put(params, to_named(param_pspecs(params), mesh))
+    cache = jax.device_put(cache, jax.tree.map(
+        lambda _: NamedSharding(mesh, kv_cache_pspec()), cache))
+    xattn = jax.device_put(xattn, jax.tree.map(
+        lambda _: NamedSharding(mesh, xattn_cache_pspec()), xattn))
+    noisy = jax.device_put(noisy, NamedSharding(mesh, latent_pspec()))
+
+    fn = jax.jit(functools.partial(
+        _denoise_block_impl, statics=gen.statics, steps=gen.denoising_steps,
+        context_noise=gen.context_noise), donate_argnames=("cache",))
+
+    with mesh:
+        x0, cache = fn(params, gen.rope_tables, gen.schedule, cache, xattn,
+                       noisy, jax.random.key(2), jnp.int32(0))
+        _sync(x0)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            x0, cache = fn(params, gen.rope_tables, gen.schedule, cache,
+                           xattn, noisy, jax.random.key(3), jnp.int32(0))
+        _sync(x0)
+        dt = (time.perf_counter() - t0) / steps
+
+    tokens = r.batch_size * m.num_frame_per_block * (r.latent_height // 2) \
+        * (r.latent_width // 2)
+    n_dev = pcfg.world_size
+    return {
+        "mesh": {"dp": pcfg.dp, "sp": pcfg.sp, "tp": pcfg.tp, "pp": pcfg.pp},
+        "devices": n_dev,
+        "block_ms": round(dt * 1e3, 2),
+        "tokens_per_s": round(tokens / dt, 1),
+        "tokens_per_s_per_device": round(tokens / dt / n_dev, 1),
+    }
+
+
+def main():
+    from inferix_tpu.core.config import ParallelConfig
+
+    n = len(jax.devices())
+    if os.environ.get("MESH"):
+        parts = dict(p.split("=") if "=" in p else (p[:2], p[2:])
+                     for p in os.environ["MESH"].split(","))
+        configs = [ParallelConfig(**{k: int(v) for k, v in parts.items()})]
+    elif n >= 8:
+        configs = [
+            ParallelConfig(dp=1, sp=1, tp=1),
+            ParallelConfig(dp=1, sp=1, tp=4),
+            ParallelConfig(dp=1, sp=4, tp=1),
+            ParallelConfig(dp=4, sp=1, tp=1),
+            ParallelConfig(dp=2, sp=2, tp=2),
+        ]
+    else:
+        configs = [ParallelConfig(dp=1, sp=1, tp=1)]
+
+    base = None
+    for pcfg in configs:
+        res = run_mesh(pcfg)
+        if base is None and res["devices"] == 1:
+            base = res["tokens_per_s"]
+        if base:
+            ideal = base * res["devices"]
+            res["scaling_efficiency"] = round(res["tokens_per_s"] / ideal, 3)
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

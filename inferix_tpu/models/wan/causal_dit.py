@@ -512,3 +512,92 @@ def dit_forward_bidirectional(
         params, statics, rope_tables, x, t, xattn, cache, jnp.int32(0)
     )
     return flow
+
+
+def dit_forward_block_causal(
+    params: Params,
+    cfg: ModelConfig,
+    rope_tables: RopeTables,
+    x: jax.Array,               # [B, F, H, W, C] full clip
+    t: jax.Array,               # [B, F]
+    xattn: CrossAttnCache,
+    frames_per_block: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Full-sequence block-causal forward (the reference's whole-sequence
+    training/teacher-forcing path, `causal_model.py:660-864` flex-attention
+    block masks + `_forward_train` :1028): every block attends to itself and
+    all earlier blocks. Expressed with the same cache machinery — blocks are
+    forwarded in order into a clip-sized cache inside one traced function, so
+    the mask IS the prefix-validity mask and no mask tensors exist."""
+    b, f = x.shape[0], x.shape[1]
+    assert f % frames_per_block == 0
+    n_blocks = f // frames_per_block
+
+    statics = make_statics(cfg, b, frames_per_block, x.shape[2], x.shape[3],
+                           dtype)
+    spec = KVCacheSpec(
+        num_layers=cfg.num_layers, batch=b,
+        max_tokens=f * statics.geo.frame_seq,
+        num_kv_heads=cfg.num_heads, head_dim=cfg.head_dim, dtype=dtype,
+    )
+    statics = DiTStatics(cfg=cfg, spec=spec, geo=statics.geo)
+    cache = init_kv_cache(spec)
+    flows = []
+    for bi in range(n_blocks):
+        sl = slice(bi * frames_per_block, (bi + 1) * frames_per_block)
+        flow, cache = dit_forward_inference(
+            params, statics, rope_tables, x[:, sl], t[:, sl], xattn, cache,
+            jnp.int32(bi * frames_per_block * statics.geo.frame_seq),
+        )
+        flows.append(flow)
+    return jnp.concatenate(flows, axis=1)
+
+
+def dit_forward_teacher_forcing(
+    params: Params,
+    cfg: ModelConfig,
+    rope_tables: RopeTables,
+    noisy: jax.Array,           # [B, F, H, W, C]
+    clean: jax.Array,           # [B, F, H, W, C] ground-truth context
+    t: jax.Array,               # [B, F] timesteps of the noisy blocks
+    xattn: CrossAttnCache,
+    frames_per_block: int,
+    context_noise: float = 0.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Teacher forcing (reference `_forward_train` with clean_x,
+    `causal_model.py:1028`): noisy block i attends to the CLEAN versions of
+    blocks < i plus itself. The clean prefix is written into the cache at
+    context noise level before each noisy block's forward."""
+    b, f = noisy.shape[0], noisy.shape[1]
+    assert f % frames_per_block == 0
+    n_blocks = f // frames_per_block
+
+    statics = make_statics(cfg, b, frames_per_block, noisy.shape[2],
+                           noisy.shape[3], dtype)
+    spec = KVCacheSpec(
+        num_layers=cfg.num_layers, batch=b,
+        max_tokens=f * statics.geo.frame_seq,
+        num_kv_heads=cfg.num_heads, head_dim=cfg.head_dim, dtype=dtype,
+    )
+    statics = DiTStatics(cfg=cfg, spec=spec, geo=statics.geo)
+    cache = init_kv_cache(spec)
+    t_ctx = jnp.full((b, frames_per_block), context_noise, jnp.float32)
+    flows = []
+    for bi in range(n_blocks):
+        sl = slice(bi * frames_per_block, (bi + 1) * frames_per_block)
+        start = jnp.int32(bi * frames_per_block * statics.geo.frame_seq)
+        # noisy block forward against the clean prefix (overwrites its own
+        # slots with noisy KV only for the duration of this step)
+        flow, _ = dit_forward_inference(
+            params, statics, rope_tables, noisy[:, sl], t[:, sl], xattn,
+            cache, start,
+        )
+        flows.append(flow)
+        # then persist the clean block's KV for subsequent blocks
+        _, cache = dit_forward_inference(
+            params, statics, rope_tables, clean[:, sl], t_ctx, xattn, cache,
+            start,
+        )
+    return jnp.concatenate(flows, axis=1)

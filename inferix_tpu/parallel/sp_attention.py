@@ -127,3 +127,60 @@ def ring_attention(
         out_specs=P(None, "sp", None, None),
         check_vma=False,
     )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Ring (pass-q): queries travel the ring while K/V stay resident — the
+# reference's `ring_attention_forward_pass_q` (`distributed.py:373-561`),
+# preferred when the KV (cache) is much larger than the query block, so the
+# bytes on the wire are O(q) instead of O(kv).
+# The (out, m, l) accumulator travels WITH the query; after sp hops the
+# query returns home fully attended.
+# ---------------------------------------------------------------------------
+
+def _ring_pass_q_body(q, k, v, axis_name: str):
+    sp = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    b, s_loc, h, d = q.shape
+
+    def step(carry, _):
+        q_cur, acc, m_run, l_run = carry
+        out_i, lse_i = attention_chunked(q_cur, k, v)
+        m_new = jnp.maximum(m_run, lse_i)
+        w_old = jnp.exp(m_run - m_new)
+        w_new = jnp.exp(lse_i - m_new)
+        acc = acc * w_old.transpose(0, 2, 1)[..., None] \
+            + out_i.astype(jnp.float32) * w_new.transpose(0, 2, 1)[..., None]
+        l_new = l_run * w_old + w_new
+        # rotate the query and its accumulator to the next rank
+        q_nxt = jax.lax.ppermute(q_cur, axis_name, perm)
+        acc = jax.lax.ppermute(acc, axis_name, perm)
+        m_new = jax.lax.ppermute(m_new, axis_name, perm)
+        l_new = jax.lax.ppermute(l_new, axis_name, perm)
+        return (q_nxt, acc, m_new, l_new), None
+
+    acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
+    m0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
+    (q_f, acc, m_f, l_f), _ = jax.lax.scan(
+        step, (q, acc0, m0, l0), None, length=sp
+    )
+    # after sp hops everything is back at the home rank
+    out = acc / jnp.maximum(l_f, 1e-30).transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+def ring_attention_pass_q(
+    mesh: Mesh,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+) -> jax.Array:
+    return jax.shard_map(
+        functools.partial(_ring_pass_q_body, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp", None, None),) * 3,
+        out_specs=P(None, "sp", None, None),
+        check_vma=False,
+    )(q, k, v)

@@ -173,3 +173,55 @@ def test_rolling_window_generation():
     latents2, _ = gen.generate(n2, xattn, jax.random.key(2))
     np.testing.assert_array_equal(np.asarray(latents[:, :5]),
                                   np.asarray(latents2[:, :5]))
+
+
+def test_block_causal_full_sequence():
+    from inferix_tpu.models.wan.causal_dit import (
+        dit_forward_block_causal, init_params, precompute_crossattn_cache,
+    )
+    from inferix_tpu.ops.rope import build_rope_tables
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    tables = build_rope_tables(cfg.model.head_dim, 64)
+    xattn = jax.jit(
+        lambda p, c: precompute_crossattn_cache(p, cfg.model, c)
+    )(params, jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim)))
+    x = jax.random.normal(jax.random.key(3), (1, 4, 8, 8, 16))
+    t = jnp.full((1, 4), 500.0)
+    flow = dit_forward_block_causal(params, cfg.model, tables, x, t, xattn,
+                                    frames_per_block=2)
+    assert flow.shape == x.shape
+    # block-causal: later blocks do NOT affect earlier blocks
+    x2 = x.at[:, 2:].multiply(-1.0)
+    flow2 = dit_forward_block_causal(params, cfg.model, tables, x2, t, xattn,
+                                     frames_per_block=2)
+    np.testing.assert_array_equal(np.asarray(flow[:, :2]),
+                                  np.asarray(flow2[:, :2]))
+    assert np.abs(np.asarray(flow[:, 2:]) - np.asarray(flow2[:, 2:])).max() > 0
+
+
+def test_teacher_forcing_uses_clean_context():
+    from inferix_tpu.models.wan.causal_dit import (
+        dit_forward_teacher_forcing, init_params, precompute_crossattn_cache,
+    )
+    from inferix_tpu.ops.rope import build_rope_tables
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    tables = build_rope_tables(cfg.model.head_dim, 64)
+    xattn = jax.jit(
+        lambda p, c: precompute_crossattn_cache(p, cfg.model, c)
+    )(params, jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim)))
+    noisy = jax.random.normal(jax.random.key(4), (1, 4, 8, 8, 16))
+    clean = jax.random.normal(jax.random.key(5), (1, 4, 8, 8, 16))
+    t = jnp.full((1, 4), 700.0)
+    a = dit_forward_teacher_forcing(params, cfg.model, tables, noisy, clean,
+                                    t, xattn, frames_per_block=2)
+    # block 1's prediction depends on block 0's CLEAN context...
+    b = dit_forward_teacher_forcing(params, cfg.model, tables, noisy,
+                                    clean.at[:, :2].multiply(-1.0), t, xattn,
+                                    frames_per_block=2)
+    assert np.abs(np.asarray(a[:, 2:]) - np.asarray(b[:, 2:])).max() > 1e-6
+    # ...but block 0's prediction is independent of the clean tensor
+    np.testing.assert_array_equal(np.asarray(a[:, :2]), np.asarray(b[:, :2]))

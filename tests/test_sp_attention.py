@@ -45,3 +45,13 @@ def test_ring_matches_reference(mesh):
     got = ring_attention(mesh, q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ring_pass_q_matches_reference(mesh):
+    from inferix_tpu.parallel.sp_attention import ring_attention_pass_q
+
+    q, k, v = _qkv(seed=3)
+    want, _ = attention_reference(q, k, v)
+    got = ring_attention_pass_q(mesh, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
