@@ -306,17 +306,29 @@ def magi_forward(
         k_layer, v_layer = write_block(spec, k_layer, v_layer, k, v,
                                        current_start)
 
-        # per-chunk attention over its kv span (GQA: repeat kv heads)
+        # per-chunk attention over its kv span. GQA: on TPU the grouped
+        # flash wrapper folds query-head groups into query rows (KV read
+        # once per group); the CPU fallback repeats KV heads.
+        use_pallas = jax.default_backend() == "tpu"
         outs = []
         rep = nh // nkv
         for ci in range(n_chunks):
             qi = q[:, ci * ct:(ci + 1) * ct]
-            kc = jnp.repeat(k_layer, rep, axis=2)
-            vc = jnp.repeat(v_layer, rep, axis=2)
             span = token_ranges[ci]
-            idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
-            mask = (idx >= span[0]) & (idx < jnp.minimum(span[1], current_end))
-            outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
+            if use_pallas:
+                from ...ops.flash_attention import flash_attention_gqa
+
+                outs.append(flash_attention_gqa(
+                    qi, k_layer, v_layer,
+                    kv_len=jnp.minimum(span[1], current_end),
+                    kv_start=span[0],
+                ))
+            else:
+                kc = jnp.repeat(k_layer, rep, axis=2)
+                vc = jnp.repeat(v_layer, rep, axis=2)
+                idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
+                mask = (idx >= span[0]) & (idx < jnp.minimum(span[1], current_end))
+                outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
         attn = jnp.concatenate(outs, axis=1).reshape(b, n_chunks * ct, nh * hd)
         h_x = h_x + gate(_linear(sa["o"], attn), gate_msa)
 

@@ -652,3 +652,32 @@ class _QsView:
 
     def __getitem__(self, idx):
         return self._ref[0]
+
+
+def flash_attention_gqa(
+    q: jax.Array,          # [B, Sq, Hq, D]
+    k: jax.Array,          # [B, Skv, Hkv, D] with Hq % Hkv == 0
+    v: jax.Array,
+    kv_len: jax.Array,
+    kv_start: jax.Array | int = 0,
+    scale: Optional[float] = None,
+    **kwargs,
+):
+    """Grouped-query attention without materializing repeated KV heads:
+    the `rep = Hq/Hkv` query heads of a group are FOLDED INTO THE QUERY ROWS
+    of their shared KV head — [B, Sq, Hq, D] -> [B, rep*Sq, Hkv, D] — so the
+    standard prefix kernel runs with Hkv programs over rep-times-taller query
+    blocks (better MXU utilization) and KV is read once per group instead of
+    once per query head (the jnp.repeat alternative copies KV rep times)."""
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    assert hq % hkv == 0, (hq, hkv)
+    rep = hq // hkv
+    if rep == 1:
+        return flash_attention_prefix(q, k, v, kv_len, kv_start, scale,
+                                      **kwargs)
+    qg = q.reshape(b, sq, hkv, rep, d).transpose(0, 3, 1, 2, 4)
+    qg = qg.reshape(b, rep * sq, hkv, d)
+    out = flash_attention_prefix(qg, k, v, kv_len, kv_start, scale, **kwargs)
+    out = out.reshape(b, rep, sq, hkv, d).transpose(0, 2, 3, 1, 4)
+    return out.reshape(b, sq, hq, d)

@@ -136,3 +136,20 @@ def test_flash_per_batch_kv_len():
                                       jnp.arange(skv) < L)
         np.testing.assert_allclose(np.asarray(got[i:i+1]), np.asarray(want),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_flash_gqa_matches_repeated_kv():
+    from inferix_tpu.ops.flash_attention import flash_attention_gqa
+
+    rng = np.random.default_rng(8)
+    b, sq, skv, hq, hkv, d = 1, 16, 256, 6, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    want, _ = attention_reference(q, jnp.repeat(k, 3, axis=2),
+                                  jnp.repeat(v, 3, axis=2),
+                                  jnp.arange(skv) < 200)
+    got = flash_attention_gqa(q, k, v, jnp.int32(200), interpret=True,
+                              q_block=16, kv_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
