@@ -35,6 +35,7 @@ def _sync(x) -> None:
 
 
 def run_config(cfg, params, dtype):
+    """Returns (frames_per_s, time_to_first_block_s)."""
     from inferix_tpu.pipeline.semi_ar import SemiARGenerator
 
     m, r = cfg.model, cfg.runtime
@@ -54,6 +55,13 @@ def run_config(cfg, params, dtype):
     x0, cache = gen.denoise_block(cache, xattn, noise_block, rng, 0)
     _sync(x0)
 
+    # time-to-first-block (post-compile request start -> first block ready)
+    cache = gen.init_cache()
+    t0 = time.perf_counter()
+    x0, cache = gen.denoise_block(cache, xattn, noise_block, rng, 0)
+    _sync(x0)
+    ttfb = time.perf_counter() - t0
+
     num_blocks = r.num_frames // fpb
     cache = gen.init_cache()
     start = time.perf_counter()
@@ -64,7 +72,7 @@ def run_config(cfg, params, dtype):
         frame += fpb
     _sync(x0)
     elapsed = time.perf_counter() - start
-    return (num_blocks * fpb * r.batch_size) / elapsed
+    return (num_blocks * fpb * r.batch_size) / elapsed, ttfb
 
 
 def main() -> None:
@@ -75,7 +83,7 @@ def main() -> None:
     cfg = EngineConfig()  # Wan 1.3B shapes, 21 frames, 3-frame blocks
     params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
 
-    bf16_fps = run_config(cfg, params, jnp.bfloat16)
+    bf16_fps, bf16_ttfb = run_config(cfg, params, jnp.bfloat16)
 
     qcfg = EngineConfig()
     qcfg.quant.enabled = True
@@ -83,7 +91,17 @@ def main() -> None:
     qcfg.quant.granularity = "per_channel"
     qcfg.quant.quantize_kv_cache = True
     qparams = quantize_params(params, qcfg.quant)
-    int8_fps = run_config(qcfg, qparams, jnp.bfloat16)
+    int8_fps, int8_ttfb = run_config(qcfg, qparams, jnp.bfloat16)
+
+    # serving throughput: 2 concurrent streams (continuous batching), int8 KV
+    # halves per-stream cache so both fit alongside the weights
+    q2cfg = EngineConfig()
+    q2cfg.quant.enabled = True
+    q2cfg.quant.dtype = "int8"
+    q2cfg.quant.granularity = "per_channel"
+    q2cfg.quant.quantize_kv_cache = True
+    q2cfg.runtime.batch_size = 2
+    int8_b2_fps, _ = run_config(q2cfg, qparams, jnp.bfloat16)
 
     print(json.dumps({
         "metric": "frames_per_s_per_chip_self_forcing_1p3b_w8a8",
@@ -92,6 +110,9 @@ def main() -> None:
         "vs_baseline": round(int8_fps / REFERENCE_FRAMES_PER_S, 3),
         "bf16_frames_per_s": round(bf16_fps, 3),
         "quant_speedup_vs_bf16": round(int8_fps / bf16_fps, 3),
+        "p50_time_to_first_block_s": round(int8_ttfb, 3),
+        "bf16_time_to_first_block_s": round(bf16_ttfb, 3),
+        "int8_batch2_total_frames_per_s": round(int8_b2_fps, 3),
     }))
 
 

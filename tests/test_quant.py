@@ -166,3 +166,43 @@ def test_quantized_kv_cache_e2e():
     rel = np.abs(q_np - ref_np).mean() / (np.abs(ref_np).mean() + 1e-8)
     assert rel < 0.15, f"int8-KV output drifted {rel:.3f}"
     assert qcache.k.dtype == jnp.int8
+
+
+def test_quant_quality_delta_harness():
+    """End-to-end quality-delta tracking: bf16 vs int8 videos through the
+    VDE metrics (the BASELINE <=0.5 VBench-delta harness, exercised at tiny
+    scale with random weights)."""
+    from inferix_tpu.eval.vde import quality_delta
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    vae = CausalVAE(VAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2),
+                              num_res_blocks=1,
+                              temperal_downsample=(True, True)),
+                    key=jax.random.key(9))
+
+    def gen_video(p):
+        g = SemiARGenerator(cfg, p, dtype=jnp.float32)
+        xattn = g.encode_text_context(
+            jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim)))
+        noise = jax.random.normal(
+            jax.random.key(1),
+            (1, 4, cfg.runtime.latent_height, cfg.runtime.latent_width,
+             cfg.runtime.latent_channels), jnp.float32)
+        lat, _ = g.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(vae.decode(lat)[0] * 0.5 + 0.5)
+
+    video_bf16 = gen_video(params)
+    qcfg = QuantConfig(enabled=True, dtype="int8", granularity="per_channel")
+    video_int8 = gen_video(quantize_params(params, qcfg))
+
+    deltas = quality_delta(video_bf16, video_int8, n_chunks=4,
+                           metrics=["motion", "dynamic",
+                                    "subject_consistency"])
+    assert all(np.isfinite(v) for v in deltas.values())
+    # int8 tracks bf16: relative metric drift bounded (random weights are the
+    # hardest case — real checkpoints track much tighter)
+    assert deltas["dynamic"] < 0.5, deltas
