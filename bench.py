@@ -94,7 +94,13 @@ def main() -> None:
     int8_fps, int8_ttfb = run_config(qcfg, qparams, jnp.bfloat16)
 
     # serving throughput: 2 concurrent streams (continuous batching), int8 KV
-    # halves per-stream cache so both fit alongside the weights
+    # halves per-stream cache so both fit alongside the weights. Drop the
+    # bf16 weights first — holding them alongside the B=2 working set
+    # exhausts the 16 GB chip.
+    import gc
+
+    del params
+    gc.collect()
     q2cfg = EngineConfig()
     q2cfg.quant.enabled = True
     q2cfg.quant.dtype = "int8"

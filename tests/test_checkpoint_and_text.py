@@ -141,3 +141,22 @@ def test_wan_text_encoder_with_stub_tokenizer():
     # padded positions zeroed
     assert float(jnp.abs(feats[1, 1:]).max()) == 0.0
     assert float(jnp.abs(feats[0, :2]).max()) > 0.0
+
+
+def test_clip_vision_tower():
+    from inferix_tpu.models.text.clip_vision import (
+        CLIPImageEncoder, CLIPVisionConfig, tiny_clip_config,
+    )
+
+    cfg = tiny_clip_config()
+    enc = CLIPImageEncoder(cfg, key=jax.random.key(0))
+    img = jax.random.normal(jax.random.key(1), (2, 32, 32, 3)) * 0.5
+    tokens = enc(img)
+    assert tokens.shape == (2, cfg.num_tokens, cfg.width)  # 1 + 4*4 = 17
+    assert np.isfinite(np.asarray(tokens)).all()
+    # full-size config yields the 257 tokens the i2v branch expects
+    assert CLIPVisionConfig().num_tokens == 257
+    assert CLIPVisionConfig().width == 1280
+    # different images -> different tokens; single image auto-batched
+    t2 = enc(img[0])
+    assert t2.shape[0] == 1
