@@ -93,3 +93,45 @@ def test_event_path_timer():
     spans = t.spans()
     assert "a->b" in spans and spans["a->b"] >= 0.01
     assert event_path_timer() is event_path_timer()
+
+
+def test_interactive_session_thread_safety():
+    """Hammer submit/pause/stop from threads while the worker evaluates
+    checkpoints — latest-wins must hold and no exceptions may escape
+    (the reference guards this with locks, session.py; here the same
+    contract is stress-tested)."""
+    import threading
+
+    from inferix_tpu.core.interactive import InteractiveSession
+    from inferix_tpu.core.types import GenerationCommand
+
+    session = InteractiveSession()
+    errors = []
+    stop_flag = threading.Event()
+
+    def submitter(i):
+        try:
+            for j in range(200):
+                session.submit_input(prompt=f"p{i}-{j}")
+                if j % 50 == 0:
+                    session.pause()
+                    session.resume()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=submitter, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    seen = []
+    for k in range(300):
+        res = session.evaluate_checkpoint("block", k)
+        if res.command == GenerationCommand.UPDATE_PROMPT:
+            seen.append(res.new_prompt)
+    for t in threads:
+        t.join()
+    assert not errors
+    # after all submitters finish, exactly one pending input can remain
+    final = session.evaluate_checkpoint("block", 9999)
+    post = session.evaluate_checkpoint("block", 10000)
+    assert post.command == GenerationCommand.CONTINUE
+    assert len(seen) > 0  # interleaved updates were observed
