@@ -174,9 +174,16 @@ def cache_attention(
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
 
-    if use_pallas:
+    # Small-KV attention (cross-attention over 512 text tokens) is cheaper as
+    # fused XLA ops than as a Pallas kernel launch (measured 0.58 vs 0.75 ms
+    # at kv=512): below this threshold the unfused logits fit comfortably and
+    # XLA fuses the softmax into the matmuls.
+    if use_pallas and k.shape[1] > 1024:
         from .flash_attention import flash_attention as pallas_flash
 
         return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale)
+    if use_pallas:
+        out, _ = attention_reference(q, k, v, kv_mask=kv_mask, scale=scale)
+        return out
     out, _ = attention_chunked(q, k, v, kv_mask=kv_mask, scale=scale)
     return out
