@@ -42,6 +42,11 @@ class ModelConfig:
     eps: float = 1e-6
     rope_max_seq_len: int = 1024
 
+    # Unroll the layer loop instead of lax.scan: static per-layer slices let
+    # XLA treat leading-axis slicing/updating of the KV cache as pointer
+    # arithmetic (no per-layer extract/write-back copies), at the cost of a
+    # ~30x larger graph and slower compiles. Perf experiment flag.
+    unroll_layers: bool = False
     # Semi-AR structure
     num_frame_per_block: int = 3
     independent_first_frame: bool = False

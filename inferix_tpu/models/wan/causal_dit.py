@@ -466,12 +466,32 @@ def dit_forward_inference(
         )
         return (h, caches), None
 
-    if has_img:
-        xs = (params["blocks"], xattn.k, xattn.v, xattn.k_img, xattn.v_img,
-              layer_ids)
+    if cfg.unroll_layers:
+        # static per-layer indices: XLA lowers leading-axis slice/update to
+        # pointer arithmetic + in-place DUS (no 2x93MB copies per layer)
+        h = tokens
+        caches = tuple(cache_fields)
+        for lid in range(cfg.num_layers):
+            block = jax.tree.map(lambda a: a[lid], params["blocks"])
+            img = ((xattn.k_img[lid], xattn.v_img[lid]) if has_img else None)
+            layer_cache = tuple(c[lid] for c in caches)
+            h, new_layer_cache = block_forward(
+                block, cfg, spec, h, e0, angles, layer_cache,
+                xattn.k[lid], xattn.v[lid], img, current_start, kv_mask,
+            )
+            caches = tuple(
+                c.at[lid].set(nc.astype(c.dtype))
+                for c, nc in zip(caches, new_layer_cache)
+            )
+        new_fields = caches
     else:
-        xs = (params["blocks"], xattn.k, xattn.v, layer_ids)
-    (h, new_fields), _ = jax.lax.scan(layer, (tokens, tuple(cache_fields)), xs)
+        if has_img:
+            xs = (params["blocks"], xattn.k, xattn.v, xattn.k_img,
+                  xattn.v_img, layer_ids)
+        else:
+            xs = (params["blocks"], xattn.k, xattn.v, layer_ids)
+        (h, new_fields), _ = jax.lax.scan(
+            layer, (tokens, tuple(cache_fields)), xs)
 
     out = head_forward(params, cfg, h, e)
     flow = unpatchify(out, cfg, geo)

@@ -225,3 +225,23 @@ def test_teacher_forcing_uses_clean_context():
     assert np.abs(np.asarray(a[:, 2:]) - np.asarray(b[:, 2:])).max() > 1e-6
     # ...but block 0's prediction is independent of the clean tensor
     np.testing.assert_array_equal(np.asarray(a[:, :2]), np.asarray(b[:, :2]))
+
+
+def test_unroll_layers_matches_scan():
+    """The unrolled layer loop computes exactly the same function."""
+    cfg_a = tiny_test_config()
+    cfg_b = tiny_test_config()
+    cfg_b.model.unroll_layers = True
+    params = init_params(jax.random.key(0), cfg_a.model, dtype=jnp.float32)
+    noise = jax.random.normal(
+        jax.random.key(1),
+        (1, 2, cfg_a.runtime.latent_height, cfg_a.runtime.latent_width,
+         cfg_a.runtime.latent_channels), jnp.float32)
+    outs = []
+    for cfg in (cfg_a, cfg_b):
+        g = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        xattn = g.encode_text_context(
+            jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim)))
+        lat, _ = g.generate(noise, xattn, jax.random.key(2))
+        outs.append(np.asarray(lat))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-5)

@@ -61,3 +61,41 @@ def test_encode_uses_temporal_context(vae):
     l2 = np.asarray(vae.encode(v2))
     # second latent frame depends on frame 0 via causal convs
     assert np.abs(l1[:, 1] - l2[:, 1]).max() > 0
+
+
+def test_causal_conv_chunked_matches_torch_full_sequence():
+    """The streaming conv-cache mechanism vs ground truth: chunked causal
+    conv with carried state must equal a torch Conv3d over the full sequence
+    with causal (left) zero padding — the reference CausalConv3d semantics
+    (`wan_base/vae.py:16-36`)."""
+    import torch
+
+    from inferix_tpu.models.wan.vae import _CacheCtx, causal_conv3d
+
+    rng = np.random.default_rng(0)
+    cin, cout, t, h, w = 3, 5, 9, 6, 6
+    wgt = rng.standard_normal((2, 3, 3, cin, cout)).astype(np.float32) * 0.2
+    bias = rng.standard_normal(cout).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, t, h, w, cin)).astype(np.float32)
+
+    # torch ground truth: causal pad (kt-1)=1 front, spatial same
+    conv = torch.nn.Conv3d(cin, cout, (2, 3, 3), padding=(0, 1, 1))
+    conv.weight.data = torch.from_numpy(wgt.transpose(4, 3, 0, 1, 2).copy())
+    conv.bias.data = torch.from_numpy(bias)
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3).copy())
+    xt = torch.nn.functional.pad(xt, (0, 0, 0, 0, 1, 0))  # temporal causal
+    want = conv(xt).detach().numpy().transpose(0, 2, 3, 4, 1)
+
+    p = {"w": jnp.asarray(wgt), "b": jnp.asarray(bias)}
+    # chunked: [2, 3, 4] frames with carried cache
+    outs = []
+    cache = None
+    pos = 0
+    for n in (2, 3, 4):
+        ctx = _CacheCtx(cache, first=(pos == 0))
+        y = causal_conv3d(p, jnp.asarray(x[:, pos:pos + n]), ctx)
+        cache = ctx.cache
+        outs.append(np.asarray(y))
+        pos += n
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
