@@ -132,3 +132,39 @@ class KVCacheManager:
             return 0
         return sum(x.size * x.dtype.itemsize
                    for x in jax.tree.leaves(self._cache))
+
+
+    # -- reference API-surface parity ---------------------------------------
+    # (`inferix/kvcache_manager/kvcache_manager.py:113-221`)
+
+    def free_layer(self, layer_idx: int) -> None:
+        """Zero one layer's cache across all slots (the reference's
+        layer-by-layer free-before-VAE)."""
+        if self._cache is None:
+            return
+        self._cache = jax.tree.map(
+            lambda x: x.at[layer_idx].set(jnp.zeros_like(x[layer_idx])),
+            self._cache,
+        )
+
+    def get_range(self, request: KVCacheRequest, layer_idx: int,
+                  start: int, length: int):
+        """Read a token range of one request's cache at one layer:
+        (k, v) with shape [length, H, D]."""
+        slot = self.slot_of(request)
+        c = self.cache
+        return (c.k[layer_idx, slot, start:start + length],
+                c.v[layer_idx, slot, start:start + length])
+
+    def set_range(self, request: KVCacheRequest, layer_idx: int,
+                  start: int, k_data, v_data) -> None:
+        """Partial write into one request's cache (reference `set`)."""
+        slot = self.slot_of(request)
+        c = self.cache
+        n = k_data.shape[0]
+        self._cache = c._replace(
+            k=c.k.at[layer_idx, slot, start:start + n].set(
+                k_data.astype(c.k.dtype)),
+            v=c.v.at[layer_idx, slot, start:start + n].set(
+                v_data.astype(c.v.dtype)),
+        )

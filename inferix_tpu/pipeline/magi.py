@@ -274,3 +274,29 @@ class MagiVideoPipeline(MagiPipeline):
             if chunk_callback is not None:
                 chunk_callback(px, idx)
         return jnp.concatenate(pixels, axis=1)
+
+
+def magi_config_from_json(path: str):
+    """Load (MagiModelConfig, MagiRuntimeConfig) from a JSON file shaped like
+    `examples/configs/magi_4p5b.json` (mirroring the reference's
+    `MagiConfig.from_json`, `models/magi/config/magi_config.py:73`)."""
+    import json
+
+    from ..models.magi.dit import MagiModelConfig
+
+    with open(path) as f:
+        d = json.load(f)
+
+    def build(klass, sub):
+        fields = {f.name for f in dataclasses.fields(klass)}
+        kwargs = {}
+        for k, v in (sub or {}).items():
+            if k.startswith("_"):
+                continue
+            if k not in fields:
+                raise KeyError(f"unknown {klass.__name__} key {k!r}")
+            kwargs[k] = tuple(v) if isinstance(v, list) else v
+        return klass(**kwargs)
+
+    return (build(MagiModelConfig, d.get("model")),
+            build(MagiRuntimeConfig, d.get("runtime")))

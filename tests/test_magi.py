@@ -142,3 +142,11 @@ def test_magi_video_pipeline_decodes_chunks():
     assert video.shape == (1, 8, 32, 32, 3)
     assert seen == [0, 1]
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_magi_config_from_json():
+    from inferix_tpu.pipeline.magi import magi_config_from_json
+
+    mcfg, rt = magi_config_from_json("examples/configs/magi_4p5b.json")
+    assert mcfg.num_layers == 34 and mcfg.num_query_groups == 8
+    assert rt.num_steps == 64 and rt.noise2clean_kvrange == (5, 4, 3, 2)

@@ -163,3 +163,46 @@ def test_causvid_rollouts(pipe):
     assert segs[1].shape[1] == 13
     for s in segs:
         assert np.isfinite(np.asarray(s)).all()
+
+
+def test_kv_manager_layer_and_range_api():
+    cfg = tiny_test_config()
+    spec = make_kv_spec(cfg.model, batch=1, latent_h=8, latent_w=8,
+                        dtype=jnp.float32)
+    mgr = KVCacheManager(spec)
+    req = KVCacheRequest("r")
+    mgr.allocate_slots(req)
+    kd = jnp.ones((4, spec.num_kv_heads, spec.head_dim))
+    mgr.set_range(req, layer_idx=1, start=2, k_data=kd, v_data=kd * 2)
+    k, v = mgr.get_range(req, layer_idx=1, start=2, length=4)
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(kd))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(kd * 2))
+    mgr.free_layer(1)
+    k, _ = mgr.get_range(req, layer_idx=1, start=2, length=4)
+    assert float(jnp.abs(k).max()) == 0.0
+
+
+def test_profiler_report_files(tmp_path):
+    from inferix_tpu.profiling.profiler import InferixProfiler, ProfilingConfig
+
+    prof = InferixProfiler(ProfilingConfig(output_dir=str(tmp_path)))
+    prof.start_session("unit", tag="x")
+    with prof.stage("work"):
+        pass
+    prof.record_block_computation(0, 3, 12.5)
+    prof.sample_memory()
+    prof.end_session()
+    paths = prof.save_report(rank=0)
+    assert len(paths) == 2  # json + html
+    import json as _json
+
+    with open(paths[0]) as f:
+        data = _json.load(f)
+    assert data["summary"]["session"] == "unit"
+    assert data["blocks"][0]["time_ms"] == 12.5
+    assert "<html" in open(paths[1]).read()
+
+    from inferix_tpu.profiling.profiler import aggregate_reports
+
+    agg = aggregate_reports([paths[0], paths[0]])
+    assert agg["num_ranks"] == 2
