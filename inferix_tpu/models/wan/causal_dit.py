@@ -407,6 +407,10 @@ def dit_forward_inference(
     xattn: CrossAttnCache,      # [L, B, text_len, H, D] x2
     cache: KVCache,             # [L, B, Smax, H, D] x2
     current_start: jax.Array,   # scalar int32 token offset
+    persist_kv: bool = True,    # False: attend against the block's fresh KV
+                                # but do NOT write it back (denoise steps
+                                # rewrite it next step anyway — only the
+                                # context re-run must persist)
 ) -> Tuple[jax.Array, KVCache]:
     """One forward pass of the causal DiT over a block, updating the KV cache.
 
@@ -460,10 +464,12 @@ def dit_forward_inference(
             block, cfg, spec, h, e0, angles, layer_cache, xk, xv, img,
             current_start, kv_mask,
         )
-        caches = tuple(
-            jax.lax.dynamic_update_index_in_dim(c, nc.astype(c.dtype), lid, 0)
-            for c, nc in zip(caches, new_layer_cache)
-        )
+        if persist_kv:
+            caches = tuple(
+                jax.lax.dynamic_update_index_in_dim(c, nc.astype(c.dtype),
+                                                    lid, 0)
+                for c, nc in zip(caches, new_layer_cache)
+            )
         return (h, caches), None
 
     if cfg.unroll_layers:

@@ -147,8 +147,11 @@ def _cfg_block_impl(
     for i in range(num_steps):
         t = jnp.full((2 * b, f), float(solver.timesteps[i]), jnp.float32)
         pair = jnp.concatenate([latents, latents], axis=0)
+        # intermediate sampler steps need not persist their KV (each step
+        # rewrites it; the final t=0 re-run below persists clean context)
         flow, cache = dit_forward_inference(
-            params, statics, rope_tables, pair, t, xattn, cache, current_start
+            params, statics, rope_tables, pair, t, xattn, cache,
+            current_start, persist_kv=False,
         )
         flow_cond, flow_uncond = flow[:b], flow[b:]
         flow_g = flow_uncond + guidance * (flow_cond - flow_uncond)

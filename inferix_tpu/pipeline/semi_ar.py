@@ -204,9 +204,12 @@ def _denoise_block_impl(
         noisy_c, x0_c, cache_c = carry
         t_val, t_next, last, srng = xs
         t = jnp.full((b, f), t_val, jnp.float32)
+        # persist_kv=False: each denoise step's KV is overwritten by the next
+        # step (and finally by the clean context re-run), so the per-layer
+        # write-back into the carried cache is pure wasted HBM traffic
         flow, cache_c = dit_forward_inference(
             params, statics, rope_tables, noisy_c, t, xattn, cache_c,
-            current_start,
+            current_start, persist_kv=False,
         )
         x0 = schedule.flow_to_x0(flow, noisy_c, t)
         if per_slot:
