@@ -78,6 +78,7 @@ class AbstractInferencePipeline(abc.ABC):
         initial_latent: Optional[jax.Array],
         stream_callback: Optional[Callable],
         segment_index: int,
+        block_callback: Optional[Callable] = None,
     ) -> jax.Array:
         """Generate one segment of latents, optionally streaming decoded
         blocks through stream_callback. Returns the segment latents
@@ -147,8 +148,17 @@ class AbstractInferencePipeline(abc.ABC):
             if not session.wait_if_paused():
                 break
 
+            def block_checkpoint(block_latent, idx):
+                # block-granular stop (InputApplyPolicy.NEXT_BLOCK): pausing
+                # blocks here; a stop aborts the segment at this boundary
+                if not session.wait_if_paused():
+                    return False
+                session.update_progress(block=idx + 1)
+                return not session.is_stopped
+
             latents = self._generate_segment_with_streaming(
-                prompt, initial_latent, stream_callback, seg
+                prompt, initial_latent, stream_callback, seg,
+                block_callback=block_checkpoint,
             )
             segments.append(latents)
             session.update_progress(

@@ -127,7 +127,7 @@ class SelfForcingPipeline(AbstractInferencePipeline):
                 (time.perf_counter() - t0) * 1e3,
             )
             if block_callback is not None:
-                block_callback(block_latent, idx)
+                return block_callback(block_latent, idx)
 
         with self.profiler.stage("diffusion_generation"):
             latents, cache = self.generator.generate(
@@ -167,6 +167,7 @@ class SelfForcingPipeline(AbstractInferencePipeline):
         initial_latent: Optional[jax.Array],
         stream_callback: Optional[Callable],
         segment_index: int,
+        block_callback: Optional[Callable] = None,
     ) -> jax.Array:
         """One segment with per-block streaming decode (TRUE_STREAMING) or
         buffered decode after the segment (DEFERRED_DECODE)."""
@@ -179,8 +180,11 @@ class SelfForcingPipeline(AbstractInferencePipeline):
         decode_state = {"cache": None, "first": True}
 
         def stream_block(block_latent, idx):
+            ok = True
+            if block_callback is not None:
+                ok = block_callback(block_latent, idx)
             if stream_callback is None:
-                return
+                return ok
             if mode == StreamingMode.TRUE_STREAMING and self._vae is not None:
                 frames = []
                 for i in range(block_latent.shape[1]):
@@ -192,6 +196,7 @@ class SelfForcingPipeline(AbstractInferencePipeline):
                     frames.append(out)
                 pixels = jnp.clip(jnp.concatenate(frames, axis=1), -1, 1)
                 stream_callback(pixels * 0.5 + 0.5)
+            return ok
 
         latents = self.run_text_to_video(
             [prompt],

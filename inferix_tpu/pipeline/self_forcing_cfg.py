@@ -123,7 +123,8 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
         return jnp.concatenate(outputs, axis=1)
 
     def _generate_segment_with_streaming(self, prompt, initial_latent,
-                                         stream_callback, segment_index):
+                                         stream_callback, segment_index,
+                                         block_callback=None):
         return self.run_text_to_video([prompt])
 
 

@@ -158,7 +158,10 @@ class SemiARGenerator:
             outputs.append(x0)
             start_frame += fpb
             if block_callback is not None:
-                block_callback(x0, bi)
+                # a callback returning False aborts generation at this block
+                # boundary (interactive NEXT_BLOCK stop responsiveness)
+                if block_callback(x0, bi) is False:
+                    break
 
         return jnp.concatenate(outputs, axis=1), cache
 

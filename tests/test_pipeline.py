@@ -206,3 +206,23 @@ def test_profiler_report_files(tmp_path):
 
     agg = aggregate_reports([paths[0], paths[0]])
     assert agg["num_ranks"] == 2
+
+
+def test_block_level_stop(pipe):
+    """A stop issued mid-segment halts at the next BLOCK boundary (the
+    segment returns fewer frames), not just the next segment."""
+    session = InteractiveSession()
+    calls = {"n": 0}
+
+    real_stop = session.is_stopped
+
+    def stream_cb(px):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            session.stop()  # stop after the first streamed block
+
+    segs = pipe.run_interactive_generation(session, "p", num_segments=3,
+                                           stream_callback=stream_cb)
+    assert len(segs) == 1
+    # segment aborted early: fewer than the full 4 frames generated
+    assert segs[0].shape[1] < 4
