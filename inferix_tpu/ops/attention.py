@@ -162,9 +162,11 @@ def cache_attention(
 
             if kv_mask is None:
                 kv_len = jnp.int32(k.shape[1])
+            elif kv_mask.ndim == 2:
+                # per-stream prefix lengths (continuous batching)
+                kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)
             else:
-                m = kv_mask if kv_mask.ndim == 1 else kv_mask[0]
-                kv_len = jnp.sum(m.astype(jnp.int32))
+                kv_len = jnp.sum(kv_mask.astype(jnp.int32))
             return flash_attention_prefix_quant(
                 q, k, v, k_scale, v_scale, kv_len, scale=scale
             )

@@ -272,9 +272,10 @@ def _flash_kernel_quant(
     *,
     kv_block: int,
     num_kv_blocks: int,
+    num_heads: int,
 ):
     ki = pl.program_id(2)
-    kv_len = kv_len_ref[0]
+    kv_len = kv_len_ref[pl.program_id(0) // num_heads]
 
     @pl.when(ki == 0)
     def _init():
@@ -377,20 +378,25 @@ def flash_attention_prefix_quant(
     sq_p, skv_p = qb.shape[1], kb.shape[1]
     n_q, n_kv = sq_p // q_block, skv_p // kv_block
 
-    kv_len_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    # per-batch valid lengths (continuous batching: each stream has its own
+    # live prefix — a scalar kv_len would attend every stream over stream 0's
+    # context)
+    kv_len_arr = jnp.broadcast_to(
+        jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)
+    )
 
     def q_map(bhi, qi, ki, kv_len_ref):
         return (bhi, qi, 0)
 
     def kv_map(bhi, qi, ki, kv_len_ref):
         last_valid = jnp.maximum(
-            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
         )
         return (bhi, jnp.minimum(ki, last_valid), 0)
 
     def scale_map(bhi, qi, ki, kv_len_ref):
         last_valid = jnp.maximum(
-            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
         )
         return (bhi, 0, jnp.minimum(ki, last_valid))
 
@@ -416,7 +422,8 @@ def flash_attention_prefix_quant(
     )
 
     kernel = functools.partial(
-        _flash_kernel_quant, kv_block=kv_block, num_kv_blocks=n_kv
+        _flash_kernel_quant, kv_block=kv_block, num_kv_blocks=n_kv,
+        num_heads=h,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -457,9 +464,10 @@ def _flash_kernel_quant_i8(
     *,
     kv_block: int,
     num_kv_blocks: int,
+    num_heads: int,
 ):
     ki = pl.program_id(2)
-    kv_len = kv_len_ref[0]
+    kv_len = kv_len_ref[pl.program_id(0) // num_heads]
 
     @pl.when(ki == 0)
     def _init():
@@ -574,20 +582,22 @@ def flash_attention_prefix_quant_i8(
     sq_p, skv_p = qb.shape[1], kb.shape[1]
     n_q, n_kv = sq_p // q_block, skv_p // kv_block
 
-    kv_len_arr = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    kv_len_arr = jnp.broadcast_to(
+        jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)
+    )
 
     def q_map(bhi, qi, ki, kv_len_ref):
         return (bhi, qi, 0)
 
     def kv_map(bhi, qi, ki, kv_len_ref):
         last_valid = jnp.maximum(
-            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
         )
         return (bhi, jnp.minimum(ki, last_valid), 0)
 
     def scale_map(bhi, qi, ki, kv_len_ref):
         last_valid = jnp.maximum(
-            (kv_len_ref[0] + kv_block - 1) // kv_block - 1, 0
+            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
         )
         return (bhi, 0, jnp.minimum(ki, last_valid))
 
@@ -620,7 +630,7 @@ def flash_attention_prefix_quant_i8(
             kv_len_ref,
             q_ref, _QsView(qs_ref), k_ref, v_ref, ks_ref, vs_ref,
             o_ref, lse_ref, acc_ref, m_ref, l_ref,
-            kv_block=kv_block, num_kv_blocks=n_kv,
+            kv_block=kv_block, num_kv_blocks=n_kv, num_heads=h,
         )
 
     out, lse = pl.pallas_call(
@@ -676,8 +686,17 @@ def flash_attention_gqa(
     if rep == 1:
         return flash_attention_prefix(q, k, v, kv_len, kv_start, scale,
                                       **kwargs)
+    return_lse = kwargs.pop("return_lse", False)
     qg = q.reshape(b, sq, hkv, rep, d).transpose(0, 3, 1, 2, 4)
     qg = qg.reshape(b, rep * sq, hkv, d)
-    out = flash_attention_prefix(qg, k, v, kv_len, kv_start, scale, **kwargs)
+    res = flash_attention_prefix(qg, k, v, kv_len, kv_start, scale,
+                                 return_lse=return_lse, **kwargs)
+    out, lse = res if return_lse else (res, None)
     out = out.reshape(b, rep, sq, hkv, d).transpose(0, 2, 3, 1, 4)
-    return out.reshape(b, sq, hq, d)
+    out = out.reshape(b, sq, hq, d)
+    if return_lse:
+        # folded rows are rep-major: [B, hkv, rep*sq] -> [B, hkv, rep, sq]
+        # -> [B, Hq, Sq] with head hq = khead*rep + r (matching the q fold)
+        lse = lse.reshape(b, hkv, rep, sq).reshape(b, hq, sq)
+        return out, lse
+    return out

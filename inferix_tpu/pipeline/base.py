@@ -104,15 +104,21 @@ class AbstractInferencePipeline(abc.ABC):
                                     num_segments=num_segments)
         for seg in range(num_segments):
             prompt = prompts[seg % len(prompts)]
+            ninit = initial_latent.shape[1] if initial_latent is not None else 0
             with self.profiler.stage(f"segment_{seg}"):
                 latents = self._generate_segment_with_streaming(
                     prompt, initial_latent, stream_callback, seg
                 )
+            if overlap > 0:
+                initial_latent = latents[:, -overlap:]
+            # segments hold only NEWLY generated frames: generate() prepends
+            # the carried overlap prefix, which would otherwise be duplicated
+            # across concatenated segments (reference streams decoded blocks
+            # only, base_pipeline.py:605-607)
+            latents = latents[:, ninit:] if ninit else latents
             segments.append(latents)
             if segment_callback is not None:
                 segment_callback(latents, seg)
-            if overlap > 0:
-                initial_latent = latents[:, -overlap:]
         self.profiler.end_session()
         return segments
 
@@ -156,17 +162,18 @@ class AbstractInferencePipeline(abc.ABC):
                 session.update_progress(block=idx + 1)
                 return not session.is_stopped
 
+            ninit = initial_latent.shape[1] if initial_latent is not None else 0
             latents = self._generate_segment_with_streaming(
                 prompt, initial_latent, stream_callback, seg,
                 block_callback=block_checkpoint,
             )
-            segments.append(latents)
+            if overlap > 0:
+                initial_latent = latents[:, -overlap:]
+            segments.append(latents[:, ninit:] if ninit else latents)
             session.update_progress(
                 segment=seg + 1,
                 frames=sum(s.shape[1] for s in segments),
             )
-            if overlap > 0:
-                initial_latent = latents[:, -overlap:]
         session.status.is_stopped = session.is_stopped
         return segments
 

@@ -209,7 +209,11 @@ class SelfForcingPipeline(AbstractInferencePipeline):
 
         if mode == StreamingMode.DEFERRED_DECODE and stream_callback is not None \
                 and self._vae is not None:
-            video = self._decode_latent(self._vae, latents,
+            # stream only the NEW frames — the returned latents carry the
+            # overlap prefix, which the previous segment already streamed
+            ninit = (initial_latent.shape[1]
+                     if initial_latent is not None else 0)
+            video = self._decode_latent(self._vae, latents[:, ninit:],
                                         DecodeMode.AFTER_ALL)
             stream_callback(video)
         return latents

@@ -40,11 +40,13 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
     def __init__(self, config: Optional[EngineConfig] = None,
                  params: Optional[Params] = None,
                  num_sampling_steps: int = 50,
+                 text_encoder=None,
                  profiler: Optional[InferixProfiler] = None,
                  dtype=jnp.float32):
         cfg = config or EngineConfig()
         super().__init__(cfg, profiler)
         self._params = params
+        self._text_encoder = text_encoder
         self._dtype = dtype
         self.num_sampling_steps = num_sampling_steps
         self.solver = FlowDPMSolverMultistep.create(
@@ -76,12 +78,36 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
 
     def _encode_prompts_pair(self, prompts: List[str],
                              negative_prompts: Optional[List[str]]):
-        """Positive+negative text features -> one batched cross-attn cache."""
+        """Positive+negative text features -> one batched cross-attn cache.
+
+        Rows [0:B] hold the positive-prompt features, [B:2B] the
+        negative-prompt features (reference dual caches,
+        `CausalDiffusionInferencePipeline.py` positive+negative prompt
+        caches). Without a text encoder (tests, precomputed-embedding mode)
+        both halves are zeros — CFG degenerates to a no-op, so warn."""
         from ..models.wan.causal_dit import precompute_crossattn_cache
 
         m, r = self.config.model, self.config.runtime
         b = r.batch_size
-        feats = jnp.zeros((2 * b, m.text_len, m.text_dim), self._dtype)
+        if self._text_encoder is not None:
+            pos = self._text_encoder(prompts)
+            neg = self._text_encoder(
+                negative_prompts if negative_prompts
+                else [""] * len(prompts)
+            )
+            feats = jnp.concatenate(
+                [pos.astype(self._dtype), neg.astype(self._dtype)], axis=0
+            )
+        else:
+            import warnings
+
+            warnings.warn(
+                "CausalDiffusionPipeline has no text encoder: prompts are "
+                "ignored and CFG is a no-op (cond == uncond). Pass "
+                "text_encoder= to enable guidance.",
+                stacklevel=3,
+            )
+            feats = jnp.zeros((2 * b, m.text_len, m.text_dim), self._dtype)
         return jax.jit(
             functools.partial(precompute_crossattn_cache, cfg=m)
         )(self._params, context=feats)

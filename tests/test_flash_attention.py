@@ -153,3 +153,50 @@ def test_flash_gqa_matches_repeated_kv():
                               q_block=16, kv_block=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_flash_quant_per_batch_kv_len():
+    """Quantized-KV kernel honors PER-BATCH prefix lengths (continuous
+    batching + int8 KV cache: every stream must attend over its own live
+    prefix, not stream 0's)."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant
+
+    rng = np.random.default_rng(9)
+    b, sq, skv, h, d = 3, 16, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    lens = jnp.asarray([100, 512, 257], jnp.int32)
+    got = flash_attention_prefix_quant(
+        q, k_q, v_q, k_s, v_s, lens, interpret=True, q_block=16, kv_block=128,
+    )
+    for i, L in enumerate([100, 512, 257]):
+        want, _ = attention_reference(q[i:i+1], k_deq[i:i+1], v_deq[i:i+1],
+                                      jnp.arange(skv) < L)
+        np.testing.assert_allclose(np.asarray(got[i:i+1]), np.asarray(want),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_flash_gqa_return_lse():
+    """GQA wrapper unfolds the rep-folded LSE back to [B, Hq, Sq]."""
+    from inferix_tpu.ops.flash_attention import flash_attention_gqa
+
+    rng = np.random.default_rng(10)
+    b, sq, skv, hq, hkv, d = 1, 16, 256, 6, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    want, want_lse = attention_reference(q, jnp.repeat(k, 3, axis=2),
+                                         jnp.repeat(v, 3, axis=2),
+                                         jnp.arange(skv) < 200)
+    got, lse = flash_attention_gqa(q, k, v, jnp.int32(200), interpret=True,
+                                   q_block=16, kv_block=128, return_lse=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=1e-3, atol=1e-3)

@@ -72,13 +72,15 @@ def test_streaming_segments_with_overlap(pipe):
         stream_callback=lambda px: streamed.append(np.asarray(px)),
     )
     assert len(segments) == 3
-    # segment 0: 4 new frames; segments 1+: 1 overlap + 3 new
+    # segments hold only NEW frames (the carried overlap prefix is trimmed —
+    # concatenating segments must not duplicate frames): segment 0 generates
+    # 4 frames; segments 1+ carry 1 overlap frame and generate 3 new ones
     assert segments[0].shape[1] == 4
-    assert segments[1].shape[1] == 4
-    # overlap carry: first frame of segment i+1 == last frame of segment i
-    np.testing.assert_array_equal(
-        np.asarray(segments[0][:, -1]), np.asarray(segments[1][:, 0])
-    )
+    assert segments[1].shape[1] == 3
+    assert segments[2].shape[1] == 3
+    # overlap frames appear exactly once across the concatenated stream
+    full = np.asarray(jnp.concatenate(segments, axis=1))
+    assert full.shape[1] == 10
     # TRUE_STREAMING delivered pixel blocks
     assert len(streamed) > 0
     total_px = sum(s.shape[1] for s in streamed)
