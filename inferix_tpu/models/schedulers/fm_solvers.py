@@ -11,9 +11,14 @@ DPM-Solver++(2M) multistep update for the flow-matching parameterization
   1st order         x' = (s'/s)x - (1-s')(exp(-h)-1)D,      h = L' - L
   2nd order (2M)    D_bar = (1+1/2r)D - (1/2r)D_prev,       r = h_prev/h
 
-`FlowUniPCMultistep` applies the same predictor with the B(h)=h UniC-style
-correction — functionally the same family at order 2; both expose the
-set_timesteps/step API the CFG pipeline drives.
+`FlowUniPCMultistep` is the full UniPC predictor-corrector
+(`fm_solvers_unipc.py:350-628` multistep_uni_p_bh_update /
+multistep_uni_c_bh_update, B(h)=e^h-1 "bh2" variant, predict_x0): each step
+first CORRECTS the incoming sample using the fresh model output at x_t plus
+the multistep history (UniC), then PREDICTS x_{t-1} (UniP). Because the CFG
+loop drives steps with a static Python index, all scalar coefficients
+(lambdas, h, rks, rhos from the Vandermonde solve) are computed host-side in
+float64; only the tensor combinations are traced.
 """
 from __future__ import annotations
 
@@ -87,6 +92,162 @@ class FlowDPMSolverMultistep:
         return x_next.astype(sample.dtype), new_state
 
 
-class FlowUniPCMultistep(FlowDPMSolverMultistep):
-    """UniPC-flavored variant: same predictor family at order 2 (B(h)=h)."""
-    pass
+class UniPCState(NamedTuple):
+    """Multistep history for UniPC (functional).
+
+    m_hist holds the last `solver_order` converted model outputs (x0
+    predictions), newest last; entries older than the current step index are
+    zeros and never referenced (validity is static: step i has min(i+1,
+    order) real entries). last_sample is the pre-predictor sample of the
+    previous step (the corrector's x_{t-1})."""
+
+    m_hist: jax.Array      # [order, *sample_shape]
+    last_sample: jax.Array
+
+
+def _unipc_coeffs(hh: float, rks: np.ndarray, order: int, variant: str):
+    """Host-side UniPC B(h) coefficients (reference
+    fm_solvers_unipc.py:434-463): R Vandermonde in rks, b from the phi-k
+    recursion. Returns (R, b) float64."""
+    h_phi_1 = np.expm1(hh)
+    h_phi_k = h_phi_1 / hh - 1
+    b_h = hh if variant == "bh1" else np.expm1(hh)
+    R, b = [], []
+    factorial_i = 1.0
+    for i in range(1, order + 1):
+        R.append(np.power(rks, i - 1))
+        b.append(h_phi_k * factorial_i / b_h)
+        factorial_i *= i + 1
+        h_phi_k = h_phi_k / hh - 1 / factorial_i
+    return np.stack(R), np.asarray(b)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowUniPCMultistep:
+    """UniPC multistep predictor-corrector for flow matching.
+
+    Reference: `inferix/models/wan_base/utils/fm_solvers_unipc.py:77-739`
+    (FlowUniPCMultistepScheduler with the defaults the CFG pipeline uses:
+    solver_order=2, predict_x0=True, solver_type="bh2", lower_order_final=
+    True, final_sigmas_type="zero"). Same step API as
+    FlowDPMSolverMultistep so the CFG pipeline can select either.
+    """
+
+    sigmas: np.ndarray      # [N+1] descending, last = 0
+    timesteps: np.ndarray   # [N]
+    solver_order: int = 2
+    solver_type: str = "bh2"
+
+    @classmethod
+    def create(cls, num_steps: int, shift: float = 5.0,
+               solver_order: int = 2,
+               solver_type: str = "bh2") -> "FlowUniPCMultistep":
+        # reference set_timesteps: linspace over [sigma_max=1-1/1000, 0),
+        # shifted, with a final appended sigma of exactly 0
+        sigma_max = 1.0 - 1.0 / 1000.0
+        sigmas = np.linspace(sigma_max, 0.0, num_steps + 1)[:-1]
+        sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
+        timesteps = sigmas * 1000.0
+        sigmas = np.concatenate([sigmas, [0.0]])
+        return cls(sigmas=sigmas, timesteps=timesteps,
+                   solver_order=solver_order, solver_type=solver_type)
+
+    def init_state(self, sample_shape, dtype=jnp.float32) -> UniPCState:
+        return UniPCState(
+            m_hist=jnp.zeros((self.solver_order,) + tuple(sample_shape),
+                             dtype),
+            last_sample=jnp.zeros(sample_shape, dtype),
+        )
+
+    # -- static per-step scalar schedule --------------------------------------
+
+    def _lambda(self, i: int) -> float:
+        s = float(self.sigmas[i])
+        with np.errstate(divide="ignore"):
+            return float(np.log(1.0 - s) - np.log(s))
+
+    def _order_pred(self, i: int) -> int:
+        # lower_order_final + multistep warmup (reference step(), :712-722)
+        n = len(self.timesteps)
+        return max(1, min(self.solver_order, n - i, i + 1))
+
+    def step(self, flow_pred: jax.Array, step_index: int, sample: jax.Array,
+             state: UniPCState) -> Tuple[jax.Array, UniPCState]:
+        """UniC-then-UniP update at (static) step_index."""
+        i = int(step_index)
+        x = sample.astype(jnp.float32)
+        sigma_i = float(self.sigmas[i])
+        # convert_model_output (flow prediction, predict_x0): x0 = x - s*v
+        m_t = x - sigma_i * flow_pred.astype(jnp.float32)
+
+        hist = state.m_hist.astype(jnp.float32)
+
+        # ---- corrector (UniC) on the incoming sample ----
+        if i > 0:
+            c_order = self._order_pred(i - 1)
+            lam_t, lam_s0 = self._lambda(i), self._lambda(i - 1)
+            h = lam_t - lam_s0
+            rks, d1s = [], []
+            for j in range(1, c_order):
+                lam_sj = self._lambda(i - (j + 1))
+                rk = (lam_sj - lam_s0) / h
+                rks.append(rk)
+                mj = hist[-(j + 1)]
+                d1s.append((mj - hist[-1]) / rk)
+            rks.append(1.0)
+            hh = -h  # predict_x0
+            if c_order == 1:
+                rhos_c = np.asarray([0.5])
+            else:
+                R, b = _unipc_coeffs(hh, np.asarray(rks), c_order,
+                                     self.solver_type)
+                rhos_c = np.linalg.solve(R, b)
+            h_phi_1 = float(np.expm1(hh))
+            b_h = float(hh if self.solver_type == "bh1" else np.expm1(hh))
+            alpha_t = 1.0 - sigma_i
+            sigma_s0 = float(self.sigmas[i - 1])
+            x_t_ = (sigma_i / sigma_s0) * state.last_sample.astype(jnp.float32) \
+                - alpha_t * h_phi_1 * hist[-1]
+            corr_res = sum(float(rhos_c[j]) * d1s[j]
+                           for j in range(len(d1s))) if d1s else 0.0
+            d1_t = m_t - hist[-1]
+            x = x_t_ - alpha_t * b_h * (corr_res + float(rhos_c[-1]) * d1_t)
+
+        # ---- push history ----
+        hist = jnp.concatenate([hist[1:], m_t[None]], axis=0)
+
+        # ---- predictor (UniP) ----
+        p_order = self._order_pred(i)
+        sigma_next = float(self.sigmas[i + 1])
+        lam_next, lam_i = self._lambda(i + 1), self._lambda(i)
+        h = lam_next - lam_i
+        rks, d1s = [], []
+        for j in range(1, p_order):
+            lam_sj = self._lambda(i - j)
+            rk = (lam_sj - lam_i) / h
+            rks.append(rk)
+            mj = hist[-(j + 1)]
+            d1s.append((mj - hist[-1]) / rk)
+        hh = -h
+        h_phi_1 = float(np.expm1(hh))
+        b_h = float(hh if self.solver_type == "bh1" else np.expm1(hh))
+        alpha_next = 1.0 - sigma_next
+        if d1s:
+            if p_order == 2:
+                rhos_p = np.asarray([0.5])
+            else:
+                rks_full = np.asarray(rks + [1.0])
+                R, b = _unipc_coeffs(hh, rks_full, p_order, self.solver_type)
+                rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
+            pred_res = sum(float(rhos_p[j]) * d1s[j] for j in range(len(d1s)))
+        else:
+            pred_res = 0.0
+        ratio = (sigma_next / sigma_i) if sigma_i > 0 else 0.0
+        x_next = ratio * x - alpha_next * h_phi_1 * hist[-1] \
+            - alpha_next * b_h * pred_res
+
+        new_state = UniPCState(
+            m_hist=hist.astype(state.m_hist.dtype),
+            last_sample=x.astype(state.last_sample.dtype),
+        )
+        return x_next.astype(sample.dtype), new_state

@@ -22,7 +22,10 @@ import jax.numpy as jnp
 
 from ..core.config import EngineConfig
 from ..kvcache.cache import CrossAttnCache, KVCache, KVCacheSpec, init_kv_cache
-from ..models.schedulers.fm_solvers import FlowDPMSolverMultistep
+from ..models.schedulers.fm_solvers import (
+    FlowDPMSolverMultistep,
+    FlowUniPCMultistep,
+)
 from ..models.wan.causal_dit import (
     Params,
     dit_forward_inference,
@@ -40,6 +43,7 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
     def __init__(self, config: Optional[EngineConfig] = None,
                  params: Optional[Params] = None,
                  num_sampling_steps: int = 50,
+                 sample_solver: str = "unipc",
                  text_encoder=None,
                  profiler: Optional[InferixProfiler] = None,
                  dtype=jnp.float32):
@@ -49,9 +53,18 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
         self._text_encoder = text_encoder
         self._dtype = dtype
         self.num_sampling_steps = num_sampling_steps
-        self.solver = FlowDPMSolverMultistep.create(
-            num_sampling_steps, shift=cfg.runtime.timestep_shift
-        )
+        # reference default is 'unipc'
+        # (CausalDiffusionInferencePipeline.py:34,365-374)
+        if sample_solver == "unipc":
+            self.solver = FlowUniPCMultistep.create(
+                num_sampling_steps, shift=cfg.runtime.timestep_shift
+            )
+        elif sample_solver in ("dpm++", "dpm"):
+            self.solver = FlowDPMSolverMultistep.create(
+                num_sampling_steps, shift=cfg.runtime.timestep_shift
+            )
+        else:
+            raise ValueError(f"unknown sample_solver {sample_solver!r}")
 
     def _initialize_pipeline(self) -> None:
         cfg = self.config
@@ -164,7 +177,7 @@ def _cfg_block_impl(
     guidance: jax.Array,
     *,
     statics,
-    solver: FlowDPMSolverMultistep,
+    solver,
     num_steps: int,
 ):
     b, f = noisy.shape[0], noisy.shape[1]
