@@ -310,6 +310,8 @@ def block_forward(
     xattn_img: Optional[tuple],  # (k_img, v_img) for i2v, else None
     current_start: jax.Array,  # scalar int32, token offset of this block
     kv_mask: jax.Array,        # [Smax] bool — valid cache slots after write
+    mesh=None,                 # sp>1: shard_map distributed attention
+    sp_mode: str = "none",
 ) -> Tuple[jax.Array, tuple]:
     b, s, c = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -328,11 +330,17 @@ def block_forward(
     q = apply_rope(q.reshape(b, s, nh, hd), angles)
     k = apply_rope(k.reshape(b, s, nh, hd), angles)
 
+    use_sp = (mesh is not None and sp_mode != "none"
+              and mesh.shape.get("sp", 1) > 1)
     if spec.quantized:
         k_c, v_c, ks_c, vs_c = write_block(
             spec, layer_cache[0], layer_cache[1], k, v, current_start,
             layer_cache[2], layer_cache[3],
         )
+        if use_sp:
+            raise NotImplementedError(
+                "sp attention modes require a bf16 KV cache "
+                "(set quantize_kv_cache=False with sp>1)")
         attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
                                k_scale=ks_c, v_scale=vs_c)
         new_cache = (k_c, v_c, ks_c, vs_c)
@@ -340,7 +348,12 @@ def block_forward(
         k_c, v_c = write_block(
             spec, layer_cache[0], layer_cache[1], k, v, current_start
         )
-        attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask)
+        if use_sp:
+            from ...parallel.distributed_attention import sp_cache_attention
+
+            attn = sp_cache_attention(mesh, sp_mode, q, k_c, v_c, kv_mask)
+        else:
+            attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask)
         new_cache = (k_c, v_c)
     y = linear(sa["o"], attn.reshape(b, s, c))
     x = x + _gate(y, gate_msa, frames)
@@ -381,20 +394,31 @@ def head_forward(params: Params, cfg: ModelConfig, x: jax.Array,
 # ---------------------------------------------------------------------------
 
 class DiTStatics(NamedTuple):
-    """Host-side constants bundled for the forward pass."""
+    """Host-side constants bundled for the forward pass.
+
+    mesh + sp_mode select the in-forward distributed attention path
+    (`parallel/distributed_attention.py` — the reference's CoreAttention CP
+    path): when the mesh's sp axis > 1, self-attention over the cache runs
+    as a shard_map island (ulysses a2a or ring pass-q) instead of the local
+    kernel."""
 
     cfg: ModelConfig
     spec: KVCacheSpec
     geo: DiTGeometry
+    mesh: Optional[Any] = None
+    sp_mode: str = "none"
 
 
 def make_statics(cfg: ModelConfig, batch: int, frames: int, latent_h: int,
                  latent_w: int, dtype=jnp.bfloat16,
-                 quantized_kv: bool = False) -> DiTStatics:
+                 quantized_kv: bool = False, mesh=None,
+                 sp_mode: str = "none") -> DiTStatics:
     return DiTStatics(
         cfg=cfg,
         spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype, quantized_kv),
         geo=DiTGeometry(frames, latent_h, latent_w, cfg.patch_size),
+        mesh=mesh,
+        sp_mode=sp_mode,
     )
 
 
@@ -462,7 +486,8 @@ def dit_forward_inference(
         )
         h, new_layer_cache = block_forward(
             block, cfg, spec, h, e0, angles, layer_cache, xk, xv, img,
-            current_start, kv_mask,
+            current_start, kv_mask, mesh=statics.mesh,
+            sp_mode=statics.sp_mode,
         )
         if persist_kv:
             caches = tuple(
@@ -484,6 +509,7 @@ def dit_forward_inference(
             h, new_layer_cache = block_forward(
                 block, cfg, spec, h, e0, angles, layer_cache,
                 xattn.k[lid], xattn.v[lid], img, current_start, kv_mask,
+                mesh=statics.mesh, sp_mode=statics.sp_mode,
             )
             caches = tuple(
                 c.at[lid].set(nc.astype(c.dtype))

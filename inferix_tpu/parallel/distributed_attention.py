@@ -1,0 +1,212 @@
+"""Distributed cached self-attention INSIDE the model forward.
+
+This is the production sequence-parallel path the reference runs inside
+`CausalWanSelfAttention` when CP > 1 (`inferix/models/attention/
+distributed.py:134-712` CoreAttention: Ulysses SeqAllToAll4D head<->sequence
+exchange, KV-cache-aware ring attention pass-q with prefix-causal gating at
+`:199-208,442-449`), re-designed for a JAX mesh:
+
+* `ulysses_cache_attention` — block tokens are sharded over `sp`; one
+  all-to-all turns the token shard into a head shard (every device sees ALL
+  query tokens for H/(sp*tp) heads), the device attends over the full cached
+  prefix + own block for its head group with the normal prefix kernel, and a
+  second all-to-all restores token sharding. The KV cache stays head-sharded
+  over (tp, sp) — each device only ever touches its own heads' cache, which
+  is the TPU analog of the reference allocating `num_kv_heads //
+  ulysses_size` per rank (`self_forcing_kv_cache_manager.py:45-50`).
+* `ring_pass_q_cache_attention` — the cache stays token-sharded over `sp`
+  (the reference's `seq // ring_size` split); queries + their online-softmax
+  accumulators (out, m, l) rotate around the ring with `ppermute`, attending
+  to each device's cache slice. The prefix validity mask plays the role of
+  the reference's prefix-causal gating: remote slices expose exactly the
+  cached tokens (`distributed.py:442-449`).
+
+Both run as `shard_map` islands inside the jitted forward — everything else
+(linears, norms) remains GSPMD-sharded. The local per-shard attention uses
+the same Pallas flash kernel as the single-device path on TPU and the
+chunked XLA fallback on CPU meshes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.attention import attention_chunked
+
+
+def _local_attn_lse(q, k, v, kv_mask):
+    """Per-shard attention returning (out, lse [B, H, Sq])."""
+    if jax.default_backend() == "tpu" and k.shape[1] > 1024:
+        from ..ops.flash_attention import flash_attention_prefix
+
+        if kv_mask is None:
+            kv_len = jnp.int32(k.shape[1])
+        elif kv_mask.ndim == 2:
+            kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)
+        else:
+            kv_len = jnp.sum(kv_mask.astype(jnp.int32))
+        return flash_attention_prefix(q, k, v, kv_len, return_lse=True)
+    return attention_chunked(q, k, v, kv_mask)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses: head <-> sequence all-to-all around a full-prefix local attention
+# ---------------------------------------------------------------------------
+
+def _ulysses_body(q, k, v, kv_mask):
+    # q: [B, S/sp, H_loc, D] (token shard); k/v: [B, Smax, H_loc/sp, D]
+    # (head shard of the cache). a2a over sp: scatter heads, gather tokens.
+    qg = jax.lax.all_to_all(q, "sp", split_axis=2, concat_axis=1, tiled=True)
+    out, _ = _local_attn_lse(qg, k, v, kv_mask)
+    return jax.lax.all_to_all(out, "sp", split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
+def ulysses_cache_attention(
+    mesh: Mesh,
+    q: jax.Array,        # [B, Sq, H, D] — block queries (tokens over sp)
+    k: jax.Array,        # [B, Smax, H, D] — post-write cache (heads over sp)
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,   # [Smax] or [B, Smax]
+) -> jax.Array:
+    sp = mesh.shape["sp"]
+    tp = mesh.shape.get("tp", 1)
+    assert q.shape[2] % (sp * tp) == 0, (
+        f"heads {q.shape[2]} must divide sp*tp {sp * tp}")
+    assert q.shape[1] % sp == 0, (
+        f"block tokens {q.shape[1]} must divide sp {sp}")
+    if kv_mask is None:
+        mask_args, mask_specs = (), ()
+    elif kv_mask.ndim == 2:
+        mask_args, mask_specs = (kv_mask,), (P("dp", None),)
+    else:
+        mask_args, mask_specs = (kv_mask,), (P(None),)
+
+    def body(q_, k_, v_, *rest):
+        return _ulysses_body(q_, k_, v_, rest[0] if rest else None)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            P("dp", "sp", "tp", None),          # q: tokens over sp
+            P("dp", None, ("tp", "sp"), None),  # cache: heads over tp x sp
+            P("dp", None, ("tp", "sp"), None),
+        ) + mask_specs,
+        out_specs=P("dp", "sp", "tp", None),
+        check_vma=False,
+    )(q, k, v, *mask_args)
+
+
+# ---------------------------------------------------------------------------
+# Ring pass-q over the token-sharded cache
+# ---------------------------------------------------------------------------
+
+def _ring_pass_q_cache_body(q, k, v, kv_mask):
+    """q: [B, Sq/sp, H_loc, D]; k/v: [B, Smax/sp, H_loc, D] cache slice;
+    kv_mask: local slice of the prefix-validity mask. The (q, out, m, l)
+    bundle rotates; K/V stay resident (bytes on the wire are O(q), the
+    reference's pass-q rationale for cache-dominated attention)."""
+    sp = jax.lax.psum(1, "sp")
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+    b, s_loc, h, d = q.shape
+
+    def step(carry, _):
+        q_cur, acc, m_run, l_run = carry
+        out_i, lse_i = _local_attn_lse(q_cur, k, v, kv_mask)
+        m_new = jnp.maximum(m_run, lse_i)
+        # fully-masked local slices yield lse = -inf; guard the exp terms
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        w_old = jnp.where(jnp.isfinite(m_run),
+                          jnp.exp(m_run - m_safe), 0.0)
+        w_new = jnp.where(jnp.isfinite(lse_i),
+                          jnp.exp(lse_i - m_safe), 0.0)
+        acc = acc * w_old.transpose(0, 2, 1)[..., None] \
+            + out_i.astype(jnp.float32) * w_new.transpose(0, 2, 1)[..., None]
+        l_new = l_run * w_old + w_new
+        q_nxt = jax.lax.ppermute(q_cur, "sp", perm)
+        acc = jax.lax.ppermute(acc, "sp", perm)
+        m_hop = jax.lax.ppermute(m_new, "sp", perm)
+        l_hop = jax.lax.ppermute(l_new, "sp", perm)
+        return (q_nxt, acc, m_hop, l_hop), None
+
+    acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
+    m0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
+    (_, acc, _, l_f), _ = jax.lax.scan(step, (q, acc0, m0, l0), None,
+                                       length=sp)
+    out = acc / jnp.maximum(l_f, 1e-30).transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+def ring_pass_q_cache_attention(
+    mesh: Mesh,
+    q: jax.Array,        # [B, Sq, H, D] tokens over sp
+    k: jax.Array,        # [B, Smax, H, D] cache, TOKENS over sp
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    sp = mesh.shape["sp"]
+    assert q.shape[1] % sp == 0 and k.shape[1] % sp == 0
+    if kv_mask is None:
+        kv_mask = jnp.ones(k.shape[:2], dtype=bool)
+    if kv_mask.ndim == 1:
+        mask_spec = P("sp")
+    else:
+        mask_spec = P("dp", "sp")
+
+    return jax.shard_map(
+        _ring_pass_q_cache_body, mesh=mesh,
+        in_specs=(
+            P("dp", "sp", "tp", None),
+            P("dp", "sp", "tp", None),
+            P("dp", "sp", "tp", None),
+            mask_spec,
+        ),
+        out_specs=P("dp", "sp", "tp", None),
+        check_vma=False,
+    )(q, k, v, kv_mask)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + comm accounting
+# ---------------------------------------------------------------------------
+
+def sp_cache_attention(
+    mesh: Mesh,
+    mode: str,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    if mode == "ulysses":
+        return ulysses_cache_attention(mesh, q, k, v, kv_mask)
+    if mode in ("ring", "ring_pass_q"):
+        return ring_pass_q_cache_attention(mesh, q, k, v, kv_mask)
+    raise ValueError(f"unknown sp attention mode {mode!r}")
+
+
+def sp_comm_bytes_per_layer(
+    mode: str, sp: int, tp: int,
+    batch: int, block_tokens: int, cache_tokens: int,
+    num_heads: int, head_dim: int, itemsize: int = 2,
+) -> int:
+    """Per-layer, per-forward bytes each device puts on the ICI for the SP
+    attention exchange (logged so multi-chip runs can sanity-check link
+    budgets; the reference has no such accounting)."""
+    if sp <= 1 or mode == "none":
+        return 0
+    h_loc = num_heads // tp
+    if mode == "ulysses":
+        # q in + out a2a: each device exchanges (sp-1)/sp of its local shard
+        local = batch * (block_tokens // sp) * h_loc * head_dim * itemsize
+        return 2 * local * (sp - 1) // sp * sp  # both directions, all hops
+    # ring pass-q: q + acc(f32) + m/l(f32) hop sp times
+    q_bytes = batch * (block_tokens // sp) * h_loc * head_dim * itemsize
+    acc_bytes = batch * (block_tokens // sp) * h_loc * head_dim * 4
+    ml_bytes = 2 * batch * h_loc * (block_tokens // sp) * 4
+    return sp * (q_bytes + acc_bytes + ml_bytes)

@@ -1,75 +1,195 @@
-"""Pipeline parallelism over the mesh `pp` axis.
+"""Real pipeline parallelism over the mesh `pp` axis.
 
-The reference implements PP as async isend/irecv of activations between layer-
-range stages (`inferix/distributed/parallelism/pipeline_parallel.py:16-109`)
-with MAGI's work queue overlapping stages (`video_generate.py:729-756`).
+The reference implements PP as async isend/irecv of activations between
+layer-range stages (`inferix/distributed/parallelism/pipeline_parallel.py:
+16-109` PPScheduler) kept busy by MAGI's work queue of in-flight requests
+(`inferix/pipeline/magi/video_generate.py:723-756`).
 
-TPU-native equivalent: the stacked layer axis [L, ...] is SHARDED over `pp`;
-inside shard_map each stage scans its local L/pp layers and the activation
-hops stages with a single jax.lax.ppermute per stage step (ICI neighbor
-exchange — the isend/irecv pair). With a stream of inputs (microbatches /
-work-queue items), consecutive items occupy consecutive stages and the ring
-stays full — XLA overlaps each stage's compute with its neighbor transfer.
+TPU-native equivalent — a GPipe-style microbatched forward inside one
+`shard_map` over `pp`:
 
-`pp_scan_layers` is the building block: given per-layer apply + stage-sharded
-stacked params, it runs the full depth across stages for a batch of
-activations, optionally pipelining a leading microbatch axis.
+* the stacked layer axis [L, ...] (params AND per-layer state such as the
+  KV cache) is SHARDED over `pp`, so each stage holds and computes ONLY its
+  own L/pp layers — stage-local compute, no `jnp.where(mine, ...)`
+  both-sides evaluation;
+* microbatches stream through the stages; each tick every stage runs its
+  local layer scan on the microbatch it holds and hands the activation to
+  the next stage with a single neighbor `ppermute` (the isend/irecv pair,
+  riding ICI);
+* warmup/drain bubble ticks run `lax.cond` pass-through — a stage that
+  holds no valid microbatch skips its layer compute entirely;
+* per-layer state updates are committed only on valid ticks, so bubble
+  garbage never reaches the KV cache.
+
+With M microbatches and pp stages the schedule takes M + pp - 1 ticks and
+each device performs exactly M * (L/pp) layer applications — total layer
+FLOPs do NOT scale with pp (the round-1 `pp_scan_layers` evaluated every
+stage's layers on every device; it is replaced by this).
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def pp_pipeline(
+    mesh: Mesh,
+    layer_fn: Callable[[Any, Any, jax.Array], Tuple[jax.Array, Any]],
+    stacked_params: Any,        # pytree, leading L axis (L % pp == 0)
+    microbatches: jax.Array,    # [M, ...] activations entering layer 0
+    layer_state: Any = None,    # optional pytree, leading L axis
+) -> Tuple[jax.Array, Any]:
+    """Run every microbatch through all L layers, layers sharded over pp.
+
+    layer_fn(params_slice, state_slice, x) -> (x_out, new_state_slice)
+    applies ONE layer (slices have no leading L axis; state_slice is None
+    when layer_state is None). Returns ([M, ...] outputs of the final layer,
+    updated layer_state) — outputs and state replicated/sharded as on entry.
+    """
+    pp = mesh.shape["pp"]
+    num_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert num_layers % pp == 0, (num_layers, pp)
+    m = microbatches.shape[0]
+    has_state = layer_state is not None
+
+    if pp == 1:
+        # degenerate: straight scan, no collectives
+        def run_all(x):
+            def one(h, ps):
+                p_, s_ = ps
+                h2, s2 = layer_fn(p_, s_, h)
+                return h2, s2
+
+            if has_state:
+                h, new_s = jax.lax.scan(
+                    lambda h_, ps: one(h_, ps),
+                    x, (stacked_params, layer_state))
+                return h, new_s
+            h, _ = jax.lax.scan(lambda h_, p_: (layer_fn(p_, None, h_)[0],
+                                                None),
+                                x, stacked_params)
+            return h, None
+
+        outs = []
+        state = layer_state
+        for i in range(m):
+            def one(h, ps):
+                p_, s_ = ps if has_state else (ps, None)
+                return layer_fn(p_, s_, h)
+
+            if has_state:
+                h, state = jax.lax.scan(one, microbatches[i],
+                                        (stacked_params, state))
+            else:
+                h, _ = jax.lax.scan(one, microbatches[i], stacked_params)
+            outs.append(h)
+        return jnp.stack(outs), state
+
+    def body(p_loc, s_loc, mb):
+        # p_loc/s_loc: this stage's [L/pp, ...] slices; mb: [M, ...] (full)
+        stage = jax.lax.axis_index("pp")
+        n_ticks = m + pp - 1
+        fwd = [(i, i + 1) for i in range(pp - 1)]
+
+        def run_local(x_in, s_in):
+            def one(h, ps):
+                p_, s_ = ps
+                h2, s2 = layer_fn(p_, s_, h)
+                return h2, s2
+
+            if has_state:
+                return jax.lax.scan(one, x_in, (p_loc, s_in))
+            h, _ = jax.lax.scan(
+                lambda h_, p_: (layer_fn(p_, None, h_)[0], None),
+                x_in, p_loc)
+            return h, s_in
+
+        def tick(carry, t):
+            act_in, s_cur, outs = carry
+            # stage 0 injects microbatch t; others use the handed activation
+            mb_t = jax.lax.dynamic_index_in_dim(
+                mb, jnp.clip(t, 0, m - 1), 0, keepdims=False)
+            x_in = jnp.where(stage == 0, mb_t, act_in)
+            # this stage holds microbatch (t - stage); valid while in range
+            mb_idx = t - stage
+            valid = (mb_idx >= 0) & (mb_idx < m)
+
+            def compute(args):
+                x_, s_ = args
+                return run_local(x_, s_)
+
+            def skip(args):
+                return args
+
+            x_out, s_new = jax.lax.cond(valid, compute, skip, (x_in, s_cur))
+            # commit state only on valid ticks (bubble garbage never lands)
+            if has_state:
+                s_cur = jax.tree.map(
+                    lambda new, old: jnp.where(valid, new, old), s_new, s_cur)
+            # hand to the next stage (stage pp-1's output is collected below)
+            act_next = jax.lax.ppermute(x_out, "pp", fwd)
+            out_idx = t - (pp - 1)
+            write = (stage == pp - 1) & (out_idx >= 0)
+            outs = jnp.where(
+                write,
+                jax.lax.dynamic_update_index_in_dim(
+                    outs, x_out, jnp.clip(out_idx, 0, m - 1), 0),
+                outs,
+            )
+            return (act_next, s_cur, outs), None
+
+        zeros_act = jnp.zeros_like(mb[0])
+        outs0 = jnp.zeros_like(mb)
+        (_, s_fin, outs), _ = jax.lax.scan(
+            tick, (zeros_act, s_loc, outs0),
+            jnp.arange(n_ticks, dtype=jnp.int32))
+        # outputs live on the last stage; broadcast to every stage
+        outs = jax.lax.psum(
+            jnp.where(stage == pp - 1, outs, jnp.zeros_like(outs)), "pp")
+        return outs, s_fin
+
+    p_specs = jax.tree.map(lambda _: P("pp"), stacked_params)
+    s_specs = jax.tree.map(lambda _: P("pp"), layer_state) if has_state \
+        else None
+    if not has_state:
+        # shard_map needs concrete args; thread a dummy state
+        def body_nostate(p_loc, mb):
+            return body(p_loc, None, mb)[0]
+
+        outs = jax.shard_map(
+            body_nostate, mesh=mesh,
+            in_specs=(p_specs, P()),
+            out_specs=P(),
+            check_vma=False,
+        )(stacked_params, microbatches)
+        return outs, None
+
+    outs, new_state = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(p_specs, s_specs, P()),
+        out_specs=(P(), s_specs),
+        check_vma=False,
+    )(stacked_params, layer_state, microbatches)
+    return outs, new_state
 
 
 def pp_scan_layers(
     mesh: Mesh,
     layer_fn: Callable[[Any, jax.Array], jax.Array],
-    stacked_params: Any,       # pytree with leading L axis (L % pp == 0)
-    x: jax.Array,              # [B, ...] activations entering layer 0
+    stacked_params: Any,
+    x: jax.Array,
 ) -> jax.Array:
-    """Run x through all L layers with the layer axis sharded over pp.
-
-    layer_fn(params_slice, x) -> x applies ONE layer (params_slice has no
-    leading axis). Returns the output of the final layer, replicated.
-    """
-    pp = mesh.shape["pp"]
-    num_layers = jax.tree.leaves(stacked_params)[0].shape[0]
-    assert num_layers % pp == 0, (num_layers, pp)
-
-    def body(params_local, x_in):
-        # params_local: local L/pp slice of the stacked params
-        stage = jax.lax.axis_index("pp")
-        fwd_perm = [(i, (i + 1) % pp) for i in range(pp)]
-
-        def run_local(h):
-            def one(h_, p_):
-                return layer_fn(p_, h_), None
-
-            h_, _ = jax.lax.scan(one, h, params_local)
-            return h_
-
-        # stage s computes during step s, then passes on; other stages carry
-        # the activation through untouched.
-        h = x_in
-
-        def step(h_c, s):
-            mine = jax.lax.axis_index("pp") == s
-            h_n = jnp.where(mine, run_local(h_c), h_c)
-            h_n = jax.lax.ppermute(h_n, "pp", fwd_perm)
-            return h_n, None
-
-        h, _ = jax.lax.scan(step, h, jnp.arange(pp))
-        # after pp hops the result is back at stage 0; broadcast to all
-        h = jax.lax.all_gather(h, "pp")[0]
-        return h
-
-    return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P("pp"), P()),
-        out_specs=P(),
-        check_vma=False,
-    )(stacked_params, x)
+    """Single-activation convenience wrapper over pp_pipeline (one
+    microbatch; the pipeline degenerates to sequential stages but compute
+    stays stage-local)."""
+    outs, _ = pp_pipeline(
+        mesh,
+        lambda p, s, h: (layer_fn(p, h), s),
+        stacked_params,
+        x[None],
+    )
+    return outs[0]

@@ -43,17 +43,48 @@ class SemiARGenerator:
         cfg: EngineConfig,
         params: Params,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
         self.dtype = dtype
         m, r = cfg.model, cfg.runtime
 
+        # in-forward SP attention (reference CoreAttention CP path): active
+        # when a mesh with sp>1 is supplied and the parallel config names a
+        # mode; otherwise single-device attention + GSPMD handles sharding
+        sp_mode = "none"
+        if mesh is not None and mesh.shape.get("sp", 1) > 1 \
+                and cfg.parallel.sp_mode in ("ulysses", "ring",
+                                             "ring_pass_q"):
+            sp_mode = cfg.parallel.sp_mode
+        self.mesh = mesh
+        self.sp_mode = sp_mode
         self.statics = make_statics(
             m, r.batch_size, m.num_frame_per_block, r.latent_height,
             r.latent_width, dtype,
             quantized_kv=(cfg.quant.enabled and cfg.quant.quantize_kv_cache),
+            mesh=mesh if sp_mode != "none" else None,
+            sp_mode=sp_mode,
         )
+        if sp_mode != "none":
+            from ..core.monitoring import print_rank_0
+            from ..parallel.distributed_attention import sp_comm_bytes_per_layer
+
+            geo = self.statics.geo
+            per_layer = sp_comm_bytes_per_layer(
+                sp_mode, mesh.shape["sp"], mesh.shape.get("tp", 1),
+                r.batch_size, geo.tokens, self.statics.spec.max_tokens,
+                m.num_heads, m.head_dim,
+                itemsize=jnp.dtype(dtype).itemsize,
+            )
+            print_rank_0(
+                f"[sp] mode={sp_mode} sp={mesh.shape['sp']} "
+                f"comm/layer/forward={per_layer / 2**20:.2f} MiB, "
+                f"per step (x{m.num_layers} layers x"
+                f"{len(r.denoising_step_list) + 1} forwards)="
+                f"{per_layer * m.num_layers * (len(r.denoising_step_list) + 1) / 2**30:.3f} GiB"
+            )
         self.rope_tables = build_rope_tables(m.head_dim, m.rope_max_seq_len)
         self.schedule = FlowMatchSchedule.create(shift=r.timestep_shift)
         if r.warp_denoising_step:

@@ -1,0 +1,81 @@
+"""In-forward SP attention (ulysses / ring pass-q) vs single-device path.
+
+VERDICT round-1 item 3: the distributed attention must run INSIDE
+block_forward (reference CoreAttention CP path,
+`inferix/models/attention/distributed.py:134-712`) and produce numerically
+identical results to the single-device path for a multi-block cached
+generation on a CPU mesh."""
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferix_tpu.core.config import ParallelConfig, tiny_test_config
+from inferix_tpu.models.wan.causal_dit import init_params
+from inferix_tpu.parallel.mesh import make_mesh
+from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+
+def _generate(cfg, params, mesh=None, frames=3):
+    gen = SemiARGenerator(cfg, params, dtype=jnp.float32, mesh=mesh)
+    m, r = cfg.model, cfg.runtime
+    xattn = gen.encode_text_context(
+        jax.random.normal(jax.random.key(7),
+                          (r.batch_size, m.text_len, m.text_dim)))
+    noise = jax.random.normal(
+        jax.random.key(1),
+        (r.batch_size, frames, r.latent_height, r.latent_width,
+         r.latent_channels))
+    latents, _ = gen.generate(noise, xattn, jax.random.key(2))
+    return np.asarray(latents)
+
+
+@pytest.mark.parametrize("mode,sp,tp", [
+    ("ulysses", 2, 1),
+    ("ulysses", 2, 2),
+    ("ring", 2, 1),
+    ("ring_pass_q", 4, 1),
+])
+def test_sp_attention_matches_single_device(mode, sp, tp):
+    cfg = tiny_test_config()
+    base = _generate(cfg, init_params(jax.random.key(0), cfg.model,
+                                      dtype=jnp.float32))
+
+    cfg_sp = copy.deepcopy(cfg)
+    cfg_sp.parallel = ParallelConfig(dp=1, sp=sp, tp=tp, pp=1, sp_mode=mode)
+    mesh = make_mesh(cfg_sp.parallel)
+    params = init_params(jax.random.key(0), cfg_sp.model, dtype=jnp.float32)
+    got = _generate(cfg_sp, params, mesh=mesh)
+
+    np.testing.assert_allclose(got, base, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_attention_is_actually_active():
+    """The SP path must be wired (statics carry mesh + mode), not silently
+    falling back to local attention."""
+    cfg = tiny_test_config()
+    cfg.parallel = ParallelConfig(dp=1, sp=2, tp=1, pp=1, sp_mode="ulysses")
+    mesh = make_mesh(cfg.parallel)
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    gen = SemiARGenerator(cfg, params, dtype=jnp.float32, mesh=mesh)
+    assert gen.sp_mode == "ulysses"
+    assert gen.statics.mesh is mesh
+    assert gen.statics.sp_mode == "ulysses"
+
+
+def test_sp_comm_accounting_positive():
+    from inferix_tpu.parallel.distributed_attention import (
+        sp_comm_bytes_per_layer,
+    )
+
+    n = sp_comm_bytes_per_layer("ulysses", sp=2, tp=2, batch=1,
+                                block_tokens=4680, cache_tokens=32760,
+                                num_heads=12, head_dim=128)
+    assert n > 0
+    r = sp_comm_bytes_per_layer("ring", sp=4, tp=1, batch=1,
+                                block_tokens=4680, cache_tokens=32760,
+                                num_heads=12, head_dim=128)
+    assert r > 0
+    assert sp_comm_bytes_per_layer("none", 1, 1, 1, 4680, 32760, 12, 128) == 0
