@@ -217,6 +217,110 @@ def _unpatchify(cfg: MagiModelConfig, geo: MagiGeometry, x: jax.Array,
     return x.reshape(b, t, geo.latent_h, geo.latent_w, cfg.out_channels)
 
 
+def _magi_layer(
+    blk: Params,
+    h_x: jax.Array,            # [B, n_chunks*ct, hidden]
+    cvec: jax.Array,           # [B, n_chunks, cond] fp32
+    y: jax.Array,              # [B, n_chunks, cap_len, hidden] projected
+    caption_mask: jax.Array,   # [B, n_chunks, cap_len]
+    k_layer: jax.Array,        # [B, Smax, nkv, hd] this layer's cache
+    v_layer: jax.Array,
+    *,
+    cfg: MagiModelConfig,
+    spec: KVCacheSpec,
+    n_chunks: int,
+    ct: int,
+    angles: jax.Array,
+    token_ranges: jax.Array,
+    current_start: jax.Array,
+    current_end: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One MAGI transformer layer (shared by the lax.scan path and the
+    pipeline-parallel path). Returns (h_x, new_k_layer, new_v_layer)."""
+    b = h_x.shape[0]
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_query_groups,
+                   cfg.kv_channels)
+    eps = cfg.layernorm_epsilon
+    ada = _linear(blk["ada"], jax.nn.silu(cvec))  # [B, n_chunks, 6h] f32
+    ada = ada.reshape(b, n_chunks, 6, cfg.hidden_size)
+    shift_msa, scale_msa, gate_msa = ada[:, :, 0], ada[:, :, 1], ada[:, :, 2]
+    shift_mlp, scale_mlp, gate_mlp = ada[:, :, 3], ada[:, :, 4], ada[:, :, 5]
+
+    def mod(xs_, sh, sc):
+        xs_ = xs_.reshape(b, n_chunks, ct, -1)
+        out = xs_ * (1.0 + sc[:, :, None]).astype(xs_.dtype) \
+            + sh[:, :, None].astype(xs_.dtype)
+        return out.reshape(b, n_chunks * ct, -1)
+
+    def gate(xs_, g):
+        xs_ = xs_.reshape(b, n_chunks, ct, -1)
+        return (xs_ * g[:, :, None].astype(xs_.dtype)).reshape(
+            b, n_chunks * ct, -1)
+
+    # --- self attention (GQA, chunk-causal via per-chunk spans) ---
+    sa = blk["self_attn"]
+    h_in = mod(_ln1p(blk["norm1"], h_x, eps), shift_msa, scale_msa)
+    q = rms_norm(_linear(sa["q"], h_in), sa["norm_q"]["w"], eps)
+    k = rms_norm(_linear(sa["k"], h_in), sa["norm_k"]["w"], eps)
+    v = _linear(sa["v"], h_in)
+    q = q.reshape(b, n_chunks * ct, nh, hd)
+    k = k.reshape(b, n_chunks * ct, nkv, hd)
+    v = v.reshape(b, n_chunks * ct, nkv, hd)
+    q = apply_rope(q, angles)
+    k = apply_rope(k, angles)
+
+    k_layer, v_layer = write_block(spec, k_layer, v_layer, k, v,
+                                   current_start)
+
+    # per-chunk attention over its kv span. GQA: on TPU the grouped
+    # flash wrapper folds query-head groups into query rows (KV read
+    # once per group); the CPU fallback repeats KV heads.
+    use_pallas = jax.default_backend() == "tpu"
+    outs = []
+    rep = nh // nkv
+    for ci in range(n_chunks):
+        qi = q[:, ci * ct:(ci + 1) * ct]
+        span = token_ranges[ci]
+        if use_pallas:
+            from ...ops.flash_attention import flash_attention_gqa
+
+            outs.append(flash_attention_gqa(
+                qi, k_layer, v_layer,
+                kv_len=jnp.minimum(span[1], current_end),
+                kv_start=span[0],
+            ))
+        else:
+            kc = jnp.repeat(k_layer, rep, axis=2)
+            vc = jnp.repeat(v_layer, rep, axis=2)
+            idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
+            mask = (idx >= span[0]) & (idx < jnp.minimum(span[1], current_end))
+            outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
+    attn = jnp.concatenate(outs, axis=1).reshape(b, n_chunks * ct, nh * hd)
+    h_x = h_x + gate(_linear(sa["o"], attn), gate_msa)
+
+    # --- caption cross attention (per chunk captions) ---
+    ca = blk["cross_attn"]
+    hq = _ln1p(blk["norm1"], h_x, eps)
+    cq = _linear(ca["q"], hq).reshape(b, n_chunks, ct, nh, hd)
+    ck = _linear(ca["k"], y).reshape(b, n_chunks, -1, nkv, hd)
+    cv = _linear(ca["v"], y).reshape(b, n_chunks, -1, nkv, hd)
+    cq = cq.reshape(b * n_chunks, ct, nh, hd)
+    ck = jnp.repeat(ck.reshape(b * n_chunks, -1, nkv, hd), rep, axis=2)
+    cv = jnp.repeat(cv.reshape(b * n_chunks, -1, nkv, hd), rep, axis=2)
+    cmask = caption_mask.reshape(b * n_chunks, -1) > 0
+    xa = cache_attention(cq, ck, cv, kv_mask=cmask)
+    xa = xa.reshape(b, n_chunks * ct, nh * hd)
+    h_x = h_x + _linear(ca["o"], xa)
+
+    # --- FFN ---
+    h_f = mod(_ln1p(blk["norm2"], h_x, eps), shift_mlp, scale_mlp)
+    ff = _linear(blk["ffn"]["fc2"],
+                 jax.nn.gelu(_linear(blk["ffn"]["fc1"], h_f),
+                             approximate=True))
+    h_x = h_x + gate(ff, gate_mlp)
+    return h_x, k_layer, v_layer
+
+
 def magi_forward(
     params: Params,
     statics: MagiStatics,
@@ -273,86 +377,14 @@ def magi_forward(
     def layer(carry, xs):
         h_x, k_all, v_all = carry
         blk, lid = xs
-        ada = _linear(blk["ada"], jax.nn.silu(cvec))  # [B, n_chunks, 6h] f32
-        ada = ada.reshape(b, n_chunks, 6, cfg.hidden_size)
-        shift_msa, scale_msa, gate_msa = ada[:, :, 0], ada[:, :, 1], ada[:, :, 2]
-        shift_mlp, scale_mlp, gate_mlp = ada[:, :, 3], ada[:, :, 4], ada[:, :, 5]
-
-        def mod(xs_, sh, sc):
-            xs_ = xs_.reshape(b, n_chunks, ct, -1)
-            out = xs_ * (1.0 + sc[:, :, None]).astype(xs_.dtype) \
-                + sh[:, :, None].astype(xs_.dtype)
-            return out.reshape(b, n_chunks * ct, -1)
-
-        def gate(xs_, g):
-            xs_ = xs_.reshape(b, n_chunks, ct, -1)
-            return (xs_ * g[:, :, None].astype(xs_.dtype)).reshape(
-                b, n_chunks * ct, -1)
-
-        # --- self attention (GQA, chunk-causal via per-chunk spans) ---
-        sa = blk["self_attn"]
-        h_in = mod(_ln1p(blk["norm1"], h_x, eps), shift_msa, scale_msa)
-        q = rms_norm(_linear(sa["q"], h_in), sa["norm_q"]["w"], eps)
-        k = rms_norm(_linear(sa["k"], h_in), sa["norm_k"]["w"], eps)
-        v = _linear(sa["v"], h_in)
-        q = q.reshape(b, n_chunks * ct, nh, hd)
-        k = k.reshape(b, n_chunks * ct, nkv, hd)
-        v = v.reshape(b, n_chunks * ct, nkv, hd)
-        q = apply_rope(q, angles)
-        k = apply_rope(k, angles)
-
         k_layer = jax.lax.dynamic_index_in_dim(k_all, lid, 0, keepdims=False)
         v_layer = jax.lax.dynamic_index_in_dim(v_all, lid, 0, keepdims=False)
-        k_layer, v_layer = write_block(spec, k_layer, v_layer, k, v,
-                                       current_start)
-
-        # per-chunk attention over its kv span. GQA: on TPU the grouped
-        # flash wrapper folds query-head groups into query rows (KV read
-        # once per group); the CPU fallback repeats KV heads.
-        use_pallas = jax.default_backend() == "tpu"
-        outs = []
-        rep = nh // nkv
-        for ci in range(n_chunks):
-            qi = q[:, ci * ct:(ci + 1) * ct]
-            span = token_ranges[ci]
-            if use_pallas:
-                from ...ops.flash_attention import flash_attention_gqa
-
-                outs.append(flash_attention_gqa(
-                    qi, k_layer, v_layer,
-                    kv_len=jnp.minimum(span[1], current_end),
-                    kv_start=span[0],
-                ))
-            else:
-                kc = jnp.repeat(k_layer, rep, axis=2)
-                vc = jnp.repeat(v_layer, rep, axis=2)
-                idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
-                mask = (idx >= span[0]) & (idx < jnp.minimum(span[1], current_end))
-                outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
-        attn = jnp.concatenate(outs, axis=1).reshape(b, n_chunks * ct, nh * hd)
-        h_x = h_x + gate(_linear(sa["o"], attn), gate_msa)
-
-        # --- caption cross attention (per chunk captions) ---
-        ca = blk["cross_attn"]
-        hq = _ln1p(blk["norm1"], h_x, eps)
-        cq = _linear(ca["q"], hq).reshape(b, n_chunks, ct, nh, hd)
-        ck = _linear(ca["k"], y).reshape(b, n_chunks, -1, nkv, hd)
-        cv = _linear(ca["v"], y).reshape(b, n_chunks, -1, nkv, hd)
-        cq = cq.reshape(b * n_chunks, ct, nh, hd)
-        ck = jnp.repeat(ck.reshape(b * n_chunks, -1, nkv, hd), rep, axis=2)
-        cv = jnp.repeat(cv.reshape(b * n_chunks, -1, nkv, hd), rep, axis=2)
-        cmask = caption_mask.reshape(b * n_chunks, -1) > 0
-        xa = cache_attention(cq, ck, cv, kv_mask=cmask)
-        xa = xa.reshape(b, n_chunks * ct, nh * hd)
-        h_x = h_x + _linear(ca["o"], xa)
-
-        # --- FFN ---
-        h_f = mod(_ln1p(blk["norm2"], h_x, eps), shift_mlp, scale_mlp)
-        ff = _linear(blk["ffn"]["fc2"],
-                     jax.nn.gelu(_linear(blk["ffn"]["fc1"], h_f),
-                                 approximate=True))
-        h_x = h_x + gate(ff, gate_mlp)
-
+        h_x, k_layer, v_layer = _magi_layer(
+            blk, h_x, cvec, y, caption_mask, k_layer, v_layer,
+            cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
+            token_ranges=token_ranges, current_start=current_start,
+            current_end=current_end,
+        )
         k_all = jax.lax.dynamic_update_index_in_dim(
             k_all, k_layer.astype(k_all.dtype), lid, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(
@@ -372,3 +404,97 @@ def magi_forward(
     out = _linear(params["final_linear"], h_out)
     velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
     return velocity, KVCache(k=new_k, v=new_v)
+
+
+def magi_forward_pp(
+    params: Params,
+    statics: MagiStatics,
+    rope_tables: RopeTables,
+    x_window: jax.Array,
+    t: jax.Array,
+    captions: jax.Array,
+    caption_mask: jax.Array,
+    cache: KVCache,
+    slice_point: jax.Array,
+    kv_ranges: jax.Array,
+    *,
+    mesh,
+) -> Tuple[jax.Array, KVCache]:
+    """Pipeline-parallel MAGI window forward: same contract as
+    `magi_forward`, but the layer stack runs through the microbatched
+    GPipe pipeline (`parallel/pipeline_parallel.py:pp_pipeline`) with the
+    stacked layer axis (params AND KV cache) sharded over the mesh's `pp`
+    axis. Microbatches are the batch rows — for the 2-row CFG batch the
+    cond/uncond halves occupy consecutive stages, the TPU analog of the
+    reference's work queue keeping PP stages busy
+    (`inferix/pipeline/magi/video_generate.py:723-756`).
+
+    Embeddings and the output head are small and run outside the pipeline
+    (replicated); all layer FLOPs are stage-local.
+    """
+    from ...parallel.pipeline_parallel import pp_pipeline
+
+    cfg, spec, geo = statics.cfg, statics.spec, statics.geo
+    b = x_window.shape[0]
+    n_chunks = t.shape[1]
+    cw, ct = geo.chunk_width, geo.chunk_tokens
+    eps = cfg.layernorm_epsilon
+
+    tokens = _linear(params["patch_embed"], _patchify(cfg, geo, x_window))
+    temb = sinusoidal_embedding_1d(256, t.astype(jnp.float32) * 1000.0)
+    cvec = _linear(params["t_embedder"]["fc2"],
+                   jax.nn.silu(_linear(params["t_embedder"]["fc1"], temb)))
+    y = _linear(params["y_embedder"]["fc2"],
+                jax.nn.gelu(_linear(params["y_embedder"]["fc1"],
+                                    captions.astype(tokens.dtype)),
+                            approximate=True))
+    start_frame = slice_point * cw
+    angles = rope_angles(rope_tables, n_chunks * cw, geo.grid_h, geo.grid_w,
+                         start_frame)
+    current_start = slice_point * ct
+    current_end = current_start + n_chunks * ct
+    token_ranges = kv_ranges * ct
+
+    # microbatches = batch rows: [M=b, 1, ...] each
+    microbatches = {
+        "h": tokens[:, None],
+        "cvec": cvec[:, None],
+        "y": y[:, None],
+        "cmask": caption_mask[:, None],
+    }
+    layer_state = {"k": cache.k, "v": cache.v}
+
+    def layer_fn(blk, state, x, mb_idx):
+        # state: this layer's cache [B, Smax, nkv, hd]; the microbatch owns
+        # batch row mb_idx
+        k_row = jax.lax.dynamic_slice_in_dim(state["k"], mb_idx, 1, 0)
+        v_row = jax.lax.dynamic_slice_in_dim(state["v"], mb_idx, 1, 0)
+        h_new, k_new, v_new = _magi_layer(
+            blk, x["h"], x["cvec"], x["y"], x["cmask"], k_row, v_row,
+            cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
+            token_ranges=token_ranges, current_start=current_start,
+            current_end=current_end,
+        )
+        new_state = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                state["k"], k_new.astype(state["k"].dtype), mb_idx, 0),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                state["v"], v_new.astype(state["v"].dtype), mb_idx, 0),
+        }
+        return {**x, "h": h_new}, new_state
+
+    outs, new_state = pp_pipeline(
+        mesh, layer_fn, params["blocks"], microbatches,
+        layer_state=layer_state, pass_mb_index=True,
+    )
+    h_x = outs["h"][:, 0]  # [B, S, hidden]
+
+    fada = _linear(params["final_ada"], jax.nn.silu(cvec)).reshape(
+        b, n_chunks, 2, cfg.hidden_size)
+    h_n = _ln1p(params["final_norm"], h_x, eps).reshape(b, n_chunks, ct, -1)
+    h_out = (h_n * (1.0 + fada[:, :, None, 1]).astype(h_n.dtype)
+             + fada[:, :, None, 0].astype(h_n.dtype)).reshape(
+                 b, n_chunks * ct, -1)
+    out = _linear(params["final_linear"], h_out)
+    velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
+    return velocity, KVCache(k=new_state["k"], v=new_state["v"])

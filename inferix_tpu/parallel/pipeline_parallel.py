@@ -38,56 +38,62 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def pp_pipeline(
     mesh: Mesh,
-    layer_fn: Callable[[Any, Any, jax.Array], Tuple[jax.Array, Any]],
+    layer_fn: Callable[..., Tuple[Any, Any]],
     stacked_params: Any,        # pytree, leading L axis (L % pp == 0)
-    microbatches: jax.Array,    # [M, ...] activations entering layer 0
+    microbatches: Any,          # pytree, leading M axis: layer-0 activations
     layer_state: Any = None,    # optional pytree, leading L axis
-) -> Tuple[jax.Array, Any]:
+    pass_mb_index: bool = False,
+) -> Tuple[Any, Any]:
     """Run every microbatch through all L layers, layers sharded over pp.
 
-    layer_fn(params_slice, state_slice, x) -> (x_out, new_state_slice)
-    applies ONE layer (slices have no leading L axis; state_slice is None
-    when layer_state is None). Returns ([M, ...] outputs of the final layer,
-    updated layer_state) — outputs and state replicated/sharded as on entry.
+    layer_fn(params_slice, state_slice, x[, mb_idx]) -> (x_out,
+    new_state_slice) applies ONE layer (slices have no leading L axis;
+    state_slice is None when layer_state is None; mb_idx — the traced
+    microbatch index — is passed when pass_mb_index, letting per-microbatch
+    rows of a shared state be addressed, e.g. KV-cache batch slots).
+    x / microbatches may be any pytree. Returns (outputs with leading M,
+    updated layer_state).
     """
     pp = mesh.shape["pp"]
     num_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     assert num_layers % pp == 0, (num_layers, pp)
-    m = microbatches.shape[0]
+    m = jax.tree.leaves(microbatches)[0].shape[0]
     has_state = layer_state is not None
 
+    def call_layer(p_, s_, h, mb_idx):
+        if pass_mb_index:
+            return layer_fn(p_, s_, h, mb_idx)
+        return layer_fn(p_, s_, h)
+
+    def tmap(f, *trees):
+        return jax.tree.map(f, *trees)
+
+    def mb_at(mb, t):
+        return tmap(lambda a: jax.lax.dynamic_index_in_dim(
+            a, jnp.clip(t, 0, m - 1), 0, keepdims=False), mb)
+
     if pp == 1:
-        # degenerate: straight scan, no collectives
-        def run_all(x):
-            def one(h, ps):
-                p_, s_ = ps
-                h2, s2 = layer_fn(p_, s_, h)
-                return h2, s2
-
-            if has_state:
-                h, new_s = jax.lax.scan(
-                    lambda h_, ps: one(h_, ps),
-                    x, (stacked_params, layer_state))
-                return h, new_s
-            h, _ = jax.lax.scan(lambda h_, p_: (layer_fn(p_, None, h_)[0],
-                                                None),
-                                x, stacked_params)
-            return h, None
-
         outs = []
         state = layer_state
         for i in range(m):
-            def one(h, ps):
-                p_, s_ = ps if has_state else (ps, None)
-                return layer_fn(p_, s_, h)
+            def one(carry, ps):
+                h, s_all_unused = carry
+                if has_state:
+                    p_, s_ = ps
+                else:
+                    p_, s_ = ps, None
+                h2, s2 = call_layer(p_, s_, h, jnp.int32(i))
+                return (h2, None), s2
 
+            x_i = tmap(lambda a: a[i], microbatches)
             if has_state:
-                h, state = jax.lax.scan(one, microbatches[i],
-                                        (stacked_params, state))
+                (h, _), state = jax.lax.scan(one, (x_i, None),
+                                             (stacked_params, state))
             else:
-                h, _ = jax.lax.scan(one, microbatches[i], stacked_params)
+                (h, _), _ = jax.lax.scan(one, (x_i, None), stacked_params)
             outs.append(h)
-        return jnp.stack(outs), state
+        outs = tmap(lambda *xs: jnp.stack(xs), *outs)
+        return outs, state
 
     def body(p_loc, s_loc, mb):
         # p_loc/s_loc: this stage's [L/pp, ...] slices; mb: [M, ...] (full)
@@ -95,32 +101,34 @@ def pp_pipeline(
         n_ticks = m + pp - 1
         fwd = [(i, i + 1) for i in range(pp - 1)]
 
-        def run_local(x_in, s_in):
-            def one(h, ps):
-                p_, s_ = ps
-                h2, s2 = layer_fn(p_, s_, h)
+        def run_local(x_in, s_in, mb_idx):
+            def one(carry, ps):
+                h = carry
+                if has_state:
+                    p_, s_ = ps
+                else:
+                    p_, s_ = ps, None
+                h2, s2 = call_layer(p_, s_, h, mb_idx)
                 return h2, s2
 
             if has_state:
                 return jax.lax.scan(one, x_in, (p_loc, s_in))
-            h, _ = jax.lax.scan(
-                lambda h_, p_: (layer_fn(p_, None, h_)[0], None),
-                x_in, p_loc)
+            h, _ = jax.lax.scan(one, x_in, p_loc)
             return h, s_in
 
         def tick(carry, t):
             act_in, s_cur, outs = carry
             # stage 0 injects microbatch t; others use the handed activation
-            mb_t = jax.lax.dynamic_index_in_dim(
-                mb, jnp.clip(t, 0, m - 1), 0, keepdims=False)
-            x_in = jnp.where(stage == 0, mb_t, act_in)
+            mb_t = mb_at(mb, t)
+            x_in = tmap(lambda a, b: jnp.where(stage == 0, a, b),
+                        mb_t, act_in)
             # this stage holds microbatch (t - stage); valid while in range
             mb_idx = t - stage
             valid = (mb_idx >= 0) & (mb_idx < m)
 
             def compute(args):
                 x_, s_ = args
-                return run_local(x_, s_)
+                return run_local(x_, s_, jnp.clip(mb_idx, 0, m - 1))
 
             def skip(args):
                 return args
@@ -134,22 +142,26 @@ def pp_pipeline(
             act_next = jax.lax.ppermute(x_out, "pp", fwd)
             out_idx = t - (pp - 1)
             write = (stage == pp - 1) & (out_idx >= 0)
-            outs = jnp.where(
-                write,
-                jax.lax.dynamic_update_index_in_dim(
-                    outs, x_out, jnp.clip(out_idx, 0, m - 1), 0),
-                outs,
+            outs = tmap(
+                lambda o, x_: jnp.where(
+                    write,
+                    jax.lax.dynamic_update_index_in_dim(
+                        o, x_, jnp.clip(out_idx, 0, m - 1), 0),
+                    o),
+                outs, x_out,
             )
             return (act_next, s_cur, outs), None
 
-        zeros_act = jnp.zeros_like(mb[0])
-        outs0 = jnp.zeros_like(mb)
+        zeros_act = tmap(lambda a: jnp.zeros_like(a[0]), mb)
+        outs0 = tmap(jnp.zeros_like, mb)
         (_, s_fin, outs), _ = jax.lax.scan(
             tick, (zeros_act, s_loc, outs0),
             jnp.arange(n_ticks, dtype=jnp.int32))
         # outputs live on the last stage; broadcast to every stage
-        outs = jax.lax.psum(
-            jnp.where(stage == pp - 1, outs, jnp.zeros_like(outs)), "pp")
+        outs = tmap(
+            lambda o: jax.lax.psum(
+                jnp.where(stage == pp - 1, o, jnp.zeros_like(o)), "pp"),
+            outs)
         return outs, s_fin
 
     p_specs = jax.tree.map(lambda _: P("pp"), stacked_params)

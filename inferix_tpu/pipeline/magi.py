@@ -60,6 +60,7 @@ class MagiPipeline:
         max_chunks: int = 16,
         dtype=jnp.float32,
         profiler: Optional[InferixProfiler] = None,
+        mesh=None,
     ):
         self.cfg = model_cfg
         self.rt = runtime
@@ -75,8 +76,18 @@ class MagiPipeline:
         self.params = params if params is not None else init_magi_params(
             jax.random.key(runtime.seed), model_cfg, dtype
         )
+        # pp>1: run the layer stack through the microbatched GPipe pipeline
+        # (cond/uncond halves stream through the stages — the reference's
+        # work-queue PP overlap, video_generate.py:723-756)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("pp", 1) > 1:
+            from ..models.magi.dit import magi_forward_pp
+
+            fwd_impl = functools.partial(magi_forward_pp, mesh=mesh)
+        else:
+            fwd_impl = magi_forward
         self._fwd = jax.jit(
-            functools.partial(magi_forward, statics=self.statics,
+            functools.partial(fwd_impl, statics=self.statics,
                               rope_tables=self.rope_tables),
             static_argnames=(),
             donate_argnames=("cache",),
