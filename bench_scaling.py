@@ -2,29 +2,46 @@
 
 BASELINE.md target: >=80% tokens/s scaling efficiency 1 chip -> 1 host ->
 2+ hosts. This harness runs the fully-sharded semi-AR denoise block over a
-(dp, sp, tp, pp) mesh and reports per-chip token throughput and efficiency
-vs the single-chip baseline.
+(dp, sp, tp, pp) mesh — including the in-forward SP attention path
+(ulysses / ring pass-q) — and reports per-device token throughput and
+efficiency vs the single-device baseline.
 
 Usage:
-  python bench_scaling.py                 # all factorizations of the local
-                                          # device count (8 virtual on CPU)
-  MESH=dp2,sp2,tp2 python bench_scaling.py
+  python bench_scaling.py                  # real devices (1 on this env)
+  SCALING_CPU=8 python bench_scaling.py    # 8 virtual CPU devices: sweep
+                                           # 1/2/4/8-device meshes
+  MESH=dp2,sp2,tp2 python bench_scaling.py # one explicit mesh
 
 On this environment only one real TPU chip is attached, so TPU numbers are
-single-chip; the multi-device path runs on virtual CPU devices to validate
-the sharding + collective structure (wall-clock there is NOT a TPU
-prediction). On a real pod slice the same script measures true efficiency.
+single-chip; the multi-device sweep runs on virtual CPU devices to measure
+the RELATIVE overhead structure of the sharding + collectives (all virtual
+devices share the host's cores, so absolute wall-clock there is NOT a TPU
+prediction — ICI collectives become memcpys. On a real pod slice the same
+script measures true efficiency.)
 
-Prints one JSON line per mesh config.
+Prints one JSON line per mesh config and writes SCALING_r02.json.
 """
 import functools
 import json
 import os
+import sys
 import time
+
+_n_virtual = int(os.environ.get("SCALING_CPU", "0"))
+if _n_virtual:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_n_virtual}"
+    ).strip()
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if _n_virtual:
+    # the axon sitecustomize forces jax_platforms="axon,cpu"; override
+    # before any backend initialization
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +51,7 @@ def _sync(x):
     np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
 
-def run_mesh(pcfg, steps: int = 4):
+def run_mesh(pcfg, sp_mode: str = "none", steps: int = 4):
     from jax.sharding import NamedSharding
     from inferix_tpu.core.config import tiny_test_config
     from inferix_tpu.models.wan.causal_dit import init_params
@@ -51,8 +68,11 @@ def run_mesh(pcfg, steps: int = 4):
     cfg.runtime.latent_height = 16
     cfg.runtime.latent_width = 16
     cfg.runtime.batch_size = max(pcfg.dp, 1)
+    cfg.parallel = pcfg
+    cfg.parallel.sp_mode = sp_mode if sp_mode != "none" else "ulysses"
     params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
-    gen = SemiARGenerator(cfg, params, dtype=jnp.float32)
+    gen = SemiARGenerator(cfg, params, dtype=jnp.float32,
+                          mesh=mesh if sp_mode != "none" else None)
     m, r = cfg.model, cfg.runtime
 
     cache = gen.init_cache()
@@ -74,6 +94,26 @@ def run_mesh(pcfg, steps: int = 4):
         _denoise_block_impl, statics=gen.statics, steps=gen.denoising_steps,
         context_noise=gen.context_noise), donate_argnames=("cache",))
 
+    # structural metric: collectives in the compiled module (hardware-
+    # independent, unlike virtual-CPU wall clock where each collective pays
+    # a host thread rendezvous instead of an ICI hop)
+    collectives = {}
+    try:
+        import collections
+
+        txt = fn.lower(params, gen.rope_tables, gen.schedule, cache, xattn,
+                       noisy, jax.random.key(2), jnp.int32(0)
+                       ).compile().as_text()
+        cnt = collections.Counter()
+        for line in txt.splitlines():
+            for op in ("all-gather", "all-to-all", "all-reduce",
+                       "reduce-scatter", "collective-permute"):
+                if op in line and "=" in line:
+                    cnt[op] += 1
+        collectives = dict(cnt)
+    except Exception:
+        pass
+
     with mesh:
         x0, cache = fn(params, gen.rope_tables, gen.schedule, cache, xattn,
                        noisy, jax.random.key(2), jnp.int32(0))
@@ -90,10 +130,13 @@ def run_mesh(pcfg, steps: int = 4):
     n_dev = pcfg.world_size
     return {
         "mesh": {"dp": pcfg.dp, "sp": pcfg.sp, "tp": pcfg.tp, "pp": pcfg.pp},
+        "sp_mode": sp_mode,
         "devices": n_dev,
         "block_ms": round(dt * 1e3, 2),
         "tokens_per_s": round(tokens / dt, 1),
         "tokens_per_s_per_device": round(tokens / dt / n_dev, 1),
+        "virtual_cpu": bool(_n_virtual),
+        "collectives_per_block": collectives,
     }
 
 
@@ -104,27 +147,48 @@ def main():
     if os.environ.get("MESH"):
         parts = dict(p.split("=") if "=" in p else (p[:2], p[2:])
                      for p in os.environ["MESH"].split(","))
-        configs = [ParallelConfig(**{k: int(v) for k, v in parts.items()})]
+        configs = [(ParallelConfig(**{k: int(v) for k, v in parts.items()}),
+                    os.environ.get("SP_MODE", "none"))]
     elif n >= 8:
+        # the 1/2/4/8-device sweep (VERDICT round-1 item 5)
         configs = [
-            ParallelConfig(dp=1, sp=1, tp=1),
-            ParallelConfig(dp=1, sp=1, tp=4),
-            ParallelConfig(dp=1, sp=4, tp=1),
-            ParallelConfig(dp=4, sp=1, tp=1),
-            ParallelConfig(dp=2, sp=2, tp=2),
+            (ParallelConfig(dp=1, sp=1, tp=1), "none"),
+            (ParallelConfig(dp=2, sp=1, tp=1), "none"),
+            (ParallelConfig(dp=1, sp=2, tp=1), "ulysses"),
+            (ParallelConfig(dp=1, sp=2, tp=1), "ring_pass_q"),
+            (ParallelConfig(dp=1, sp=1, tp=2), "none"),
+            (ParallelConfig(dp=4, sp=1, tp=1), "none"),
+            (ParallelConfig(dp=1, sp=4, tp=1), "ulysses"),
+            (ParallelConfig(dp=1, sp=2, tp=2), "ulysses"),
+            (ParallelConfig(dp=8, sp=1, tp=1), "none"),
+            (ParallelConfig(dp=2, sp=2, tp=2), "ulysses"),
         ]
     else:
-        configs = [ParallelConfig(dp=1, sp=1, tp=1)]
+        configs = [(ParallelConfig(dp=1, sp=1, tp=1), "none")]
 
     base = None
-    for pcfg in configs:
-        res = run_mesh(pcfg)
+    results = []
+    for pcfg, sp_mode in configs:
+        res = run_mesh(pcfg, sp_mode)
         if base is None and res["devices"] == 1:
             base = res["tokens_per_s"]
         if base:
             ideal = base * res["devices"]
             res["scaling_efficiency"] = round(res["tokens_per_s"] / ideal, 3)
+        results.append(res)
         print(json.dumps(res))
+
+    if len(results) > 1:
+        out = {
+            "note": ("virtual-CPU relative overhead measurement: all "
+                     "devices share the host cores, collectives are "
+                     "memcpys; use for structure, not TPU prediction"
+                     if _n_virtual else "real devices"),
+            "host_cores": os.cpu_count(),
+            "results": results,
+        }
+        with open("SCALING_r02.json", "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
