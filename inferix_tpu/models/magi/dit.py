@@ -1,28 +1,41 @@
-"""MAGI-1 VideoDiT (ardf) in functional JAX.
+"""MAGI-1 VideoDiT (ardf) in functional JAX — reference-faithful layer graph.
 
-Capability parity with the reference `VideoDiTModel`
-(`inferix/models/magi/dit/dit_model.py:114-671`, `dit_module.py:833-1391`):
-chunk-windowed autoregressive-diffusion DiT with GQA attention, per-chunk
-timestep conditioning (the reference's `range_mod_triton` per-range AdaLN,
-dit_module.py:205-294), per-chunk caption cross-attention, chunk-causal
-attention with per-chunk KV ranges (default full-prefix or noise2clean
-shrinking windows), and a velocity output head.
+Parity target: `inferix/models/magi/dit/dit_model.py:60-671` +
+`dit_module.py:180-1391`. The computation graph per layer is the reference's
+PARALLEL attention design (not sequential pre-norm blocks):
 
-TPU-first redesign:
-* chunks are uniform (chunk_width x frame_seq tokens), so the reference's
-  packed q/k ranges + flex-flash-attention collapse into regular reshapes:
-  per-range modulation is a [B, n_chunks, ...] broadcast, and chunk-causal
-  attention is one prefix-span flash call per window chunk (<= window_size+1
-  static calls) against the same ring-buffer KV cache as the Wan family.
-* GQA: kv heads are repeated to query heads at the attention call (the MXU
-  matmul is query-bound; KV stays 8-head in cache/HBM, preserving the
-  bandwidth advantage).
-* 4.5B shapes (example/magi/configs/4.5B): 34 layers, hidden 3072, 24 q heads,
-  8 kv groups, head_dim 128, ffn 12288, caption 4096 x 800, patch 2, chunk 6.
+    ln   = LayerNorm(h)                       (CustomLayerNormLinear)
+    q    = rope(headLN(ln @ Wq))              (fp32 head-dim LN, then rope)
+    k    = rope(headLN(ln @ Wk)); v = ln @ Wv (GQA: 8 kv groups)
+    core = chunk-causal-attention(q, cached k/v)
+    qx   = headLN(ln @ Wqx)                   (cross query, NO rope)
+    yk,yv= headLN(y @ Wkv_xattn)              (caption K/V, group-interleaved)
+    xatt = attention(qx, yk, yv, caption mask)
+    h1   = interleave_groups(core, xatt) @ Wproj   (fp32 unless fp8-quant)
+    g_msa, g_mlp = softcap(AdaProj(silu(cond)), 1)  (gate-ONLY modulation)
+    h    = PostNorm(h1 * g_msa[chunk]) + h          (bias_modulate_add)
+    mlp  = fc2(gelu(fc1(LayerNorm(h))))
+    h    = PostNorm2(mlp * g_mlp[chunk]) + h
+final: FinalLayerNorm(h.float()) @ Wfinal           (no modulation)
 
-Differences noted for checkpoint parity: the reference uses a learnable
-rotary embedding (rescaleable); here rope tables are fixed 3D — the converter
-can bake learned frequencies into the tables when loading real weights.
+All LayerNorms are zero-centered-gamma (apply_layernorm_1p: weight = 1 + w)
+with bias. Rope uses the reference's LEARNED frequency bands
+(`LearnableRotaryEmbeddingCat`, dit_module.py:723-775): bands [hd//8],
+3 axes x bands angles with center-aligned spatial coords and ref-shape
+rescaling, applied rotate-half (flash apply_rotary_emb, non-interleaved) to
+the first 2*(3*hd//8) dims of each head.
+
+FP8 distill-quant checkpoints (`dit_module.py:367-490`): middle layers
+(not first/last) carry e4m3 weights + scales; activations go through
+`div_clamp_to` (clamp(x/scale) to e4m3) and the matmul is computed as
+(A*A_scale) @ (W_q*weight_scale) — fp8 is a memory/fidelity format here,
+compute runs on the bf16 MXU (v5e has no fp8 ALUs).
+
+TPU-first redesign retained from round 1: chunks are uniform
+(chunk_width x frame_seq tokens), so the reference's packed q/k ranges +
+flex-flash-attention collapse into per-chunk prefix-span flash calls over
+the same ring-buffer KV cache as the Wan family; per-range (range_mod)
+gating is a [B, n_chunks] broadcast.
 """
 from __future__ import annotations
 
@@ -32,11 +45,12 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...kvcache.cache import KVCache, KVCacheSpec, init_kv_cache, valid_mask, write_block
 from ...ops.attention import cache_attention
-from ...ops.norms import layer_norm, rms_norm
-from ...ops.rope import RopeTables, apply_rope, build_rope_tables, rope_angles, sinusoidal_embedding_1d
+from ...ops.norms import layer_norm
+from ...ops.rope import RopeTables, build_rope_tables
 
 Params = Dict[str, Any]
 
@@ -50,20 +64,26 @@ class MagiModelConfig:
     num_query_groups: int = 8       # GQA kv heads
     kv_channels: int = 128          # head dim
     layernorm_epsilon: float = 1e-6
-    apply_layernorm_1p: bool = True  # weight parameterized as (1 + w)
+    apply_layernorm_1p: bool = True  # zero-centered gamma (weight = 1 + w)
     patch_size: int = 2
     t_patch_size: int = 1
     in_channels: int = 16
     out_channels: int = 16
     cond_hidden_ratio: float = 0.25
+    xattn_cond_hidden_ratio: float = 1.0
     caption_channels: int = 4096
     caption_max_length: int = 800
     chunk_width: int = 6
     rope_max_seq_len: int = 1024
+    x_rescale_factor: float = 1.0
 
     @property
     def cond_dim(self) -> int:
         return int(self.hidden_size * self.cond_hidden_ratio)
+
+    @property
+    def xattn_dim(self) -> int:
+        return int(self.hidden_size * self.xattn_cond_hidden_ratio)
 
 
 def tiny_magi_config() -> MagiModelConfig:
@@ -121,83 +141,194 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
 
 
 # ---------------------------------------------------------------------------
+# Learned rope (LearnableRotaryEmbeddingCat, dit_module.py:723-775)
+# ---------------------------------------------------------------------------
+
+def default_rope_bands(head_dim: int, temperature: float = 10000.0
+                       ) -> jax.Array:
+    """freq_bands(num_bands=hd//8, step=1): 1/temp^(i/nb) — the init the
+    learned checkpoint bands replace (dit_module.py:594-599)."""
+    nb = head_dim // 8
+    exp = jnp.arange(nb, dtype=jnp.float32) / nb
+    return 1.0 / (temperature ** exp)
+
+
+def magi_rope_angles(
+    bands: jax.Array,       # [hd//8] learned frequency bands
+    t_total: int,           # temporal length INCLUDING clean prefix
+    grid_h: int,
+    grid_w: int,
+) -> jax.Array:
+    """Rotation angles [T*H*W, 3*nb] for the full (t_total, H, W) grid —
+    the reference builds rope over T_total and slices the window tail
+    (`dit_model.py:163-165`). Spatial coords are center-aligned and
+    ref-shape-rescaled with rescale_factor sqrt(H*W/256)
+    (build_fourier_pos_embed in_pixels=False path, dit_module.py:744-760)."""
+    rf = math.sqrt((grid_h * grid_w) / (16.0 * 16.0))
+
+    def axis_coords(n: int, centered: bool, ref: float) -> jnp.ndarray:
+        t = jnp.arange(n, dtype=jnp.float32)
+        if centered:
+            t = t - (n - 1) / 2.0
+        # eva resize: x / (f-1) * (r-1); identity when ref == n
+        if n > 1 and abs(ref - n) > 1e-9:
+            t = t / (n - 1) * (ref - 1.0)
+        return t
+
+    tt = axis_coords(t_total, False, float(t_total))
+    th = axis_coords(grid_h, True, grid_h / rf)
+    tw = axis_coords(grid_w, True, grid_w / rf)
+    grid = jnp.stack(jnp.meshgrid(tt, th, tw, indexing="ij"), axis=-1)
+    # [T, H, W, 3, nb] -> [THW, 3*nb]
+    pos = grid[..., None] * bands
+    return pos.reshape(t_total * grid_h * grid_w, -1)
+
+
+def apply_rope_magi(x: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotate-half rope on the first 2*angles.shape[-1] dims of the head
+    (flash_attn apply_rotary_emb, non-interleaved), rest pass through.
+    x: [..., S, H, D]; angles: [S, rot/2]."""
+    orig = x.dtype
+    half = angles.shape[-1]
+    rot = 2 * half
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., :half]
+    x2 = xf[..., half:rot]
+    tail = xf[..., rot:]
+    cos = jnp.cos(angles)[..., :, None, :]
+    sin = jnp.sin(angles)[..., :, None, :]
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    return jnp.concatenate([o1, o2, tail], axis=-1).astype(orig)
+
+
+# ---------------------------------------------------------------------------
 # Params
 # ---------------------------------------------------------------------------
 
 def _lin(key, i, o, dtype, bias=True):
-    p = {"w": (jax.random.normal(key, (i, o), jnp.float32) * (i**-0.5)).astype(dtype)}
-    p["b"] = jnp.zeros((o,), dtype) if bias else jnp.zeros((o,), dtype)
+    p = {"w": (jax.random.normal(key, (i, o), jnp.float32) * (i**-0.5)
+               ).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((o,), dtype)
     return p
+
+
+def _ln_params(h, dtype):
+    # zero-centered gamma: effective weight = 1 + w
+    return {"w": jnp.zeros((h,), dtype), "b": jnp.zeros((h,), dtype)}
+
+
+def init_magi_block(key, cfg: MagiModelConfig, dtype) -> Params:
+    ks = jax.random.split(key, 12)
+    h = cfg.hidden_size
+    hd = cfg.kv_channels
+    q_dim = cfg.num_attention_heads * hd
+    kv_dim = cfg.num_query_groups * hd
+    return {
+        "ln_qkv": _ln_params(h, dtype),
+        "q": _lin(ks[0], h, q_dim, dtype, bias=False),
+        "qx": _lin(ks[1], h, q_dim, dtype, bias=False),
+        "k": _lin(ks[2], h, kv_dim, dtype, bias=False),
+        "v": _lin(ks[3], h, kv_dim, dtype, bias=False),
+        "q_ln": _ln_params(hd, dtype),
+        "qx_ln": _ln_params(hd, dtype),
+        "k_ln": _ln_params(hd, dtype),
+        "kx_ln": _ln_params(hd, dtype),
+        "kv_xattn": _lin(ks[4], cfg.xattn_dim, 2 * kv_dim, dtype, bias=False),
+        "proj": _lin(ks[5], 2 * q_dim, h, dtype, bias=False),
+        "ada_proj": _lin(ks[6], cfg.cond_dim, 2 * h, jnp.float32),
+        "self_post_norm": _ln_params(h, jnp.float32),
+        "mlp_post_norm": _ln_params(h, jnp.float32),
+        "mlp_ln": _ln_params(h, dtype),
+        "fc1": _lin(ks[7], h, cfg.ffn_hidden_size, dtype, bias=False),
+        "fc2": _lin(ks[8], cfg.ffn_hidden_size, h, dtype, bias=False),
+    }
 
 
 def init_magi_params(key, cfg: MagiModelConfig, dtype=jnp.bfloat16) -> Params:
     keys = jax.random.split(key, 10)
     h = cfg.hidden_size
-    hd = cfg.kv_channels
-    q_dim = cfg.num_attention_heads * hd
-    kv_dim = cfg.num_query_groups * hd
     cond = cfg.cond_dim
     patch_in = cfg.t_patch_size * cfg.patch_size**2 * cfg.in_channels
     patch_out = cfg.t_patch_size * cfg.patch_size**2 * cfg.out_channels
 
-    def block(k):
-        ks = jax.random.split(k, 10)
-        return {
-            "self_attn": {
-                "q": _lin(ks[0], h, q_dim, dtype),
-                "k": _lin(ks[1], h, kv_dim, dtype),
-                "v": _lin(ks[2], h, kv_dim, dtype),
-                "o": _lin(ks[3], q_dim, h, dtype),
-                "norm_q": {"w": jnp.ones((q_dim,), dtype)},
-                "norm_k": {"w": jnp.ones((kv_dim,), dtype)},
-            },
-            "cross_attn": {
-                "q": _lin(ks[4], h, q_dim, dtype),
-                "k": _lin(ks[5], h, kv_dim, dtype),
-                "v": _lin(ks[6], h, kv_dim, dtype),
-                "o": _lin(ks[7], q_dim, h, dtype),
-            },
-            "ffn": {
-                "fc1": _lin(ks[8], h, cfg.ffn_hidden_size, dtype),
-                "fc2": _lin(ks[9], cfg.ffn_hidden_size, h, dtype),
-            },
-            # per-range AdaLN projections (reference ada modulation via
-            # range_mod: 6 gates/shifts/scales from the chunk's condition)
-            "ada": _lin(jax.random.fold_in(k, 99), cond, 6 * h, jnp.float32),
-            "norm1": {"w": jnp.zeros((h,), dtype)},   # 1p: effective 1+w
-            "norm2": {"w": jnp.zeros((h,), dtype)},
-        }
-
-    blocks = [block(k) for k in jax.random.split(keys[0], cfg.num_layers)]
+    blocks = [init_magi_block(k, cfg, dtype)
+              for k in jax.random.split(keys[0], cfg.num_layers)]
     return {
-        "patch_embed": _lin(keys[1], patch_in, h, dtype),
+        "x_embedder": _lin(keys[1], patch_in, h, dtype, bias=False),
         "t_embedder": {
             "fc1": _lin(keys[2], 256, cond, jnp.float32),
             "fc2": _lin(keys[3], cond, cond, jnp.float32),
         },
         "y_embedder": {
-            "fc1": _lin(keys[4], cfg.caption_channels, h, dtype),
-            "fc2": _lin(keys[5], h, h, dtype),
+            "y_proj_xattn": _lin(keys[4], cfg.caption_channels,
+                                 cfg.xattn_dim, dtype),
+            "y_proj_adaln": _lin(keys[5], cfg.caption_channels, cond,
+                                 jnp.float32),
+            "null_caption_embedding": (
+                jax.random.normal(keys[6],
+                                  (cfg.caption_max_length,
+                                   cfg.caption_channels), jnp.float32)
+                * 0.02).astype(dtype),
         },
+        "rope_bands": default_rope_bands(cfg.kv_channels),
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
-        "final_norm": {"w": jnp.zeros((h,), dtype)},
-        "final_linear": _lin(keys[6], h, patch_out, dtype),
-        "final_ada": _lin(keys[7], cond, 2 * h, jnp.float32),
+        "final_layernorm": _ln_params(h, jnp.float32),
+        "final_linear": _lin(keys[7], h, patch_out, dtype, bias=False),
     }
 
 
 # ---------------------------------------------------------------------------
-# Forward
+# Linears (bf16 / fp8-distill-quant)
 # ---------------------------------------------------------------------------
 
-def _linear(p, x):
-    return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+_E4M3_MAX = 448.0
 
 
-def _ln1p(p, x, eps):
-    w = 1.0 + p["w"].astype(jnp.float32)
-    return layer_norm(x, w, eps=eps)
+def _qdq_e4m3(x: jax.Array) -> jax.Array:
+    """Quantize-dequantize through float8_e4m3 (div_clamp_to fidelity;
+    e4m3 is a memory format — v5e computes in bf16)."""
+    c = jnp.clip(x, -_E4M3_MAX, _E4M3_MAX)
+    return c.astype(jnp.float8_e4m3fn).astype(x.dtype)
 
+
+def magi_linear(p: Params, x: jax.Array) -> jax.Array:
+    """Plain / fp8 per-tensor / fp8 per-channel (smooth) linear.
+
+    fp8 params (reference PerTensor/PerChannelQuantizedFp8Linear,
+    dit_module.py:434-490): w_q e4m3 [in, out], weight_scale scalar,
+    and either act_scale [in] (per-tensor: div_clamp_to by input_scale,
+    rescale by it — SmoothQuant with scales folded into weights) or
+    smooth_scale [in] + input_scale scalar (per-channel)."""
+    if "w_q" in p:
+        xf = x.astype(jnp.float32)
+        if "smooth_scale" in p:
+            xq = _qdq_e4m3(xf / p["smooth_scale"]) * p["input_scale"]
+        else:
+            xq = _qdq_e4m3(xf / p["act_scale"]) * p["act_scale"]
+        w = p["w_q"].astype(jnp.float32) * p["weight_scale"]
+        return jnp.dot(xq.astype(x.dtype), w.astype(x.dtype))
+    out = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def _ln(p, x, eps, zero_centered=True):
+    w = p["w"].astype(jnp.float32)
+    if zero_centered:
+        w = 1.0 + w
+    return layer_norm(x, w, p["b"].astype(jnp.float32), eps)
+
+
+def _softcap(x, cap=1.0):
+    return cap * jnp.tanh(x.astype(jnp.float32) / cap)
+
+
+# ---------------------------------------------------------------------------
+# Layer
+# ---------------------------------------------------------------------------
 
 def _patchify(cfg: MagiModelConfig, geo: MagiGeometry, x: jax.Array) -> jax.Array:
     """x: [B, T, H, W, C] -> [B, T*gh*gw, patch_in]."""
@@ -220,64 +351,46 @@ def _unpatchify(cfg: MagiModelConfig, geo: MagiGeometry, x: jax.Array,
 def _magi_layer(
     blk: Params,
     h_x: jax.Array,            # [B, n_chunks*ct, hidden]
-    cvec: jax.Array,           # [B, n_chunks, cond] fp32
-    y: jax.Array,              # [B, n_chunks, cap_len, hidden] projected
+    cond: jax.Array,           # [B, n_chunks, cond_dim] fp32
+    y: jax.Array,              # [B, n_chunks, cap_len, xattn_dim] (post proj+silu)
     caption_mask: jax.Array,   # [B, n_chunks, cap_len]
-    k_layer: jax.Array,        # [B, Smax, nkv, hd] this layer's cache
+    k_layer: jax.Array,        # [B, Smax, nkv, hd]
     v_layer: jax.Array,
     *,
     cfg: MagiModelConfig,
     spec: KVCacheSpec,
     n_chunks: int,
     ct: int,
-    angles: jax.Array,
+    angles: jax.Array,         # [n_chunks*ct, 3*nb]
     token_ranges: jax.Array,
     current_start: jax.Array,
     current_end: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One MAGI transformer layer (shared by the lax.scan path and the
-    pipeline-parallel path). Returns (h_x, new_k_layer, new_v_layer)."""
+    """One MAGI transformer layer (reference TransformerLayer.forward,
+    dit_module.py:1243-1320). Returns (h_x, new_k_layer, new_v_layer)."""
     b = h_x.shape[0]
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_query_groups,
                    cfg.kv_channels)
+    rep = nh // nkv
     eps = cfg.layernorm_epsilon
-    ada = _linear(blk["ada"], jax.nn.silu(cvec))  # [B, n_chunks, 6h] f32
-    ada = ada.reshape(b, n_chunks, 6, cfg.hidden_size)
-    shift_msa, scale_msa, gate_msa = ada[:, :, 0], ada[:, :, 1], ada[:, :, 2]
-    shift_mlp, scale_mlp, gate_mlp = ada[:, :, 3], ada[:, :, 4], ada[:, :, 5]
 
-    def mod(xs_, sh, sc):
-        xs_ = xs_.reshape(b, n_chunks, ct, -1)
-        out = xs_ * (1.0 + sc[:, :, None]).astype(xs_.dtype) \
-            + sh[:, :, None].astype(xs_.dtype)
-        return out.reshape(b, n_chunks * ct, -1)
+    residual = h_x
+    ln = _ln(blk["ln_qkv"], h_x, eps).astype(h_x.dtype)
 
-    def gate(xs_, g):
-        xs_ = xs_.reshape(b, n_chunks, ct, -1)
-        return (xs_ * g[:, :, None].astype(xs_.dtype)).reshape(
-            b, n_chunks * ct, -1)
-
-    # --- self attention (GQA, chunk-causal via per-chunk spans) ---
-    sa = blk["self_attn"]
-    h_in = mod(_ln1p(blk["norm1"], h_x, eps), shift_msa, scale_msa)
-    q = rms_norm(_linear(sa["q"], h_in), sa["norm_q"]["w"], eps)
-    k = rms_norm(_linear(sa["k"], h_in), sa["norm_k"]["w"], eps)
-    v = _linear(sa["v"], h_in)
-    q = q.reshape(b, n_chunks * ct, nh, hd)
-    k = k.reshape(b, n_chunks * ct, nkv, hd)
-    v = v.reshape(b, n_chunks * ct, nkv, hd)
-    q = apply_rope(q, angles)
-    k = apply_rope(k, angles)
+    # --- self attention: q/k head-LN (fp32) then rope ---
+    q = magi_linear(blk["q"], ln).reshape(b, -1, nh, hd)
+    q = _ln(blk["q_ln"], q.astype(jnp.float32), eps)
+    q = apply_rope_magi(q, angles).astype(h_x.dtype)
+    k = magi_linear(blk["k"], ln).reshape(b, -1, nkv, hd)
+    k = _ln(blk["k_ln"], k.astype(jnp.float32), eps)
+    k = apply_rope_magi(k, angles).astype(h_x.dtype)
+    v = magi_linear(blk["v"], ln).reshape(b, -1, nkv, hd)
 
     k_layer, v_layer = write_block(spec, k_layer, v_layer, k, v,
                                    current_start)
 
-    # per-chunk attention over its kv span. GQA: on TPU the grouped
-    # flash wrapper folds query-head groups into query rows (KV read
-    # once per group); the CPU fallback repeats KV heads.
     use_pallas = jax.default_backend() == "tpu"
     outs = []
-    rep = nh // nkv
     for ci in range(n_chunks):
         qi = q[:, ci * ct:(ci + 1) * ct]
         span = token_ranges[ci]
@@ -293,38 +406,79 @@ def _magi_layer(
             kc = jnp.repeat(k_layer, rep, axis=2)
             vc = jnp.repeat(v_layer, rep, axis=2)
             idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
-            mask = (idx >= span[0]) & (idx < jnp.minimum(span[1], current_end))
+            mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
+                                                         current_end))
             outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
-    attn = jnp.concatenate(outs, axis=1).reshape(b, n_chunks * ct, nh * hd)
-    h_x = h_x + gate(_linear(sa["o"], attn), gate_msa)
+    core = jnp.concatenate(outs, axis=1)               # [B, S, nh, hd]
 
-    # --- caption cross attention (per chunk captions) ---
-    ca = blk["cross_attn"]
-    hq = _ln1p(blk["norm1"], h_x, eps)
-    cq = _linear(ca["q"], hq).reshape(b, n_chunks, ct, nh, hd)
-    ck = _linear(ca["k"], y).reshape(b, n_chunks, -1, nkv, hd)
-    cv = _linear(ca["v"], y).reshape(b, n_chunks, -1, nkv, hd)
-    cq = cq.reshape(b * n_chunks, ct, nh, hd)
-    ck = jnp.repeat(ck.reshape(b * n_chunks, -1, nkv, hd), rep, axis=2)
-    cv = jnp.repeat(cv.reshape(b * n_chunks, -1, nkv, hd), rep, axis=2)
-    cmask = caption_mask.reshape(b * n_chunks, -1) > 0
+    # --- cross attention (parallel branch, same ln input) ---
+    qx = magi_linear(blk["qx"], ln).reshape(b, -1, nh, hd)
+    qx = _ln(blk["qx_ln"], qx.astype(jnp.float32), eps).astype(h_x.dtype)
+    # caption K/V: [.., 2*kv_dim] laid out group-major [g0_k|g0_v|g1_k|...]
+    kv_y = magi_linear(blk["kv_xattn"], y)             # [B, nc, L, 2*kv_dim]
+    cap_len = y.shape[2]
+    kv_y = kv_y.reshape(b, n_chunks, cap_len, nkv, 2 * hd)
+    yk = kv_y[..., :hd]
+    yv = kv_y[..., hd:]
+    yk = _ln(blk["kx_ln"], yk.astype(jnp.float32), eps).astype(h_x.dtype)
+    yv = yv.astype(h_x.dtype)
+    cq = qx.reshape(b, n_chunks, ct, nh, hd).reshape(b * n_chunks, ct, nh, hd)
+    ck = jnp.repeat(yk.reshape(b * n_chunks, cap_len, nkv, hd), rep, axis=2)
+    cv = jnp.repeat(yv.reshape(b * n_chunks, cap_len, nkv, hd), rep, axis=2)
+    cmask = caption_mask.reshape(b * n_chunks, cap_len) > 0
     xa = cache_attention(cq, ck, cv, kv_mask=cmask)
-    xa = xa.reshape(b, n_chunks * ct, nh * hd)
-    h_x = h_x + _linear(ca["o"], xa)
+    xatt = xa.reshape(b, n_chunks * ct, nh, hd)
 
-    # --- FFN ---
-    h_f = mod(_ln1p(blk["norm2"], h_x, eps), shift_mlp, scale_mlp)
-    ff = _linear(blk["ffn"]["fc2"],
-                 jax.nn.gelu(_linear(blk["ffn"]["fc1"], h_f),
-                             approximate=True))
-    h_x = h_x + gate(ff, gate_mlp)
+    # --- joint projection with (n=2, hn=nkv) group interleave
+    #     (attn_linear_proj, dit_module.py:1283-1298) ---
+    core_g = core.reshape(b, -1, nkv, rep * hd)
+    xatt_g = xatt.reshape(b, -1, nkv, rep * hd)
+    cat = jnp.stack([core_g, xatt_g], axis=3)          # [B, S, nkv, 2, rep*hd]
+    cat = cat.reshape(b, -1, 2 * nkv * rep * hd)
+    h1 = magi_linear(blk["proj"], cat.astype(jnp.float32)
+                     if "w" in blk["proj"] else cat.astype(h_x.dtype))
+
+    # --- gating + post-norm residuals (gating_and_mlp) ---
+    gates = _softcap(magi_linear(
+        blk["ada_proj"], jax.nn.silu(cond.astype(jnp.float32))), 1.0)
+    g_msa, g_mlp = gates[..., :cfg.hidden_size], gates[..., cfg.hidden_size:]
+
+    def bias_modulate_add(xv, res, gate, post_norm):
+        xf = xv.astype(jnp.float32).reshape(b, n_chunks, ct, -1)
+        xf = xf * gate[:, :, None, :]
+        xf = xf.reshape(b, n_chunks * ct, -1)
+        xf = _ln(post_norm, xf, eps)
+        return (xf + res.astype(jnp.float32)).astype(h_x.dtype)
+
+    h_x = bias_modulate_add(h1, residual, g_msa, blk["self_post_norm"])
+
+    residual = h_x
+    mlp_in = _ln(blk["mlp_ln"], h_x, eps).astype(h_x.dtype)
+    ff = magi_linear(blk["fc2"],
+                     jax.nn.gelu(magi_linear(blk["fc1"], mlp_in),
+                                 approximate=False))
+    h_x = bias_modulate_add(ff, residual, g_mlp, blk["mlp_post_norm"])
     return h_x, k_layer, v_layer
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _timestep_embedding_256(t: jax.Array) -> jax.Array:
+    """Reference TimestepEmbedder.timestep_embedding (dim 256, rescale 1000,
+    [cos | sin] layout, dit_module.py:75-95)."""
+    half = 128
+    freqs = jnp.exp(-math.log(10000.0)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[..., None] * freqs * 1000.0
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
 def magi_forward(
     params: Params,
     statics: MagiStatics,
-    rope_tables: RopeTables,
+    rope_tables: Optional[RopeTables],   # unused (learned bands in params)
     x_window: jax.Array,     # [B, n_chunks*chunk_width, H, W, C] latents
     t: jax.Array,            # [B, n_chunks] in [0, 1] (0=noise, 1=clean)
     captions: jax.Array,     # [B, n_chunks, cap_len, cap_dim]
@@ -332,6 +486,8 @@ def magi_forward(
     cache: KVCache,
     slice_point: jax.Array,  # scalar int32: chunk index of window chunk 0
     kv_ranges: jax.Array,    # [n_chunks, 2] int32 chunk-range [start, end)/chunk
+    max_chunks: Optional[int] = None,
+    distill_dt_factor: Optional[float] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One window forward. All window chunks' KV is written into the cache at
     their logical positions; chunk i attends to token span
@@ -341,38 +497,37 @@ def magi_forward(
     b = x_window.shape[0]
     n_chunks = t.shape[1]
     cw, ct = geo.chunk_width, geo.chunk_tokens
-    nh, nkv, hd = cfg.num_attention_heads, cfg.num_query_groups, cfg.kv_channels
     eps = cfg.layernorm_epsilon
 
-    tokens = _linear(params["patch_embed"], _patchify(cfg, geo, x_window))
+    tokens = magi_linear(params["x_embedder"],
+                         _patchify(cfg, geo, x_window))
+    temb = _timestep_embedding_256(t)
+    te = params["t_embedder"]
+    cvec = magi_linear(te["fc2"], jax.nn.silu(magi_linear(te["fc1"], temb)))
+    if distill_dt_factor is not None:
+        dt = jnp.full_like(t, float(distill_dt_factor))
+        demb = _timestep_embedding_256(dt)
+        cvec = cvec + magi_linear(te["fc2"],
+                                  jax.nn.silu(magi_linear(te["fc1"], demb)))
+    ye = params["y_embedder"]
+    null_tok = ye["null_caption_embedding"][-2].astype(jnp.float32)
+    y_adaln = magi_linear(ye["y_proj_adaln"], null_tok[None])[0]
+    cond = (cvec + y_adaln[None, None, :]).astype(jnp.float32)
+    y = jax.nn.silu(magi_linear(ye["y_proj_xattn"],
+                                captions.astype(tokens.dtype)))
 
-    # condition: per-chunk timestep embedding (fp32)
-    temb = sinusoidal_embedding_1d(256, t.astype(jnp.float32) * 1000.0)
-    cvec = _linear(params["t_embedder"]["fc2"],
-                   jax.nn.silu(_linear(params["t_embedder"]["fc1"], temb)))
-    # cvec: [B, n_chunks, cond]
-
-    # captions: [B, n_chunks, L, capdim] -> per-chunk projected K/V inputs
-    y = _linear(params["y_embedder"]["fc2"],
-                jax.nn.gelu(_linear(params["y_embedder"]["fc1"],
-                                    captions.astype(tokens.dtype)),
-                            approximate=True))
-
-    # rope over frames: window chunk 0 starts at frame slice_point*cw
-    start_frame = slice_point * cw
-    angles = rope_angles(rope_tables, n_chunks * cw, geo.grid_h, geo.grid_w,
-                         start_frame)
+    # learned rope over the full temporal extent; take the window's tail.
+    # max_pos bounds the table like the reference's T_total
+    max_t = (spec.max_tokens // geo.frame_seq)
+    full_angles = magi_rope_angles(params["rope_bands"], max_t, geo.grid_h,
+                                   geo.grid_w)
+    start_tok = slice_point * ct
+    angles = jax.lax.dynamic_slice_in_dim(
+        full_angles, start_tok, n_chunks * ct, 0)
 
     current_start = slice_point * ct
     current_end = current_start + n_chunks * ct
     token_ranges = kv_ranges * ct  # [n_chunks, 2]
-
-    def chunked_mod(xs, mod):
-        """xs [B, S, h] with S = n_chunks*ct; mod [B, n_chunks, h]."""
-        xs = xs.reshape(b, n_chunks, ct, -1)
-        out = xs * (1.0 + mod[:, :, None, 1]).astype(xs.dtype) \
-            + mod[:, :, None, 0].astype(xs.dtype)
-        return out.reshape(b, n_chunks * ct, -1)
 
     def layer(carry, xs):
         h_x, k_all, v_all = carry
@@ -380,7 +535,7 @@ def magi_forward(
         k_layer = jax.lax.dynamic_index_in_dim(k_all, lid, 0, keepdims=False)
         v_layer = jax.lax.dynamic_index_in_dim(v_all, lid, 0, keepdims=False)
         h_x, k_layer, v_layer = _magi_layer(
-            blk, h_x, cvec, y, caption_mask, k_layer, v_layer,
+            blk, h_x, cond, y, caption_mask, k_layer, v_layer,
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
             current_end=current_end,
@@ -391,25 +546,36 @@ def magi_forward(
             v_all, v_layer.astype(v_all.dtype), lid, 0)
         return (h_x, k_all, v_all), None
 
-    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    (h_x, new_k, new_v), _ = jax.lax.scan(
-        layer, (tokens, cache.k, cache.v), (params["blocks"], layer_ids)
-    )
+    if "blocks" in params:
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (h_x, new_k, new_v), _ = jax.lax.scan(
+            layer, (tokens, cache.k, cache.v), (params["blocks"], layer_ids)
+        )
+    else:
+        # fp8 distill-quant layout: first/last layers bf16, middle stacked
+        (h_x, new_k, new_v), _ = layer(
+            (tokens, cache.k, cache.v),
+            (params["blocks_first"], jnp.int32(0)))
+        mid_ids = jnp.arange(1, cfg.num_layers - 1, dtype=jnp.int32)
+        (h_x, new_k, new_v), _ = jax.lax.scan(
+            layer, (h_x, new_k, new_v), (params["blocks_mid"], mid_ids))
+        (h_x, new_k, new_v), _ = layer(
+            (h_x, new_k, new_v),
+            (params["blocks_last"], jnp.int32(cfg.num_layers - 1)))
 
-    # final: per-chunk modulated norm + linear
-    fada = _linear(params["final_ada"], jax.nn.silu(cvec)).reshape(
-        b, n_chunks, 2, cfg.hidden_size)
-    h_out = chunked_mod(_ln1p(params["final_norm"], h_x, eps),
-                        fada[:, :, [0, 1]].transpose(0, 1, 2, 3))
-    out = _linear(params["final_linear"], h_out)
+    # final layer norm (TransformerBlock post_process) + plain linear, fp32
+    h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
+    out = magi_linear(params["final_linear"], h_out)
     velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
+    if cfg.x_rescale_factor != 1.0:
+        velocity = velocity / cfg.x_rescale_factor
     return velocity, KVCache(k=new_k, v=new_v)
 
 
 def magi_forward_pp(
     params: Params,
     statics: MagiStatics,
-    rope_tables: RopeTables,
+    rope_tables: Optional[RopeTables],
     x_window: jax.Array,
     t: jax.Array,
     captions: jax.Array,
@@ -430,47 +596,53 @@ def magi_forward_pp(
     (`inferix/pipeline/magi/video_generate.py:723-756`).
 
     Embeddings and the output head are small and run outside the pipeline
-    (replicated); all layer FLOPs are stage-local.
+    (replicated); all layer FLOPs are stage-local. Requires the uniform
+    (non-fp8-split) "blocks" layout.
     """
     from ...parallel.pipeline_parallel import pp_pipeline
 
+    assert "blocks" in params, "pp path requires the uniform blocks layout"
     cfg, spec, geo = statics.cfg, statics.spec, statics.geo
     b = x_window.shape[0]
     n_chunks = t.shape[1]
     cw, ct = geo.chunk_width, geo.chunk_tokens
     eps = cfg.layernorm_epsilon
 
-    tokens = _linear(params["patch_embed"], _patchify(cfg, geo, x_window))
-    temb = sinusoidal_embedding_1d(256, t.astype(jnp.float32) * 1000.0)
-    cvec = _linear(params["t_embedder"]["fc2"],
-                   jax.nn.silu(_linear(params["t_embedder"]["fc1"], temb)))
-    y = _linear(params["y_embedder"]["fc2"],
-                jax.nn.gelu(_linear(params["y_embedder"]["fc1"],
-                                    captions.astype(tokens.dtype)),
-                            approximate=True))
-    start_frame = slice_point * cw
-    angles = rope_angles(rope_tables, n_chunks * cw, geo.grid_h, geo.grid_w,
-                         start_frame)
+    tokens = magi_linear(params["x_embedder"],
+                         _patchify(cfg, geo, x_window))
+    temb = _timestep_embedding_256(t)
+    te = params["t_embedder"]
+    cvec = magi_linear(te["fc2"], jax.nn.silu(magi_linear(te["fc1"], temb)))
+    ye = params["y_embedder"]
+    null_tok = ye["null_caption_embedding"][-2].astype(jnp.float32)
+    y_adaln = magi_linear(ye["y_proj_adaln"], null_tok[None])[0]
+    cond = (cvec + y_adaln[None, None, :]).astype(jnp.float32)
+    y = jax.nn.silu(magi_linear(ye["y_proj_xattn"],
+                                captions.astype(tokens.dtype)))
+
+    max_t = (spec.max_tokens // geo.frame_seq)
+    full_angles = magi_rope_angles(params["rope_bands"], max_t, geo.grid_h,
+                                   geo.grid_w)
+    start_tok = slice_point * ct
+    angles = jax.lax.dynamic_slice_in_dim(
+        full_angles, start_tok, n_chunks * ct, 0)
     current_start = slice_point * ct
     current_end = current_start + n_chunks * ct
     token_ranges = kv_ranges * ct
 
-    # microbatches = batch rows: [M=b, 1, ...] each
     microbatches = {
         "h": tokens[:, None],
-        "cvec": cvec[:, None],
+        "cond": cond[:, None],
         "y": y[:, None],
         "cmask": caption_mask[:, None],
     }
     layer_state = {"k": cache.k, "v": cache.v}
 
     def layer_fn(blk, state, x, mb_idx):
-        # state: this layer's cache [B, Smax, nkv, hd]; the microbatch owns
-        # batch row mb_idx
         k_row = jax.lax.dynamic_slice_in_dim(state["k"], mb_idx, 1, 0)
         v_row = jax.lax.dynamic_slice_in_dim(state["v"], mb_idx, 1, 0)
         h_new, k_new, v_new = _magi_layer(
-            blk, x["h"], x["cvec"], x["y"], x["cmask"], k_row, v_row,
+            blk, x["h"], x["cond"], x["y"], x["cmask"], k_row, v_row,
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
             current_end=current_end,
@@ -487,14 +659,11 @@ def magi_forward_pp(
         mesh, layer_fn, params["blocks"], microbatches,
         layer_state=layer_state, pass_mb_index=True,
     )
-    h_x = outs["h"][:, 0]  # [B, S, hidden]
+    h_x = outs["h"][:, 0]
 
-    fada = _linear(params["final_ada"], jax.nn.silu(cvec)).reshape(
-        b, n_chunks, 2, cfg.hidden_size)
-    h_n = _ln1p(params["final_norm"], h_x, eps).reshape(b, n_chunks, ct, -1)
-    h_out = (h_n * (1.0 + fada[:, :, None, 1]).astype(h_n.dtype)
-             + fada[:, :, None, 0].astype(h_n.dtype)).reshape(
-                 b, n_chunks * ct, -1)
-    out = _linear(params["final_linear"], h_out)
+    h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
+    out = magi_linear(params["final_linear"], h_out)
     velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
+    if cfg.x_rescale_factor != 1.0:
+        velocity = velocity / cfg.x_rescale_factor
     return velocity, KVCache(k=new_state["k"], v=new_state["v"])

@@ -149,7 +149,7 @@ def flash_attention_prefix(
     kv_start: jax.Array | int = 0,  # start of the valid span
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 1024,
+    kv_block: int = 2048,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -352,7 +352,7 @@ def flash_attention_prefix_quant(
     kv_len: jax.Array,
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 1024,
+    kv_block: int = 2048,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -545,7 +545,7 @@ def flash_attention_prefix_quant_i8(
     kv_len: jax.Array,
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 1024,
+    kv_block: int = 2048,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -699,4 +699,193 @@ def flash_attention_gqa(
         # -> [B, Hq, Sq] with head hq = khead*rep + r (matching the q fold)
         lse = lse.reshape(b, hkv, rep, sq).reshape(b, hq, sq)
         return out, lse
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantized-KV v2: int8 PV matmul with per-kv-block V scales.
+# Round-1's full-int8 kernel lost to bf16 because requantizing p needed a
+# per-row max reduce + divide (VPU tax) and the QK int8 dot at contraction
+# K=128 gains nothing on the MXU. v2 keeps QK in bf16 (K=128) but runs PV
+# on the int8 MXU path where the contraction is kv_block (>=2048) deep:
+# p in [0,1] after the online softmax, so folding the per-token V scales
+# NORMALIZED by the block max (ratio <= 1) keeps p*ratio in [0,1] and a
+# FIXED 127 quantization scale works — no row reduce, no divide:
+#   out_block = (sum_t round(p_t * vs_t/vsb * 127) * v_q_t) * vsb/127
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_quant_v2(
+    kv_len_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *,
+    kv_block: int,
+    num_kv_blocks: int,
+    num_heads: int,
+):
+    ki = pl.program_id(2)
+    kv_len = kv_len_ref[pl.program_id(0) // num_heads]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    block_start = ki * kv_block
+
+    def _update(s):
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, :1])
+        l_new = l_prev * corr + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        vs_row = vs_ref[0]                              # [1, kv_blk]
+        vsb = jnp.maximum(jnp.max(vs_row), 1e-20)       # block max (scalar)
+        ratio127 = vs_row * (127.0 / vsb)               # [1, kv_blk]
+        p_q = jnp.round(p * ratio127).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p_q, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (vsb / 127.0)
+        acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
+        m_ref[...] = m_new
+        l_ref[...] = l_new
+
+    def _logits():
+        s_ = jax.lax.dot_general(
+            q_ref[0], k_ref[0].astype(q_ref.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return s_ * ks_ref[0]
+
+    interior = block_start + kv_block <= kv_len
+
+    @pl.when(interior)
+    def _compute_interior():
+        _update(_logits())
+
+    @pl.when(jnp.logical_not(interior) & (block_start < kv_len))
+    def _compute_boundary():
+        s = _logits()
+        col = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        _update(jnp.where(col < kv_len, s, NEG_INF))
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[...][:, :1]
+        denom = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        lse = (m_ref[...][:, :1] + jnp.log2(denom)) / LOG2E
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret"),
+)
+def flash_attention_prefix_quant_v2(
+    q: jax.Array,          # [B, Sq, H, D] bf16/f32
+    k_q: jax.Array,        # [B, Skv, H, D] int8
+    v_q: jax.Array,        # [B, Skv, H, D] int8
+    k_scale: jax.Array,    # [B, Skv, H] f32
+    v_scale: jax.Array,    # [B, Skv, H] f32
+    kv_len: jax.Array,     # scalar or [B] int32
+    scale: Optional[float] = None,
+    q_block: int = 1024,
+    kv_block: int = 2048,
+    return_lse: bool = False,
+    interpret: bool = False,
+):
+    b, sq, h, d = q.shape
+    skv = k_q.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    q_block = _fit_block(sq, q_block)
+    kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
+
+    def bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    def bh_scale(s_):
+        return s_.transpose(0, 2, 1).reshape(b * h, 1, s_.shape[1])
+
+    qb = (bh(q).astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    qb = _pad_to(qb, 1, q_block)
+    kb = _pad_to(bh(k_q), 1, kv_block)
+    vb = _pad_to(bh(v_q), 1, kv_block)
+    ksb = _pad_to(bh_scale(k_scale.astype(jnp.float32)), 2, kv_block)
+    vsb = _pad_to(bh_scale(v_scale.astype(jnp.float32)), 2, kv_block)
+    sq_p, skv_p = qb.shape[1], kb.shape[1]
+    n_q, n_kv = sq_p // q_block, skv_p // kv_block
+
+    kv_len_arr = jnp.broadcast_to(
+        jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)
+    )
+
+    def q_map(bhi, qi, ki, kv_len_ref):
+        return (bhi, qi, 0)
+
+    def kv_map(bhi, qi, ki, kv_len_ref):
+        last_valid = jnp.maximum(
+            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, jnp.minimum(ki, last_valid), 0)
+
+    def scale_map(bhi, qi, ki, kv_len_ref):
+        last_valid = jnp.maximum(
+            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
+        )
+        return (bhi, 0, jnp.minimum(ki, last_valid))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, kv_block, d), kv_map),
+            pl.BlockSpec((1, 1, kv_block), scale_map),
+            pl.BlockSpec((1, 1, kv_block), scale_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), q_map),
+            pl.BlockSpec((1, q_block, 128), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, d), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+            pltpu.VMEM((q_block, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _flash_kernel_quant_v2, kv_block=kv_block, num_kv_blocks=n_kv,
+        num_heads=h,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=qb.size * 2 + kb.size + vb.size,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+    )(kv_len_arr, qb, kb, vb, ksb, vsb)
+
+    out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:, :sq, 0].reshape(b, h, sq)
     return out

@@ -29,7 +29,9 @@ def _to_np(t) -> np.ndarray:
     """torch tensor -> numpy (via float32 for bf16, cast later)."""
     import torch
 
-    if t.dtype == torch.bfloat16:
+    if t.dtype == torch.bfloat16 or "float8" in str(t.dtype):
+        # numpy has no bf16/fp8: round-trip through f32 (exact — f32 is a
+        # superset; the caller re-casts to the target jnp dtype)
         return t.detach().to(torch.float32).cpu().numpy()
     return t.detach().cpu().numpy()
 
@@ -298,3 +300,121 @@ def load_wan_vae(vae_path: str):
     sd = load_torch_state_dict(vae_path)
     params = convert_wan_vae_state_dict(sd)
     return CausalVAE(VAEConfig(), params=params)
+
+
+# ---------------------------------------------------------------------------
+# MAGI-1 checkpoint conversion (incl. distill-quant fp8 + learned rope)
+# ---------------------------------------------------------------------------
+
+def convert_magi_state_dict(sd: Dict[str, Any], cfg,
+                            dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Reference MAGI `VideoDiTModel` state dict -> our param pytree.
+
+    Handles both bf16 and the shipped "distill_quant" fp8 checkpoints
+    (`inferix/models/magi/dit/dit_module.py:367-490`): middle layers carry
+    e4m3 weights [1, out, in] + weight_scale/input_scale(/smooth_scale);
+    first/last layers stay bf16. The learned rotary bands (`rope.bands`,
+    dit_module.py:723-775) are baked into `rope_bands`. Tensor layouts:
+    torch Linear weights [out, in] transpose to [in, out]; the conv3d
+    x_embedder reshapes to our (ph, pw, C)-ordered patch matmul.
+    """
+    L = cfg.num_layers
+
+    def t2j(x, dt=None):
+        a = _to_np(x)
+        out = jnp.asarray(a)
+        return out.astype(dt) if dt is not None else out
+
+    def lin_t(name, dt=dtype, bias=False):
+        p = {"w": t2j(sd[f"{name}.weight"]).T.astype(dt)}
+        if bias:
+            p["b"] = t2j(sd[f"{name}.bias"], dt)
+        return p
+
+    def maybe_quant_lin(name, dt=dtype):
+        """Plain or fp8 linear depending on the checkpoint's tensors."""
+        if f"{name}.weight_scale" in sd:
+            w_q = _to_np(sd[f"{name}.weight"])           # [1, out, in] e4m3
+            w_q = jnp.asarray(w_q.reshape(w_q.shape[-2], w_q.shape[-1])).T
+            p = {
+                "w_q": w_q.astype(jnp.float8_e4m3fn),
+                "weight_scale": t2j(sd[f"{name}.weight_scale"],
+                                    jnp.float32).reshape(()),
+            }
+            if f"{name}.smooth_scale" in sd:             # per-channel
+                p["smooth_scale"] = t2j(sd[f"{name}.smooth_scale"],
+                                        jnp.float32).reshape(-1)
+                p["input_scale"] = t2j(sd[f"{name}.input_scale"],
+                                       jnp.float32).reshape(())
+            else:                                        # per-tensor
+                p["act_scale"] = t2j(sd[f"{name}.input_scale"],
+                                     jnp.float32).reshape(-1)
+            return p
+        return lin_t(name, dt)
+
+    def ln_t(name, dt=jnp.float32):
+        return {"w": t2j(sd[f"{name}.weight"], dt),
+                "b": t2j(sd[f"{name}.bias"], dt)}
+
+    def block(i):
+        pre = f"videodit_blocks.layers.{i}"
+        att = f"{pre}.self_attention"
+        return {
+            "ln_qkv": ln_t(f"{att}.linear_qkv.layer_norm", dtype),
+            "q": maybe_quant_lin(f"{att}.linear_qkv.q"),
+            "qx": maybe_quant_lin(f"{att}.linear_qkv.qx"),
+            "k": maybe_quant_lin(f"{att}.linear_qkv.k"),
+            "v": maybe_quant_lin(f"{att}.linear_qkv.v"),
+            "q_ln": ln_t(f"{att}.q_layernorm"),
+            "qx_ln": ln_t(f"{att}.q_layernorm_xattn"),
+            "k_ln": ln_t(f"{att}.k_layernorm"),
+            "kx_ln": ln_t(f"{att}.k_layernorm_xattn"),
+            "kv_xattn": lin_t(f"{att}.linear_kv_xattn"),
+            "proj": maybe_quant_lin(f"{att}.linear_proj"),
+            "ada_proj": lin_t(f"{pre}.ada_modulate_layer.proj.0",
+                              jnp.float32, bias=True),
+            "self_post_norm": ln_t(f"{pre}.self_attn_post_norm"),
+            "mlp_post_norm": ln_t(f"{pre}.mlp_post_norm"),
+            "mlp_ln": ln_t(f"{pre}.mlp.layer_norm", dtype),
+            "fc1": maybe_quant_lin(f"{pre}.mlp.linear_fc1"),
+            "fc2": maybe_quant_lin(f"{pre}.mlp.linear_fc2"),
+        }
+
+    blocks = [block(i) for i in range(L)]
+    quantized = any("w_q" in b["q"] for b in blocks)
+
+    # x_embedder: Conv3d [h, C, tp, ph, pw] -> matmul [(ph pw C), h] matching
+    # our patchify feature order (ph, pw, c)
+    w = _to_np(sd["x_embedder.weight"])
+    h_dim = w.shape[0]
+    w = w.reshape(h_dim, cfg.in_channels, cfg.t_patch_size, cfg.patch_size,
+                  cfg.patch_size)
+    w = np.transpose(w, (2, 3, 4, 1, 0)).reshape(-1, h_dim)  # tp,ph,pw,C major
+
+    params = {
+        "x_embedder": {"w": jnp.asarray(w).astype(dtype)},
+        "t_embedder": {
+            "fc1": lin_t("t_embedder.mlp.0", jnp.float32, bias=True),
+            "fc2": lin_t("t_embedder.mlp.2", jnp.float32, bias=True),
+        },
+        "y_embedder": {
+            "y_proj_xattn": lin_t("y_embedder.y_proj_xattn.0", dtype,
+                                  bias=True),
+            "y_proj_adaln": lin_t("y_embedder.y_proj_adaln.0", jnp.float32,
+                                  bias=True),
+            "null_caption_embedding": t2j(
+                sd["y_embedder.null_caption_embedding"], dtype),
+        },
+        "rope_bands": t2j(sd["rope.bands"], jnp.float32),
+        "final_layernorm": ln_t("videodit_blocks.final_layernorm"),
+        "final_linear": lin_t("final_linear.linear"),
+    }
+
+    stack = lambda bs: jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+    if quantized:
+        params["blocks_first"] = blocks[0]
+        params["blocks_mid"] = stack(blocks[1:-1])
+        params["blocks_last"] = blocks[-1]
+    else:
+        params["blocks"] = stack(blocks)
+    return params

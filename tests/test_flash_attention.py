@@ -200,3 +200,30 @@ def test_flash_gqa_return_lse():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_flash_quant_v2_parity():
+    """int8-PV kernel (per-kv-block V scales, fixed 127 p-quant) vs the
+    dequantized oracle — p is quantized to 1/127 steps so tolerance is
+    looser than the bf16 path but must stay within ~1%."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant_v2
+
+    rng = np.random.default_rng(11)
+    b, sq, skv, h, d = 2, 16, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    lens = jnp.asarray([300, 512], jnp.int32)
+    got = flash_attention_prefix_quant_v2(
+        q, k_q, v_q, k_s, v_s, lens, interpret=True, q_block=16, kv_block=128,
+    )
+    for i, L in enumerate([300, 512]):
+        want, _ = attention_reference(q[i:i+1], k_deq[i:i+1], v_deq[i:i+1],
+                                      jnp.arange(skv) < L)
+        np.testing.assert_allclose(np.asarray(got[i:i+1]), np.asarray(want),
+                                   rtol=0.02, atol=0.02)

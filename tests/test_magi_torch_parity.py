@@ -1,0 +1,436 @@
+"""MAGI DiT forward vs a torch-CPU oracle of the reference layer graph.
+
+The oracle re-derives, from the reference equations (dit_model.py:114-362,
+dit_module.py:180-1391), the exact computation: learned-band rope
+(build_fourier_pos_embed in_pixels=False + flash rotate-half), parallel
+self+cross attention from one shared LayerNorm, (n=2, hn=groups) interleaved
+joint projection, softcap gate-only modulation with post-norms, MLP with own
+pre-LN, final LayerNorm + linear — including the fp8 distill-quant formula
+(div_clamp_to + scaled e4m3 matmul). The JAX model consumes a converted
+reference-format state dict, so this test also validates
+`convert_magi_state_dict` layout mapping end-to-end."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from inferix_tpu.kvcache.cache import init_kv_cache
+from inferix_tpu.models.magi.dit import (
+    MagiModelConfig,
+    init_magi_params,
+    magi_forward,
+    make_magi_statics,
+    tiny_magi_config,
+)
+from inferix_tpu.utils.checkpoint import convert_magi_state_dict
+
+torch.manual_seed(0)
+
+
+# ---------------------------------------------------------------------------
+# oracle pieces
+# ---------------------------------------------------------------------------
+
+def oracle_rope_angles(bands, t_total, gh, gw):
+    rf = math.sqrt((gh * gw) / 256.0)
+    tt = torch.arange(t_total, dtype=torch.float64)
+    th = torch.arange(gh, dtype=torch.float64) - (gh - 1) / 2
+    tw = torch.arange(gw, dtype=torch.float64) - (gw - 1) / 2
+    rh, rw = gh / rf, gw / rf
+    if gh > 1 and abs(rh - gh) > 1e-9:
+        th = th / (gh - 1) * (rh - 1)
+    if gw > 1 and abs(rw - gw) > 1e-9:
+        tw = tw / (gw - 1) * (rw - 1)
+    grid = torch.stack(torch.meshgrid(tt, th, tw, indexing="ij"), dim=-1)
+    pos = grid.unsqueeze(-1) * bands.double()
+    return pos.reshape(t_total * gh * gw, -1)
+
+
+def oracle_apply_rope(x, angles):
+    """x: [B, S, H, D]; rotate-half on first 2*half dims."""
+    half = angles.shape[-1]
+    cos = torch.cos(angles).float()[None, :, None, :]
+    sin = torch.sin(angles).float()[None, :, None, :]
+    x1, x2, tail = (x[..., :half].float(), x[..., half:2 * half].float(),
+                    x[..., 2 * half:].float())
+    return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin, tail.float()],
+                     dim=-1)
+
+
+def oracle_ln(x, w, b, eps, one_p=True):
+    wf = w.float() + 1 if one_p else w.float()
+    return torch.nn.functional.layer_norm(
+        x.float(), (x.shape[-1],), wf, b.float(), eps)
+
+
+def oracle_attention(q, k, v, mask=None):
+    """q [B,Sq,H,D], k/v [B,Skv,Hkv,D] (repeat-interleaved to H), mask
+    [B,Skv] or [Skv] bool."""
+    rep = q.shape[2] // k.shape[2]
+    if rep > 1:
+        k = torch.repeat_interleave(k, rep, dim=2)
+        v = torch.repeat_interleave(v, rep, dim=2)
+    logits = torch.einsum("bqhd,bkhd->bhqk", q.float(), k.float())
+    logits = logits / math.sqrt(q.shape[-1])
+    if mask is not None:
+        m = mask if mask.dim() == 2 else mask[None]
+        logits = logits.masked_fill(~m[:, None, None, :], float("-inf"))
+    p = torch.softmax(logits, dim=-1).nan_to_num()
+    return torch.einsum("bhqk,bkhd->bqhd", p, v.float())
+
+
+def oracle_fp8_linear(x, p):
+    """div_clamp_to + scaled e4m3 matmul (dit_module.py:367-490)."""
+    if "weight_scale" not in p:
+        return x.float() @ p["weight"].float().t()
+    w = p["weight"].reshape(p["weight"].shape[-2], p["weight"].shape[-1])
+    w_deq = w.float() * p["weight_scale"].float()
+    if "smooth_scale" in p:
+        s = p["smooth_scale"].float().reshape(-1)
+        xq = torch.clamp(x.float() / s, -448, 448).to(
+            torch.float8_e4m3fn).float() * p["input_scale"].float()
+    else:
+        s = p["input_scale"].float().reshape(-1)
+        xq = torch.clamp(x.float() / s, -448, 448).to(
+            torch.float8_e4m3fn).float() * s
+    return xq @ w_deq.t()
+
+
+class MagiOracle:
+    def __init__(self, sd, cfg: MagiModelConfig, max_chunks: int,
+                 latent_h: int, latent_w: int):
+        self.sd = sd
+        self.cfg = cfg
+        self.gh, self.gw = latent_h // cfg.patch_size, latent_w // cfg.patch_size
+        self.ct = cfg.chunk_width * self.gh * self.gw
+        self.max_chunks = max_chunks
+        nkv = cfg.num_query_groups
+        self.kcache = torch.zeros(1, max_chunks * self.ct, nkv,
+                                  cfg.kv_channels)
+        self.vcache = torch.zeros_like(self.kcache)
+        # one cache per layer
+        self.kcaches = [self.kcache.clone() for _ in range(cfg.num_layers)]
+        self.vcaches = [self.vcache.clone() for _ in range(cfg.num_layers)]
+
+    def _lin(self, name, x, bias=False):
+        sd = self.sd
+        if f"{name}.weight_scale" in sd:
+            return oracle_fp8_linear(
+                x, {k.split(".")[-1]: sd[f"{name}.{k.split('.')[-1]}"]
+                    for k in [f"{name}.weight", f"{name}.weight_scale",
+                              f"{name}.input_scale"]
+                    + ([f"{name}.smooth_scale"]
+                       if f"{name}.smooth_scale" in sd else [])})
+        out = x.float() @ sd[f"{name}.weight"].float().t()
+        if bias:
+            out = out + sd[f"{name}.bias"].float()
+        return out
+
+    def _ln(self, name, x):
+        return oracle_ln(x, self.sd[f"{name}.weight"],
+                         self.sd[f"{name}.bias"],
+                         self.cfg.layernorm_epsilon)
+
+    def t_embed(self, t):
+        half = 128
+        freqs = torch.exp(-math.log(10000.0)
+                          * torch.arange(half, dtype=torch.float32) / half)
+        args = t.float().unsqueeze(-1) * freqs * 1000.0
+        emb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+        h = self._lin("t_embedder.mlp.0", emb, bias=True)
+        return self._lin("t_embedder.mlp.2", torch.nn.functional.silu(h),
+                         bias=True)
+
+    def forward(self, x_window, t, captions, cmask, slice_point, kv_ranges):
+        cfg, sd = self.cfg, self.sd
+        b, frames = x_window.shape[0], x_window.shape[1]
+        n_chunks = t.shape[1]
+        p = cfg.patch_size
+        gh, gw, ct = self.gh, self.gw, self.ct
+        nh, nkv, hd = (cfg.num_attention_heads, cfg.num_query_groups,
+                       cfg.kv_channels)
+        rep = nh // nkv
+        eps = cfg.layernorm_epsilon
+
+        # patchify (ph, pw, c feature order) + conv-as-matmul
+        xw = x_window.reshape(b, frames, gh, p, gw, p, cfg.in_channels)
+        xw = xw.permute(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, frames * gh * gw, p * p * cfg.in_channels)
+        wemb = sd["x_embedder.weight"].reshape(
+            cfg.hidden_size, cfg.in_channels, p, p)
+        wemb = wemb.permute(2, 3, 1, 0).reshape(-1, cfg.hidden_size)
+        h = xw.float() @ wemb.float()
+
+        cvec = self.t_embed(t.flatten()).reshape(b, n_chunks, -1)
+        null_tok = sd["y_embedder.null_caption_embedding"][-2]
+        y_adaln = self._lin("y_embedder.y_proj_adaln.0", null_tok[None],
+                            bias=True)[0]
+        cond = cvec + y_adaln[None, None]
+        y = torch.nn.functional.silu(
+            self._lin("y_embedder.y_proj_xattn.0", captions.float(),
+                      bias=True))
+
+        angles = oracle_rope_angles(sd["rope.bands"], self.max_chunks
+                                    * cfg.chunk_width, gh, gw)
+        start = slice_point * ct
+        ang = angles[start:start + n_chunks * ct]
+
+        spans = kv_ranges * ct
+        cur_end = start + n_chunks * ct
+
+        for i in range(cfg.num_layers):
+            pre = f"videodit_blocks.layers.{i}"
+            att = f"{pre}.self_attention"
+            residual = h
+            ln = self._ln(f"{att}.linear_qkv.layer_norm", h)
+
+            q = self._lin(f"{att}.linear_qkv.q", ln).reshape(b, -1, nh, hd)
+            q = self._ln(f"{att}.q_layernorm", q)
+            q = oracle_apply_rope(q, ang)
+            k = self._lin(f"{att}.linear_qkv.k", ln).reshape(b, -1, nkv, hd)
+            k = self._ln(f"{att}.k_layernorm", k)
+            k = oracle_apply_rope(k, ang)
+            v = self._lin(f"{att}.linear_qkv.v", ln).reshape(b, -1, nkv, hd)
+
+            self.kcaches[i][:, start:cur_end] = k
+            self.vcaches[i][:, start:cur_end] = v
+
+            outs = []
+            for ci in range(n_chunks):
+                qi = q[:, ci * ct:(ci + 1) * ct]
+                s0, s1 = int(spans[ci, 0]), min(int(spans[ci, 1]),
+                                                int(cur_end))
+                outs.append(oracle_attention(
+                    qi, self.kcaches[i][:, s0:s1],
+                    self.vcaches[i][:, s0:s1]))
+            core = torch.cat(outs, dim=1)
+
+            qx = self._lin(f"{att}.linear_qkv.qx", ln).reshape(b, -1, nh, hd)
+            qx = self._ln(f"{att}.q_layernorm_xattn", qx)
+            kv_y = self._lin(f"{att}.linear_kv_xattn", y)
+            cap_len = y.shape[2]
+            kv_y = kv_y.reshape(b, n_chunks, cap_len, nkv, 2 * hd)
+            yk = self._ln(f"{att}.k_layernorm_xattn", kv_y[..., :hd])
+            yv = kv_y[..., hd:]
+            cq = qx.reshape(b, n_chunks, ct, nh, hd).reshape(
+                b * n_chunks, ct, nh, hd)
+            ck = yk.reshape(b * n_chunks, cap_len, nkv, hd)
+            cv = yv.reshape(b * n_chunks, cap_len, nkv, hd)
+            cm = cmask.reshape(b * n_chunks, cap_len) > 0
+            xa = oracle_attention(cq, ck, cv, cm)
+            xatt = xa.reshape(b, n_chunks * ct, nh, hd)
+
+            # concat + (n=2, hn=nkv) rearrange + joint proj
+            cat = torch.cat([core.reshape(b, -1, nh * hd),
+                             xatt.reshape(b, -1, nh * hd)], dim=-1)
+            cat = cat.reshape(b, -1, 2, nkv, rep * hd).permute(0, 1, 3, 2, 4)
+            cat = cat.reshape(b, -1, 2 * nh * hd)
+            h1 = self._lin(f"{att}.linear_proj", cat)
+
+            gates = self._lin(f"{pre}.ada_modulate_layer.proj.0",
+                              torch.nn.functional.silu(cond.float()),
+                              bias=True)
+            gates = 1.0 * torch.tanh(gates / 1.0)
+            g_msa, g_mlp = gates.chunk(2, dim=-1)
+
+            def bma(xv, res, gate, norm_name):
+                xf = xv.reshape(b, n_chunks, ct, -1) * gate[:, :, None]
+                xf = self._ln(norm_name, xf.reshape(b, n_chunks * ct, -1))
+                return xf + res.float()
+
+            h = bma(h1, residual, g_msa, f"{pre}.self_attn_post_norm")
+            residual = h
+            mlp_in = self._ln(f"{pre}.mlp.layer_norm", h)
+            ff = self._lin(
+                f"{pre}.mlp.linear_fc2",
+                torch.nn.functional.gelu(
+                    self._lin(f"{pre}.mlp.linear_fc1", mlp_in)))
+            h = bma(ff, residual, g_mlp, f"{pre}.mlp_post_norm")
+
+        h = self._ln("videodit_blocks.final_layernorm", h)
+        out = self._lin("final_linear.linear", h)
+        out = out.reshape(b, frames, gh, gw, p, p, cfg.out_channels)
+        out = out.permute(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, frames, gh * p, gw * p, cfg.out_channels)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# state-dict builder
+# ---------------------------------------------------------------------------
+
+def make_reference_sd(cfg: MagiModelConfig, fp8_layers=()):
+    g = torch.Generator().manual_seed(7)
+    h, hd = cfg.hidden_size, cfg.kv_channels
+    nh, nkv = cfg.num_attention_heads, cfg.num_query_groups
+    q_dim, kv_dim = nh * hd, nkv * hd
+    cond = cfg.cond_dim
+    sd = {}
+
+    def lin(name, i, o, bias=False, scale=0.05):
+        sd[f"{name}.weight"] = torch.randn(o, i, generator=g) * scale
+        if bias:
+            sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.02
+
+    def fp8_lin(name, i, o, per_channel=False):
+        w = torch.randn(o, i, generator=g) * 0.05
+        w_scale = w.abs().max() / 448.0
+        sd[f"{name}.weight"] = (w / w_scale).to(torch.float8_e4m3fn
+                                                ).reshape(1, o, i)
+        sd[f"{name}.weight_scale"] = w_scale.reshape(1)
+        if per_channel:
+            sd[f"{name}.smooth_scale"] = (
+                torch.rand(i, generator=g) * 0.5 + 0.75).reshape(1, i)
+            sd[f"{name}.input_scale"] = torch.tensor([0.02])
+        else:
+            sd[f"{name}.input_scale"] = torch.full((i,), 0.02)
+
+    def ln(name, n):
+        sd[f"{name}.weight"] = torch.randn(n, generator=g) * 0.02
+        sd[f"{name}.bias"] = torch.randn(n, generator=g) * 0.02
+
+    sd["x_embedder.weight"] = torch.randn(
+        h, cfg.in_channels, cfg.t_patch_size, cfg.patch_size, cfg.patch_size,
+        generator=g) * 0.05
+    lin("t_embedder.mlp.0", 256, cond, bias=True)
+    lin("t_embedder.mlp.2", cond, cond, bias=True)
+    lin("y_embedder.y_proj_xattn.0", cfg.caption_channels, cfg.xattn_dim,
+        bias=True)
+    lin("y_embedder.y_proj_adaln.0", cfg.caption_channels, cond, bias=True)
+    sd["y_embedder.null_caption_embedding"] = torch.randn(
+        cfg.caption_max_length, cfg.caption_channels, generator=g) * 0.3
+    nb = hd // 8
+    sd["rope.bands"] = 1.0 / (10000.0 ** (torch.arange(nb).float() / nb)) \
+        * (1.0 + 0.1 * torch.randn(nb, generator=g))  # "learned" bands
+
+    for i in range(cfg.num_layers):
+        pre = f"videodit_blocks.layers.{i}"
+        att = f"{pre}.self_attention"
+        ln(f"{att}.linear_qkv.layer_norm", h)
+        if i in fp8_layers:
+            fp8_lin(f"{att}.linear_qkv.q", h, q_dim)
+            fp8_lin(f"{att}.linear_qkv.qx", h, q_dim)
+            fp8_lin(f"{att}.linear_qkv.k", h, kv_dim)
+            fp8_lin(f"{att}.linear_qkv.v", h, kv_dim)
+            fp8_lin(f"{att}.linear_proj", 2 * q_dim, h, per_channel=True)
+            fp8_lin(f"{pre}.mlp.linear_fc1", h, cfg.ffn_hidden_size)
+            fp8_lin(f"{pre}.mlp.linear_fc2", cfg.ffn_hidden_size, h,
+                    per_channel=True)
+        else:
+            lin(f"{att}.linear_qkv.q", h, q_dim)
+            lin(f"{att}.linear_qkv.qx", h, q_dim)
+            lin(f"{att}.linear_qkv.k", h, kv_dim)
+            lin(f"{att}.linear_qkv.v", h, kv_dim)
+            lin(f"{att}.linear_proj", 2 * q_dim, h)
+            lin(f"{pre}.mlp.linear_fc1", h, cfg.ffn_hidden_size)
+            lin(f"{pre}.mlp.linear_fc2", cfg.ffn_hidden_size, h)
+        ln(f"{att}.q_layernorm", hd)
+        ln(f"{att}.q_layernorm_xattn", hd)
+        ln(f"{att}.k_layernorm", hd)
+        ln(f"{att}.k_layernorm_xattn", hd)
+        lin(f"{att}.linear_kv_xattn", cfg.xattn_dim, 2 * kv_dim)
+        lin(f"{pre}.ada_modulate_layer.proj.0", cond, 2 * h, bias=True)
+        ln(f"{pre}.self_attn_post_norm", h)
+        ln(f"{pre}.mlp_post_norm", h)
+        ln(f"{pre}.mlp.layer_norm", h)
+    ln("videodit_blocks.final_layernorm", h)
+    lin("final_linear.linear", h,
+        cfg.t_patch_size * cfg.patch_size**2 * cfg.out_channels)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def _run_pair(fp8_layers=(), tol=2e-3):
+    import dataclasses as _dc
+
+    cfg = tiny_magi_config()
+    if fp8_layers:
+        # need >= 3 layers so a MIDDLE layer can be quantized (reference
+        # exempts first and last)
+        cfg = _dc.replace(cfg, num_layers=3)
+    latent_h = latent_w = 8
+    max_chunks = 4
+    sd = make_reference_sd(cfg, fp8_layers)
+    params = convert_magi_state_dict(sd, cfg, dtype=jnp.float32)
+    statics = make_magi_statics(cfg, 1, latent_h, latent_w, max_chunks,
+                                jnp.float32)
+    cache = init_kv_cache(statics.spec)
+    oracle = MagiOracle(sd, cfg, max_chunks, latent_h, latent_w)
+
+    rng = np.random.default_rng(3)
+    cap = rng.standard_normal((1, 2, cfg.caption_max_length,
+                               cfg.caption_channels)).astype(np.float32)
+    cmask = np.ones((1, 2, cfg.caption_max_length), np.float32)
+    cmask[:, :, -2:] = 0.0
+
+    # window 1: chunks 0-1 at mixed t
+    x1 = rng.standard_normal((1, 2 * cfg.chunk_width, latent_h, latent_w,
+                              cfg.in_channels)).astype(np.float32)
+    t1 = np.asarray([[0.3, 0.8]], np.float32)
+    kvr1 = np.asarray([[0, 1], [0, 2]], np.int32)
+    want1 = oracle.forward(torch.from_numpy(x1), torch.from_numpy(t1),
+                           torch.from_numpy(cap), torch.from_numpy(cmask),
+                           0, torch.from_numpy(kvr1))
+    got1, cache = magi_forward(params, statics, None, jnp.asarray(x1),
+                               jnp.asarray(t1), jnp.asarray(cap),
+                               jnp.asarray(cmask), cache, jnp.int32(0),
+                               jnp.asarray(kvr1))
+    np.testing.assert_allclose(np.asarray(got1), want1.numpy(),
+                               rtol=tol, atol=tol, err_msg="window 1")
+
+    # window 2: chunks 2-3, attending the cached prefix (tests cache parity)
+    x2 = rng.standard_normal((1, 2 * cfg.chunk_width, latent_h, latent_w,
+                              cfg.in_channels)).astype(np.float32)
+    t2 = np.asarray([[0.1, 0.6]], np.float32)
+    kvr2 = np.asarray([[0, 3], [1, 4]], np.int32)
+    want2 = oracle.forward(torch.from_numpy(x2), torch.from_numpy(t2),
+                           torch.from_numpy(cap), torch.from_numpy(cmask),
+                           2, torch.from_numpy(kvr2))
+    got2, cache = magi_forward(params, statics, None, jnp.asarray(x2),
+                               jnp.asarray(t2), jnp.asarray(cap),
+                               jnp.asarray(cmask), cache, jnp.int32(2),
+                               jnp.asarray(kvr2))
+    np.testing.assert_allclose(np.asarray(got2), want2.numpy(),
+                               rtol=tol, atol=tol, err_msg="window 2")
+
+
+def test_magi_forward_matches_torch_oracle():
+    _run_pair()
+
+
+def test_magi_fp8_distill_quant_matches_torch_oracle():
+    """Middle layer quantized (first/last bf16 like the reference's
+    layer 0 / L-1 exception) — validates the fp8 loading path + the
+    div_clamp_to formula."""
+    _run_pair(fp8_layers=(1,), tol=4e-3)
+
+
+def test_magi_learned_rope_bands_are_used():
+    """Perturbing the rope bands changes the output (learned rope is baked,
+    not the fixed Wan-style tables)."""
+    cfg = tiny_magi_config()
+    sd = make_reference_sd(cfg)
+    params = convert_magi_state_dict(sd, cfg, dtype=jnp.float32)
+    statics = make_magi_statics(cfg, 1, 8, 8, 4, jnp.float32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 2 * cfg.chunk_width, 8, 8,
+                                         cfg.in_channels)), jnp.float32)
+    t = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    cap = jnp.asarray(rng.standard_normal(
+        (1, 2, cfg.caption_max_length, cfg.caption_channels)), jnp.float32)
+    cm = jnp.ones((1, 2, cfg.caption_max_length))
+    kvr = jnp.asarray([[0, 1], [0, 2]], jnp.int32)
+
+    out1, _ = magi_forward(params, statics, None, x, t, cap, cm,
+                           init_kv_cache(statics.spec), jnp.int32(0), kvr)
+    params2 = dict(params)
+    params2["rope_bands"] = params["rope_bands"] * 1.5
+    out2, _ = magi_forward(params2, statics, None, x, t, cap, cm,
+                           init_kv_cache(statics.spec), jnp.int32(0), kvr)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
