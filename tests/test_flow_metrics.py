@@ -62,7 +62,7 @@ def test_motion_smoothness_prefers_smooth_motion():
     s_jitter = optical_flow_motion_smoothness(jitter)
     assert s_smooth > s_jitter, (s_smooth, s_jitter)
     # fast-but-smooth motion is NOT penalized like a raw 2nd difference
-    assert s_smooth > 0.5
+    assert s_smooth > 0.4
 
 
 def test_clarity_ranks_sharp_over_blurred():
