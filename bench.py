@@ -85,11 +85,16 @@ def main() -> None:
 
     bf16_fps, bf16_ttfb = run_config(cfg, params, jnp.bfloat16)
 
+    # headline quant config: int8 W8A8 linears + bf16 KV COMPUTE. Measured
+    # (exp/r2_results.jsonl attn_quant): int8-KV attention is SLOWER than
+    # bf16 on v5e (7.11 vs 6.54 ms at full cache — dequant VPU tax exceeds
+    # the int8-MXU gain), so the quantized KV cache is a CAPACITY feature
+    # (half HBM -> 2 concurrent streams below), not a speed feature.
     qcfg = EngineConfig()
     qcfg.quant.enabled = True
     qcfg.quant.dtype = "int8"
     qcfg.quant.granularity = "per_channel"
-    qcfg.quant.quantize_kv_cache = True
+    qcfg.quant.quantize_kv_cache = False
     qparams = quantize_params(params, qcfg.quant)
     int8_fps, int8_ttfb = run_config(qcfg, qparams, jnp.bfloat16)
 

@@ -158,7 +158,12 @@ def cache_attention(
 
     if k_scale is not None:
         if use_pallas:
-            from .flash_attention import flash_attention_prefix_quant
+            # v2: int8 PV matmul with per-kv-block V scales (measured 7.11ms
+            # vs v1's 8.01 at full cache; bf16-KV remains fastest at 6.54 —
+            # int8 KV buys HBM capacity, not speed, on v5e)
+            from .flash_attention import (
+                flash_attention_prefix_quant_v2 as flash_attention_prefix_quant,
+            )
 
             if kv_mask is None:
                 kv_len = jnp.int32(k.shape[1])

@@ -180,6 +180,14 @@ class SemiARGenerator:
                 start_frame += fpb
             outputs.append(initial_latent)
 
+        spec = self.statics.spec
+        if not spec.ring:
+            total = (start_frame + num_frames) * self.frame_seq
+            assert total <= spec.max_tokens, (
+                f"clip needs {total} cache tokens but the global window holds "
+                f"{spec.max_tokens}; raise max_attention_frames or enable the "
+                f"rolling window (local_attn_size)"
+            )
         for bi in range(num_blocks):
             rng, step_rng = jax.random.split(rng)
             noisy = noise[:, bi * fpb:(bi + 1) * fpb]
