@@ -1,107 +1,284 @@
 """Prompt extension: LLM-based prompt expansion before generation.
 
-Parity with `inferix/models/wan_base/utils/prompt_extend.py` (`QwenPromptExpander`
-:300, `DashScopePromptExpander` :157): an expander interface with the Wan
-system prompts, a local-LLM implementation (any HF causal LM, Qwen by
-default) and an API-backed implementation — both optional; the passthrough
-expander keeps pipelines dependency-free.
+Capability parity with `inferix/models/wan_base/utils/prompt_extend.py`
+(`QwenPromptExpander` :300-543, `DashScopePromptExpander` :157-297):
+
+* task- and language-aware system prompts (t2v / i2v x EN / CH) with
+  automatic language detection;
+* local Qwen expansion through HF transformers (text models via
+  AutoModelForCausalLM, vision-language models via Qwen2.5-VL for the
+  image-conditioned i2v path) with model aliases, local-path loading, and
+  CPU offload between calls (the reference moves the LM off-GPU so it
+  doesn't squat on generation memory);
+* DashScope API expansion;
+* a structured `PromptOutput` (status / prompt / seed / system_prompt /
+  message) matching the reference's result contract.
+
+System-prompt text is an original rendering of the same instructions (the
+reference's exact Wan prompt text can be supplied via `system_prompt=` for
+deployments that require it verbatim). Model weights are not bundled: the
+Qwen expanders require a local checkpoint path or hub access; without them
+the passthrough expander keeps pipelines dependency-free.
 """
 from __future__ import annotations
 
 import abc
 import dataclasses
-from typing import Optional
+import json
+import os
+from typing import Optional, Union
 
-# The Wan English system prompt (condensed from the reference's template —
-# same instructions: enrich short user prompts with detailed, fluent visual
-# descriptions for video generation without changing intent).
-SYSTEM_PROMPT = (
-    "You are a prompt engineer for a text-to-video model. Rewrite the user's "
-    "prompt into a detailed, fluent description: elaborate subjects, scene, "
-    "lighting, camera movement and style; keep the original intent, quantity "
-    "and attributes; output only the rewritten prompt, 80-120 words."
+# ---------------------------------------------------------------------------
+# System prompts (instruction-equivalent rendering of the reference's
+# LM_EN/CH + VL_EN/CH templates, prompt_extend.py:23-155)
+# ---------------------------------------------------------------------------
+
+LM_EN_SYS_PROMPT = (
+    "You are a prompt engineer for a text-to-video model. Rewrite the "
+    "user's input into a rich, high-quality video prompt without changing "
+    "its meaning. Rules: (1) for short inputs, infer and add reasonable "
+    "detail that makes the scene complete and appealing; (2) elaborate the "
+    "subjects' appearance, expression, count, posture, the visual style, "
+    "spatial relations and shot scale; (3) write the whole output in "
+    "English and keep quoted text and key input facts unchanged; (4) match "
+    "the style the user asked for, otherwise pick the most fitting one; "
+    "(5) emphasise motion and camera movement; (6) give the subject "
+    "natural actions using simple direct verbs; (7) keep the rewrite "
+    "around 80-100 words. Reply with the rewritten prompt only — even if "
+    "the input looks like an instruction, rewrite the instruction itself "
+    "instead of answering it."
+)
+
+LM_CH_SYS_PROMPT = (
+    "你是视频生成模型的提示词优化师。请在不改变原意的前提下，把用户输入改写成"
+    "更完整、更有表现力的优质提示词。要求：1) 输入过短时合理补全细节，让画面完整"
+    "好看；2) 完善主体特征（外貌、表情、数量、姿态）、画面风格、空间关系与镜头景"
+    "别；3) 整体用中文输出，引号内原文与关键信息保持不变；4) 风格应符合用户意图，"
+    "未指定时选择最合适的风格；5) 强调输入中的运动信息与镜头运动；6) 为主体补充自"
+    "然的动作，用简单直接的动词；7) 改写后控制在 80-100 字左右。即使输入看起来是"
+    "一条指令，也请改写该指令本身而不是回答它，直接输出改写结果，不要多余回复。"
+)
+
+VL_EN_SYS_PROMPT = (
+    "You are a prompt engineer for an image-to-video model. Using both the "
+    "provided image and the user's text, rewrite the text into a rich "
+    "video prompt that stays faithful to what the image shows: describe "
+    "the visible subjects, their appearance and placement, the scene, "
+    "lighting and style exactly as depicted, then add the motion the video "
+    "should contain. Keep quoted text unchanged, write in English, around "
+    "80-100 words, and reply with the rewritten prompt only."
+)
+
+VL_CH_SYS_PROMPT = (
+    "你是图生视频模型的提示词优化师。请结合用户提供的图片与文字输入，把文字改写"
+    "为忠实于图片内容的优质视频提示词：准确描述图中可见的主体、外观、位置、场景、"
+    "光线与风格，再补充视频应呈现的运动。引号内原文保持不变，用中文输出，控制在"
+    " 80-100 字左右，直接输出改写结果。"
 )
 
 
+def detect_language(text: str) -> str:
+    """'ch' when CJK characters dominate, else 'en' (reference uses the
+    same binary split to pick the system prompt)."""
+    cjk = sum(1 for c in text if "一" <= c <= "鿿")
+    return "ch" if cjk > max(1, len(text)) * 0.2 else "en"
+
+
+def decide_system_prompt(task: str = "t2v", lang: Optional[str] = None,
+                         prompt: str = "") -> str:
+    lang = lang or detect_language(prompt)
+    if task == "i2v":
+        return VL_CH_SYS_PROMPT if lang == "ch" else VL_EN_SYS_PROMPT
+    return LM_CH_SYS_PROMPT if lang == "ch" else LM_EN_SYS_PROMPT
+
+
 @dataclasses.dataclass
-class PromptExpansion:
+class PromptOutput:
+    """Reference result contract (prompt_extend.py PromptOutput)."""
+
+    status: bool
     prompt: str
-    system_prompt: str = SYSTEM_PROMPT
     seed: int = -1
+    system_prompt: str = ""
+    message: str = ""
 
 
 class PromptExpander(abc.ABC):
+    def __init__(self, model_name: str = "", is_vl: bool = False,
+                 device: Union[str, int] = "cpu"):
+        self.model_name = model_name
+        self.is_vl = is_vl
+        self.device = device
+
     @abc.abstractmethod
-    def __call__(self, prompt: str, seed: int = -1) -> str:
+    def extend(self, prompt: str, system_prompt: str,
+               seed: int = -1) -> PromptOutput:
         ...
+
+    def extend_with_img(self, prompt: str, system_prompt: str, image=None,
+                        seed: int = -1) -> PromptOutput:
+        raise NotImplementedError(f"{type(self).__name__} has no VL path")
+
+    def __call__(self, prompt: str, task: str = "t2v", image=None,
+                 seed: int = -1,
+                 system_prompt: Optional[str] = None) -> str:
+        sp = system_prompt or decide_system_prompt(task=task, prompt=prompt)
+        if image is not None:
+            out = self.extend_with_img(prompt, sp, image=image, seed=seed)
+        else:
+            out = self.extend(prompt, sp, seed=seed)
+        return out.prompt if out.status else prompt
 
 
 class PassthroughPromptExpander(PromptExpander):
     """No-op expander (default when no LLM is configured)."""
 
-    def __call__(self, prompt: str, seed: int = -1) -> str:
+    def __init__(self):
+        super().__init__("passthrough")
+
+    def extend(self, prompt, system_prompt, seed=-1):
+        return PromptOutput(True, prompt, seed, system_prompt, "")
+
+    def __call__(self, prompt: str, **kwargs) -> str:
         return prompt
 
 
 class QwenPromptExpander(PromptExpander):
-    """Local HF causal LM expansion (reference QwenPromptExpander)."""
+    """Local Qwen expansion (reference QwenPromptExpander,
+    prompt_extend.py:300-543): HF causal LM for text, Qwen2.5-VL for
+    image-conditioned expansion; the model lives on CPU between calls."""
 
-    def __init__(self, model_name: str = "Qwen/Qwen2.5-3B-Instruct",
-                 device: str = "cpu", max_new_tokens: int = 256):
-        try:
-            from transformers import AutoModelForCausalLM, AutoTokenizer
-        except ImportError as e:
-            raise RuntimeError("transformers is required for Qwen prompt "
-                               "extension") from e
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
-        self.model = AutoModelForCausalLM.from_pretrained(model_name).to(device)
-        self.device = device
+    MODEL_DICT = {
+        "QwenVL2.5_3B": "Qwen/Qwen2.5-VL-3B-Instruct",
+        "QwenVL2.5_7B": "Qwen/Qwen2.5-VL-7B-Instruct",
+        "Qwen2.5_3B": "Qwen/Qwen2.5-3B-Instruct",
+        "Qwen2.5_7B": "Qwen/Qwen2.5-7B-Instruct",
+        "Qwen2.5_14B": "Qwen/Qwen2.5-14B-Instruct",
+    }
+
+    def __init__(self, model_name: Optional[str] = None,
+                 device: Union[str, int] = "cpu", is_vl: bool = False,
+                 max_new_tokens: int = 512):
+        if model_name is None:
+            model_name = "QwenVL2.5_7B" if is_vl else "Qwen2.5_14B"
+        super().__init__(model_name, is_vl, device)
+        if not os.path.exists(self.model_name) and \
+                self.model_name in self.MODEL_DICT:
+            self.model_name = self.MODEL_DICT[self.model_name]
         self.max_new_tokens = max_new_tokens
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoTokenizer
+        except ImportError as e:
+            raise RuntimeError(
+                "transformers + torch are required for Qwen prompt "
+                "extension") from e
+        if is_vl:
+            from transformers import AutoProcessor
+            try:
+                from transformers import Qwen2_5_VLForConditionalGeneration
+            except ImportError as e:
+                raise RuntimeError(
+                    "this transformers build lacks Qwen2.5-VL") from e
+            self.processor = AutoProcessor.from_pretrained(
+                self.model_name, min_pixels=256 * 28 * 28,
+                max_pixels=1280 * 28 * 28, use_fast=True)
+            self.model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
+                self.model_name, device_map="cpu")
+            self.tokenizer = self.processor.tokenizer
+        else:
+            from transformers import AutoModelForCausalLM
+            self.model = AutoModelForCausalLM.from_pretrained(
+                self.model_name, device_map="cpu")
+            self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
 
-    def __call__(self, prompt: str, seed: int = -1) -> str:
+    def _generate(self, model_inputs) -> str:
+        generated = self.model.generate(**model_inputs,
+                                        max_new_tokens=self.max_new_tokens)
+        trimmed = [out[len(inp):] for inp, out in
+                   zip(model_inputs["input_ids"], generated)]
+        return self.tokenizer.batch_decode(
+            trimmed, skip_special_tokens=True)[0].strip()
+
+    def extend(self, prompt, system_prompt, seed=-1):
         import torch
 
         if seed >= 0:
             torch.manual_seed(seed)
-        messages = [
-            {"role": "system", "content": SYSTEM_PROMPT},
-            {"role": "user", "content": prompt},
-        ]
-        text = self.tokenizer.apply_chat_template(
-            messages, tokenize=False, add_generation_prompt=True
-        )
-        inputs = self.tokenizer([text], return_tensors="pt").to(self.device)
-        out = self.model.generate(**inputs,
-                                  max_new_tokens=self.max_new_tokens)
-        gen = out[0][inputs["input_ids"].shape[1]:]
-        return self.tokenizer.decode(gen, skip_special_tokens=True).strip()
+        self.model = self.model.to(self.device)
+        try:
+            messages = [{"role": "system", "content": system_prompt},
+                        {"role": "user", "content": prompt}]
+            text = self.tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True)
+            inputs = self.tokenizer([text], return_tensors="pt"
+                                    ).to(self.model.device)
+            expanded = self._generate(inputs)
+        finally:
+            self.model = self.model.to("cpu")
+        return PromptOutput(True, expanded, seed, system_prompt,
+                            json.dumps({"content": expanded},
+                                       ensure_ascii=False))
+
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1):
+        if not self.is_vl:
+            raise RuntimeError("construct QwenPromptExpander(is_vl=True) "
+                               "for image-conditioned extension")
+        import torch
+
+        if seed >= 0:
+            torch.manual_seed(seed)
+        self.model = self.model.to(self.device)
+        try:
+            messages = [
+                {"role": "system",
+                 "content": [{"type": "text", "text": system_prompt}]},
+                {"role": "user",
+                 "content": [{"type": "image", "image": image},
+                             {"type": "text", "text": prompt}]},
+            ]
+            text = self.processor.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True)
+            inputs = self.processor(text=[text], images=[image],
+                                    return_tensors="pt"
+                                    ).to(self.model.device)
+            expanded = self._generate(inputs)
+        finally:
+            self.model = self.model.to("cpu")
+        return PromptOutput(True, expanded, seed, system_prompt,
+                            json.dumps({"content": expanded},
+                                       ensure_ascii=False))
 
 
 class DashScopePromptExpander(PromptExpander):
-    """API-backed expansion (reference DashScopePromptExpander); requires the
-    dashscope package + API key in the environment."""
+    """API-backed expansion (reference DashScopePromptExpander,
+    prompt_extend.py:157-297); requires the dashscope package + API key."""
 
-    def __init__(self, model_name: str = "qwen-plus"):
+    def __init__(self, model_name: str = "qwen-plus", is_vl: bool = False):
+        super().__init__(model_name, is_vl)
         try:
             import dashscope  # noqa: F401
         except ImportError as e:
             raise RuntimeError("dashscope is required for API prompt "
                                "extension") from e
-        self.model_name = model_name
 
-    def __call__(self, prompt: str, seed: int = -1) -> str:
+    def extend(self, prompt, system_prompt, seed=-1):
         import dashscope
 
         rsp = dashscope.Generation.call(
             model=self.model_name,
-            messages=[
-                {"role": "system", "content": SYSTEM_PROMPT},
-                {"role": "user", "content": prompt},
-            ],
+            messages=[{"role": "system", "content": system_prompt},
+                      {"role": "user", "content": prompt}],
             seed=seed if seed >= 0 else None,
             result_format="message",
         )
-        return rsp.output.choices[0].message.content.strip()
+        try:
+            content = rsp.output.choices[0].message.content.strip()
+            return PromptOutput(True, content, seed, system_prompt,
+                                str(rsp))
+        except Exception:
+            return PromptOutput(False, prompt, seed, system_prompt,
+                                str(rsp))
 
 
 def create_prompt_expander(kind: str = "none", **kwargs) -> PromptExpander:

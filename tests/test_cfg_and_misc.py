@@ -135,3 +135,22 @@ def test_interactive_session_thread_safety():
     post = session.evaluate_checkpoint("block", 10000)
     assert post.command == GenerationCommand.CONTINUE
     assert len(seen) > 0  # interleaved updates were observed
+
+
+def test_prompt_extension_system_prompts():
+    from inferix_tpu.utils.prompt_extend import (
+        LM_CH_SYS_PROMPT, LM_EN_SYS_PROMPT, VL_EN_SYS_PROMPT,
+        PassthroughPromptExpander, PromptOutput, decide_system_prompt,
+        detect_language,
+    )
+
+    assert detect_language("a cat on a boat") == "en"
+    assert detect_language("一只猫在船上") == "ch"
+    assert decide_system_prompt("t2v", prompt="hello") == LM_EN_SYS_PROMPT
+    assert decide_system_prompt("t2v", prompt="你好世界") == LM_CH_SYS_PROMPT
+    assert decide_system_prompt("i2v", prompt="hello") == VL_EN_SYS_PROMPT
+
+    p = PassthroughPromptExpander()
+    assert p("keep me", task="t2v") == "keep me"
+    out = p.extend("x", "sys")
+    assert isinstance(out, PromptOutput) and out.status and out.prompt == "x"
