@@ -154,3 +154,25 @@ def test_prompt_extension_system_prompts():
     assert p("keep me", task="t2v") == "keep me"
     out = p.extend("x", "sys")
     assert isinstance(out, PromptOutput) and out.status and out.prompt == "x"
+
+
+def test_diffusion_analyzer_aggregation():
+    from inferix_tpu.profiling.diffusion_analyzer import DiffusionAnalyzer
+
+    an = DiffusionAnalyzer()
+    for s in range(4):
+        an.record_diffusion_step(s, 1.0 - s * 0.25, 3, 600.0 + 10 * s)
+    an.record_block_computation(0, 3, 1800.0, memory_usage_mb=9000)
+    an.record_block_computation(1, 3, 1900.0, memory_usage_mb=9100)
+    an.record_model_parameters("dit", 1_300_000_000, "diffusion")
+    an.record_model_parameters("vae", 120_000_000, "vae")
+
+    full = an.get_full_analysis()
+    assert full["steps"]["total_steps"] == 4
+    assert abs(full["steps"]["avg_computation_time_ms"] - 615.0) < 1e-6
+    assert full["blocks"]["total_blocks"] == 2
+    assert full["blocks"]["avg_frames_per_second"] > 1.0
+    assert full["models"]["largest_model"] == "dit"
+    cats = {r["category"] for r in full["recommendations"]}
+    assert "diffusion_steps" in cats      # 615 ms > 500 ms threshold
+    assert full["blocks"]["avg_block_size"] == 3
