@@ -114,7 +114,13 @@ def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
     current_start may be a scalar (all batch slots at the same position) or
     a [B] vector (continuous batching: each stream at its own block)."""
     n = new.shape[1]
-    new = new.astype(cache.dtype)
+    if cache.dtype == jnp.float8_e4m3fn:
+        # fp8 KV cache: scale-free e4m3 storage (clip to the finite range —
+        # e4m3fn has no inf, overflow would land on nan)
+        new = jnp.clip(new.astype(jnp.float32), -448.0, 448.0
+                       ).astype(cache.dtype)
+    else:
+        new = new.astype(cache.dtype)
     start = jnp.asarray(current_start, jnp.int32)
     if start.ndim == 1:
         # per-slot positions: vmap the single-slot write over batch

@@ -173,7 +173,11 @@ class DiTGeometry:
 
 
 def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
-                 dtype=jnp.bfloat16, quantized: bool = False) -> KVCacheSpec:
+                 dtype=jnp.bfloat16, quantized: bool = False,
+                 kv_dtype=None) -> KVCacheSpec:
+    """kv_dtype overrides the cache storage dtype (e.g. float8_e4m3fn for
+    the scale-free fp8 KV cache — half HBM, cast-only in-kernel dequant);
+    quantized=True selects the int8 + per-(token, head)-scale cache."""
     geo = DiTGeometry(1, latent_h, latent_w, cfg.patch_size)
     frame_seq = geo.frame_seq
     window_frames = cfg.attention_window_frames
@@ -185,7 +189,7 @@ def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
         head_dim=cfg.head_dim,
         sink_tokens=cfg.sink_size * frame_seq,
         ring=(cfg.local_attn_size != -1),
-        dtype=dtype,
+        dtype=kv_dtype if kv_dtype is not None else dtype,
         quantized=quantized,
     )
 
@@ -412,10 +416,11 @@ class DiTStatics(NamedTuple):
 def make_statics(cfg: ModelConfig, batch: int, frames: int, latent_h: int,
                  latent_w: int, dtype=jnp.bfloat16,
                  quantized_kv: bool = False, mesh=None,
-                 sp_mode: str = "none") -> DiTStatics:
+                 sp_mode: str = "none", kv_dtype=None) -> DiTStatics:
     return DiTStatics(
         cfg=cfg,
-        spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype, quantized_kv),
+        spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype, quantized_kv,
+                          kv_dtype=kv_dtype),
         geo=DiTGeometry(frames, latent_h, latent_w, cfg.patch_size),
         mesh=mesh,
         sp_mode=sp_mode,

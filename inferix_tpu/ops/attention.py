@@ -181,6 +181,11 @@ def cache_attention(
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
 
+    if k.dtype == jnp.float8_e4m3fn and not use_pallas:
+        # XLA fallback path: cast-only dequant of the fp8 KV cache
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+
     # Small-KV attention (cross-attention over 512 text tokens) is cheaper as
     # fused XLA ops than as a Pallas kernel launch (measured 0.58 vs 0.75 ms
     # at kv=512): below this threshold the unfused logits fit comfortably and

@@ -76,8 +76,12 @@ def _flash_kernel(
         l_new = l_prev * corr + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
+        v = v_ref[0]
+        if v.dtype == jnp.float8_e4m3fn:
+            # fp8 KV cache: scale-free e4m3 storage, cast-only dequant
+            v = v.astype(q_ref.dtype)
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
@@ -85,8 +89,11 @@ def _flash_kernel(
         l_ref[...] = l_new
 
     def _logits():
+        k = k_ref[0]
+        if k.dtype == jnp.float8_e4m3fn:
+            k = k.astype(q_ref.dtype)
         return jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            q_ref[0], k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [q_blk, kv_blk]; q pre-scaled by scale*log2(e)
 
@@ -220,6 +227,13 @@ def flash_attention_prefix(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # (batch*head, q) grid dims are parallel; kv carries the
+            # online-softmax accumulator. Raised VMEM cap admits q blocks
+            # past the default 16 MB scoped limit.
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
@@ -429,6 +443,13 @@ def flash_attention_prefix_quant(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # (batch*head, q) grid dims are parallel; kv carries the
+            # online-softmax accumulator. Raised VMEM cap admits q blocks
+            # past the default 16 MB scoped limit.
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
@@ -637,6 +658,13 @@ def flash_attention_prefix_quant_i8(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # (batch*head, q) grid dims are parallel; kv carries the
+            # online-softmax accumulator. Raised VMEM cap admits q blocks
+            # past the default 16 MB scoped limit.
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
@@ -874,6 +902,13 @@ def flash_attention_prefix_quant_v2(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # (batch*head, q) grid dims are parallel; kv carries the
+            # online-softmax accumulator. Raised VMEM cap admits q blocks
+            # past the default 16 MB scoped limit.
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),

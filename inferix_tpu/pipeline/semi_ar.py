@@ -60,12 +60,25 @@ class SemiARGenerator:
             sp_mode = cfg.parallel.sp_mode
         self.mesh = mesh
         self.sp_mode = sp_mode
+        # KV cache storage: int8 (+scales, in-kernel dequant) or scale-free
+        # fp8 e4m3 (cast-only) — both halve cache HBM; bf16 is the fastest
+        # COMPUTE (measured: int8-KV attention 7.11 ms vs bf16 6.54 at full
+        # cache), so quantized caches are capacity features for multi-stream
+        # serving.
+        quant_kv = cfg.quant.enabled and cfg.quant.quantize_kv_cache
+        kv_dtype = None
+        quantized_kv = False
+        if quant_kv and cfg.quant.kv_cache_dtype == "fp8":
+            kv_dtype = jnp.float8_e4m3fn
+        elif quant_kv:
+            quantized_kv = True
         self.statics = make_statics(
             m, r.batch_size, m.num_frame_per_block, r.latent_height,
             r.latent_width, dtype,
-            quantized_kv=(cfg.quant.enabled and cfg.quant.quantize_kv_cache),
+            quantized_kv=quantized_kv,
             mesh=mesh if sp_mode != "none" else None,
             sp_mode=sp_mode,
+            kv_dtype=kv_dtype,
         )
         if sp_mode != "none":
             from ..core.monitoring import print_rank_0

@@ -102,3 +102,46 @@ def test_valid_mask_before_fill():
     np.testing.assert_array_equal(mask, np.arange(8) < 3)
     mask_full = np.asarray(valid_mask(spec, jnp.int32(100)))
     assert mask_full.all()
+
+
+def test_fp8_kv_cache_end_to_end():
+    """Scale-free fp8 e4m3 KV cache: half HBM, cast-only dequant. Generation
+    through the fp8 cache must stay close to the bf16-cache path (e4m3 holds
+    ~2 decimal digits; attention outputs are O(1))."""
+    import copy
+
+    import jax
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+
+    def run(kv_dtype_cfg):
+        c = copy.deepcopy(cfg)
+        if kv_dtype_cfg:
+            c.quant.enabled = True
+            c.quant.quantize_kv_cache = True
+            c.quant.kv_cache_dtype = kv_dtype_cfg
+            # weights stay full precision: isolate the cache effect
+            c.quant.exclude = ("self_attn", "cross_attn", "ffn",
+                               "text_embedding", "head", "patch_embedding",
+                               "time_")
+        gen = SemiARGenerator(c, params, dtype=jnp.float32)
+        m, r = c.model, c.runtime
+        xattn = gen.encode_text_context(
+            jnp.zeros((1, m.text_len, m.text_dim)))
+        noise = jax.random.normal(
+            jax.random.key(1), (1, 4, r.latent_height, r.latent_width,
+                                r.latent_channels))
+        latents, cache = gen.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(latents), cache
+
+    base, _ = run(None)
+    fp8, cache = run("fp8")
+    assert cache.k.dtype == jnp.float8_e4m3fn
+    assert cache.k_scale is None
+    assert np.isfinite(fp8).all()
+    rel = np.abs(fp8 - base).max() / (np.abs(base).max() + 1e-8)
+    assert rel < 0.15, f"fp8 KV cache drift {rel:.3f}"
