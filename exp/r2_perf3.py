@@ -212,3 +212,38 @@ if __name__ == "__main__":
             EXPS[name]()
         except Exception as e:
             emit(name, error=repr(e)[:300])
+
+
+def exp_attn_bigq():
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix
+    key = jax.random.key(6)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, SQ, H, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, SKV, H, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, SKV, H, D), jnp.bfloat16)
+    kv_len = jnp.int32(SKV)
+    gf = 4 * B * H * SQ * SKV * D / 1e9
+
+    def chain(qb, kb):
+        @jax.jit
+        def run(q):
+            def body(c, _):
+                o = flash_attention_prefix(c, k, v, kv_len, q_block=qb,
+                                           kv_block=kb)
+                return (c + o * 1e-24).astype(c.dtype), None
+            c, _ = jax.lax.scan(body, q, None, length=N_ITER)
+            return c
+        return run
+
+    for (qb, kb) in [(1024, 2048), (2368, 2048), (4688, 2048),
+                     (2368, 4096), (4688, 1024), (2368, 1024),
+                     (1024, 4096)]:
+        try:
+            t = timeit(chain(qb, kb), q)
+            emit("attn_bigq", q_block=qb, kv_block=kb, ms=t * 1e3,
+                 tfs=gf / t / 1e3)
+        except Exception as e:
+            emit("attn_bigq", q_block=qb, kv_block=kb, error=repr(e)[:150])
+
+
+EXPS["attn_bigq"] = exp_attn_bigq
