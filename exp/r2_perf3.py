@@ -204,16 +204,6 @@ EXPS = {
 }
 
 
-if __name__ == "__main__":
-    names = sys.argv[1:] or list(EXPS)
-    for name in names:
-        print(f"=== {name} ===", flush=True)
-        try:
-            EXPS[name]()
-        except Exception as e:
-            emit(name, error=repr(e)[:300])
-
-
 def exp_attn_bigq():
     from inferix_tpu.ops.flash_attention import flash_attention_prefix
     key = jax.random.key(6)
@@ -247,3 +237,13 @@ def exp_attn_bigq():
 
 
 EXPS["attn_bigq"] = exp_attn_bigq
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(EXPS)
+    for name in names:
+        print(f"=== {name} ===", flush=True)
+        try:
+            EXPS[name]()
+        except Exception as e:
+            emit(name, error=repr(e)[:300])

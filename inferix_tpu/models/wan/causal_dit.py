@@ -502,7 +502,69 @@ def dit_forward_inference(
             )
         return (h, caches), None
 
-    if cfg.unroll_layers:
+    use_pp_pipeline = (
+        statics.mesh is not None
+        and statics.mesh.shape.get("pp", 1) > 1
+        and statics.sp_mode == "none"      # sp islands don't nest inside
+        and not cfg.unroll_layers          # the pp shard_map
+    )
+    if use_pp_pipeline:
+        # REAL pipeline parallelism: layers (params, xattn AND cache) are
+        # sharded over pp; batch rows stream through the stages as GPipe
+        # microbatches with stage-local compute
+        # (parallel/pipeline_parallel.py). With sp/tp sharding use GSPMD or
+        # the sp attention islands instead of pipelining.
+        from ...parallel.pipeline_parallel import pp_pipeline
+
+        b = tokens.shape[0]
+        per_b_angles = angles.ndim == 3
+        per_b_mask = kv_mask.ndim == 2
+        per_b_start = current_start.ndim == 1
+        mb = {"h": tokens[:, None], "e0": e0[:, None]}
+        if per_b_angles:
+            mb["angles"] = angles[:, None]
+        if per_b_mask:
+            mb["mask"] = kv_mask[:, None]
+        if per_b_start:
+            mb["start"] = current_start[:, None]
+        stacked = {"block": params["blocks"], "xk": xattn.k, "xv": xattn.v}
+        if has_img:
+            stacked["xki"] = xattn.k_img
+            stacked["xvi"] = xattn.v_img
+        state = {f"c{i}": f for i, f in enumerate(cache_fields)}
+
+        def pp_layer_fn(stk, st, x, mb_idx):
+            def row(a):
+                return jax.lax.dynamic_slice_in_dim(a, mb_idx, 1, 0)
+
+            img = ((row(stk["xki"]), row(stk["xvi"])) if has_img else None)
+            layer_cache = tuple(
+                row(st[f"c{i}"]) for i in range(n_fields)
+            )
+            h_row, new_cache = block_forward(
+                stk["block"], cfg, spec, x["h"],
+                x["e0"],
+                x["angles"] if per_b_angles else angles,
+                layer_cache, row(stk["xk"]), row(stk["xv"]), img,
+                x["start"][:, 0] if per_b_start else current_start,
+                x["mask"] if per_b_mask else kv_mask,
+            )
+            if persist_kv:
+                st = {
+                    f"c{i}": jax.lax.dynamic_update_slice_in_dim(
+                        st[f"c{i}"],
+                        new_cache[i].astype(st[f"c{i}"].dtype), mb_idx, 0)
+                    for i in range(n_fields)
+                }
+            return {**x, "h": h_row}, st
+
+        outs, new_state = pp_pipeline(
+            statics.mesh, pp_layer_fn, stacked, mb,
+            layer_state=state, pass_mb_index=True,
+        )
+        h = outs["h"][:, 0]
+        new_fields = tuple(new_state[f"c{i}"] for i in range(n_fields))
+    elif cfg.unroll_layers:
         # static per-layer indices: XLA lowers leading-axis slice/update to
         # pointer arithmetic + in-place DUS (no 2x93MB copies per layer)
         h = tokens

@@ -153,3 +153,37 @@ def test_magi_walk_pp2_matches_single_device():
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(base[k]),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg=f"chunk {k}")
+
+
+def test_wan_semi_ar_pp2_matches_single_device():
+    """The flagship semi-AR generation at pp=2 (layer stack + KV cache
+    sharded over stages, batch rows as microbatches) matches single-device;
+    stage compute is local (the round-1 storage-only sharding is gone)."""
+    import copy
+
+    import jax
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    cfg = tiny_test_config()
+    cfg.runtime.batch_size = 2
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+
+    def run(mesh):
+        gen = SemiARGenerator(cfg, params, dtype=jnp.float32, mesh=mesh)
+        m, r = cfg.model, cfg.runtime
+        xattn = gen.encode_text_context(
+            jax.random.normal(jax.random.key(7),
+                              (2, m.text_len, m.text_dim)) * 0.1)
+        noise = jax.random.normal(
+            jax.random.key(1), (2, 3, r.latent_height, r.latent_width,
+                                r.latent_channels))
+        latents, _ = gen.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(latents)
+
+    base = run(None)
+    mesh = make_mesh(ParallelConfig(dp=1, sp=1, tp=1, pp=2, sp_mode="none"))
+    got = run(mesh)
+    np.testing.assert_allclose(got, base, rtol=5e-4, atol=5e-4)
