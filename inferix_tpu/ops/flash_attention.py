@@ -228,10 +228,9 @@ def flash_attention_prefix(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # (batch*head, q) grid dims are parallel; kv carries the
-            # online-softmax accumulator. Raised VMEM cap admits q blocks
-            # past the default 16 MB scoped limit.
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # raised VMEM cap admits q blocks past the default 16 MB scoped
+            # limit (grid-dim parallel semantics measured ~5% SLOWER here,
+            # so only the cap is set)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[
@@ -444,10 +443,9 @@ def flash_attention_prefix_quant(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # (batch*head, q) grid dims are parallel; kv carries the
-            # online-softmax accumulator. Raised VMEM cap admits q blocks
-            # past the default 16 MB scoped limit.
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # raised VMEM cap admits q blocks past the default 16 MB scoped
+            # limit (grid-dim parallel semantics measured ~5% SLOWER here,
+            # so only the cap is set)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[
@@ -659,10 +657,9 @@ def flash_attention_prefix_quant_i8(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # (batch*head, q) grid dims are parallel; kv carries the
-            # online-softmax accumulator. Raised VMEM cap admits q blocks
-            # past the default 16 MB scoped limit.
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # raised VMEM cap admits q blocks past the default 16 MB scoped
+            # limit (grid-dim parallel semantics measured ~5% SLOWER here,
+            # so only the cap is set)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[
@@ -903,10 +900,9 @@ def flash_attention_prefix_quant_v2(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # (batch*head, q) grid dims are parallel; kv carries the
-            # online-softmax accumulator. Raised VMEM cap admits q blocks
-            # past the default 16 MB scoped limit.
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # raised VMEM cap admits q blocks past the default 16 MB scoped
+            # limit (grid-dim parallel semantics measured ~5% SLOWER here,
+            # so only the cap is set)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[
