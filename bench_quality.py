@@ -1,0 +1,90 @@
+"""Quantization quality-delta harness run: bf16 vs int8 generation.
+
+BASELINE.md requires the quant config to hold a small VBench delta vs bf16.
+Real Wan checkpoints do not exist in this environment, so this harness runs
+both precisions from the SAME random-init weights and seed and reports the
+relative per-metric divergence of the decoded videos (quality_delta from
+`eval/vde.py`, including the optical-flow + MUSIQ-style plug-ins). With
+identical weights the true content is identical — any delta is pure
+numerical divergence introduced by quantization, which is exactly the
+quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r02.json and
+prints one JSON line.
+"""
+import json
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def generate(cfg, params, dtype=jnp.bfloat16):
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    m, r = cfg.model, cfg.runtime
+    gen = SemiARGenerator(cfg, params, dtype=dtype)
+    xattn = gen.encode_text_context(
+        jnp.zeros((1, m.text_len, m.text_dim), dtype))
+    noise = jax.random.normal(
+        jax.random.key(11),
+        (1, r.num_frames, r.latent_height, r.latent_width,
+         r.latent_channels)).astype(dtype)
+    latents, _ = gen.generate(noise, xattn, jax.random.key(12))
+    return np.asarray(latents.astype(jnp.float32))
+
+
+def main():
+    from inferix_tpu.core.config import EngineConfig
+    from inferix_tpu.eval.flow_metrics import register_flow_metrics
+    from inferix_tpu.eval.vde import quality_delta
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+    from inferix_tpu.quant.api import quantize_params
+
+    register_flow_metrics()
+    cfg = EngineConfig()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
+
+    lat_bf16 = generate(cfg, params, jnp.bfloat16)
+
+    qcfg = EngineConfig()
+    qcfg.quant.enabled = True
+    qcfg.quant.dtype = "int8"
+    qcfg.quant.granularity = "per_channel"
+    lat_int8 = generate(qcfg, quantize_params(params, qcfg.quant),
+                        jnp.bfloat16)
+
+    # decode through a small causal VAE (identical for both precisions)
+    vae = CausalVAE(VAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 2),
+                              num_res_blocks=1,
+                              temperal_downsample=(True, True)),
+                    key=jax.random.key(3))
+    vid_a = np.asarray(vae.decode(jnp.asarray(lat_bf16)))[0] * 0.5 + 0.5
+    vid_b = np.asarray(vae.decode(jnp.asarray(lat_int8)))[0] * 0.5 + 0.5
+    vid_a = np.clip(vid_a, 0, 1)
+    vid_b = np.clip(vid_b, 0, 1)
+
+    lat_rel = float(np.abs(lat_int8 - lat_bf16).mean()
+                    / (np.abs(lat_bf16).mean() + 1e-8))
+    metrics = ["clarity", "motion", "dynamic", "subject_consistency",
+               "background_consistency", "clarity_musiq", "motion_flow",
+               "dynamic_flow"]
+    deltas = quality_delta(vid_a, vid_b, n_chunks=3, metrics=metrics)
+    out = {
+        "metric": "quant_quality_delta",
+        "latent_mean_rel_diff": round(lat_rel, 4),
+        "per_metric_rel_delta": {k: round(v, 4) for k, v in deltas.items()},
+        "max_metric_delta": round(max(deltas.values()), 4),
+        "note": ("random-init weights (no checkpoints in this env): deltas "
+                 "measure pure quantization-induced numerical divergence "
+                 "on identical content"),
+    }
+    with open("QUALITY_r02.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

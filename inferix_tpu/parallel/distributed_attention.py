@@ -40,6 +40,11 @@ from ..ops.attention import attention_chunked
 
 def _local_attn_lse(q, k, v, kv_mask):
     """Per-shard attention returning (out, lse [B, H, Sq])."""
+    if k.dtype == jnp.float8_e4m3fn and jax.default_backend() != "tpu":
+        # fp8 KV cache on the CPU fallback path: cast-only dequant (the
+        # Pallas kernel casts in-kernel)
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
     if jax.default_backend() == "tpu" and k.shape[1] > 1024:
         from ..ops.flash_attention import flash_attention_prefix
 

@@ -160,3 +160,89 @@ def test_clip_vision_tower():
     # different images -> different tokens; single image auto-batched
     t2 = enc(img[0])
     assert t2.shape[0] == 1
+
+
+def test_xlm_roberta_matches_torch_oracle():
+    """XLM-RoBERTa CLIP text tower vs a torch oracle of the reference
+    equations (xlm_roberta.py:49-143, clip.py:303-326): mask-cumsum
+    positions, post-norm blocks, masked mean pooling, GELU head."""
+    import torch
+    import torch.nn.functional as F
+
+    from inferix_tpu.models.text.xlm_roberta import (
+        convert_xlm_roberta_state_dict,
+        tiny_xlm_roberta_config,
+        xlm_roberta_clip_text,
+    )
+
+    cfg = tiny_xlm_roberta_config()
+    g = torch.Generator().manual_seed(5)
+    sd = {}
+
+    def mk_lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = torch.randn(o, i, generator=g) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.02
+
+    sd["token_embedding.weight"] = torch.randn(cfg.vocab_size, cfg.dim,
+                                               generator=g) * 0.1
+    sd["type_embedding.weight"] = torch.randn(cfg.type_size, cfg.dim,
+                                              generator=g) * 0.1
+    sd["pos_embedding.weight"] = torch.randn(cfg.max_seq_len, cfg.dim,
+                                             generator=g) * 0.1
+    sd["norm.weight"] = torch.randn(cfg.dim, generator=g) * 0.1 + 1
+    sd["norm.bias"] = torch.randn(cfg.dim, generator=g) * 0.02
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}"
+        for n in ("q", "k", "v", "o"):
+            mk_lin(f"{pre}.attn.{n}", cfg.dim, cfg.dim)
+        sd[f"{pre}.norm1.weight"] = torch.ones(cfg.dim)
+        sd[f"{pre}.norm1.bias"] = torch.zeros(cfg.dim)
+        mk_lin(f"{pre}.ffn.0", cfg.dim, cfg.dim * 4)
+        mk_lin(f"{pre}.ffn.2", cfg.dim * 4, cfg.dim)
+        sd[f"{pre}.norm2.weight"] = torch.ones(cfg.dim)
+        sd[f"{pre}.norm2.bias"] = torch.zeros(cfg.dim)
+    mid = (cfg.dim + cfg.out_dim) // 2
+    mk_lin("head.0", cfg.dim, mid, bias=False)
+    mk_lin("head.2", mid, cfg.out_dim, bias=False)
+
+    ids_t = torch.tensor([[5, 9, 20, 33, 1, 1, 1, 1],
+                          [7, 2, 1, 1, 1, 1, 1, 1]])  # pad_id = 1
+
+    # torch oracle
+    mask = ids_t.ne(cfg.pad_id).long()
+    pos = cfg.pad_id + torch.cumsum(mask, dim=1) * mask
+    x = (sd["token_embedding.weight"][ids_t]
+         + sd["type_embedding.weight"][torch.zeros_like(ids_t)]
+         + sd["pos_embedding.weight"][pos])
+    x = F.layer_norm(x, (cfg.dim,), sd["norm.weight"], sd["norm.bias"],
+                     cfg.eps)
+    bias = torch.where(mask.view(2, 1, 1, -1).gt(0),
+                       torch.tensor(0.0), torch.finfo(torch.float32).min)
+    hd = cfg.dim // cfg.num_heads
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}"
+
+        def lin(n, v):
+            return v @ sd[f"{n}.weight"].T + sd[f"{n}.bias"]
+
+        q = lin(f"{pre}.attn.q", x).view(2, -1, cfg.num_heads, hd)
+        k = lin(f"{pre}.attn.k", x).view(2, -1, cfg.num_heads, hd)
+        v = lin(f"{pre}.attn.v", x).view(2, -1, cfg.num_heads, hd)
+        logits = torch.einsum("bqhd,bkhd->bhqk", q, k) / hd**0.5
+        p = torch.softmax(logits + bias, dim=-1)
+        att = torch.einsum("bhqk,bkhd->bqhd", p, v).reshape(2, -1, cfg.dim)
+        att = lin(f"{pre}.attn.o", att)
+        x = F.layer_norm(x + att, (cfg.dim,), sd[f"{pre}.norm1.weight"],
+                         sd[f"{pre}.norm1.bias"], cfg.eps)
+        ff = lin(f"{pre}.ffn.2", F.gelu(lin(f"{pre}.ffn.0", x)))
+        x = F.layer_norm(x + ff, (cfg.dim,), sd[f"{pre}.norm2.weight"],
+                         sd[f"{pre}.norm2.bias"], cfg.eps)
+    m = ids_t.ne(cfg.pad_id).unsqueeze(-1).float()
+    pooled = (x * m).sum(1) / m.sum(1)
+    want = F.gelu(pooled @ sd["head.0.weight"].T) @ sd["head.2.weight"].T
+
+    params = convert_xlm_roberta_state_dict(sd, cfg)
+    got = xlm_roberta_clip_text(params, cfg, jnp.asarray(ids_t.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-4)
