@@ -440,6 +440,8 @@ def dit_forward_inference(
                                 # but do NOT write it back (denoise steps
                                 # rewrite it next step anyway — only the
                                 # context re-run must persist)
+    need_output: bool = True,   # False: skip the output head/unpatchify
+                                # (context re-runs only feed the KV cache)
 ) -> Tuple[jax.Array, KVCache]:
     """One forward pass of the causal DiT over a block, updating the KV cache.
 
@@ -592,8 +594,14 @@ def dit_forward_inference(
         (h, new_fields), _ = jax.lax.scan(
             layer, (tokens, tuple(cache_fields)), xs)
 
-    out = head_forward(params, cfg, h, e)
-    flow = unpatchify(out, cfg, geo)
+    if need_output:
+        out = head_forward(params, cfg, h, e)
+        flow = unpatchify(out, cfg, geo)
+    else:
+        # context re-runs only write the cache; skip the head matmul +
+        # unpatchify (the caller discards flow)
+        flow = jnp.zeros(
+            x.shape[:-1] + (cfg.out_dim,), dtype=x.dtype)
     if spec.quantized:
         new = KVCache(k=new_fields[0], v=new_fields[1],
                       k_scale=new_fields[2], v_scale=new_fields[3])

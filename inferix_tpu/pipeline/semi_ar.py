@@ -285,10 +285,12 @@ def _denoise_block_impl(
         step, (noisy, noisy, cache), (t_vals, t_nexts, is_last, step_rngs)
     )
 
-    # context re-run: refresh the cache with (nearly) clean KV
+    # context re-run: refresh the cache with (nearly) clean KV (the flow
+    # output is discarded, so the head is skipped)
     t_ctx = jnp.full((b, f), context_noise, jnp.float32)
     _, cache = dit_forward_inference(
-        params, statics, rope_tables, x0, t_ctx, xattn, cache, current_start
+        params, statics, rope_tables, x0, t_ctx, xattn, cache, current_start,
+        need_output=False,
     )
     return x0, cache
 
@@ -307,6 +309,7 @@ def _context_cache_impl(
     b, f = clean.shape[0], clean.shape[1]
     t = jnp.full((b, f), context_noise, jnp.float32)
     _, cache = dit_forward_inference(
-        params, statics, rope_tables, clean, t, xattn, cache, current_start
+        params, statics, rope_tables, clean, t, xattn, cache, current_start,
+        need_output=False,
     )
     return cache
