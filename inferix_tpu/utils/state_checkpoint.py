@@ -36,6 +36,11 @@ def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
                                                     jax.dtypes.prng_key):
             out[f"{key}__prngkey"] = np.asarray(jax.random.key_data(v))
         elif hasattr(v, "shape"):
+            if getattr(v, "dtype", None) == jnp.float8_e4m3fn:
+                # fp8 KV cache: round-trip via f32 (exact — f32 superset)
+                out[f"{key}__fp8"] = np.asarray(
+                    jnp.asarray(v, jnp.float32))
+                continue
             arr = np.asarray(v)
             if arr.dtype == jnp.bfloat16:
                 out[f"{key}__bf16"] = arr.astype(np.float32)
@@ -57,6 +62,9 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
         elif key.endswith("__bf16"):
             key = key[: -len("__bf16")]
             val = jnp.asarray(arr, jnp.bfloat16)
+        elif key.endswith("__fp8"):
+            key = key[: -len("__fp8")]
+            val = jnp.asarray(arr, jnp.float8_e4m3fn)
         elif key.endswith("__scalar"):
             key = key[: -len("__scalar")]
             val = arr.item() if arr.ndim == 0 else arr

@@ -71,3 +71,22 @@ def test_resume_continues_bitwise(tmp_path):
         outs.append(x0)
     resumed = jnp.concatenate(outs, axis=1)
     np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+
+def test_state_checkpoint_fp8_cache_roundtrip(tmp_path):
+    """fp8 e4m3 KV caches round-trip bit-exactly through the state file."""
+    import jax
+
+    from inferix_tpu.utils.state_checkpoint import (
+        load_generation_state, save_generation_state)
+
+    vals = jnp.asarray([0.5, -1.25, 448.0, 0.001, -0.0], jnp.float32)
+    cache_k = jnp.tile(vals, (4, 5)).astype(jnp.float8_e4m3fn)
+    path = save_generation_state(str(tmp_path / "s.npz"), cache_k=cache_k,
+                                 frames_done=3)
+    st = load_generation_state(path)
+    assert st["cache_k"].dtype == jnp.float8_e4m3fn
+    np.testing.assert_array_equal(
+        np.asarray(st["cache_k"].astype(jnp.float32)),
+        np.asarray(cache_k.astype(jnp.float32)))
+    assert st["frames_done"] == 3
