@@ -434,3 +434,28 @@ def test_magi_learned_rope_bands_are_used():
     out2, _ = magi_forward(params2, statics, None, x, t, cap, cm,
                            init_kv_cache(statics.spec), jnp.int32(0), kvr)
     assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+
+def test_magi_pipeline_runs_with_fp8_checkpoint():
+    """End-to-end MAGI chunk walk on a distill-quant (fp8) checkpoint layout
+    (blocks_first / blocks_mid / blocks_last)."""
+    import dataclasses as _dc
+
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    cfg = _dc.replace(tiny_magi_config(), num_layers=3)
+    sd = make_reference_sd(cfg, fp8_layers=(1,))
+    params = convert_magi_state_dict(sd, cfg, dtype=jnp.float32)
+    assert "blocks_mid" in params and "blocks" not in params
+
+    rt = MagiRuntimeConfig(num_steps=2, window_size=2, chunk_width=2,
+                           cfg_number=1)
+    pipe = MagiPipeline(cfg, rt, params=params, latent_h=8, latent_w=8,
+                        max_chunks=4)
+    cap = jnp.zeros((1, cfg.caption_max_length, cfg.caption_channels))
+    cmask = jnp.ones((1, cfg.caption_max_length))
+    chunks = dict(pipe.generate_chunks(cap, cmask, chunk_num=2,
+                                       rng=jax.random.key(4)))
+    assert len(chunks) == 2
+    for v in chunks.values():
+        assert np.isfinite(np.asarray(v)).all()
