@@ -39,6 +39,18 @@ _LAZY = {
     "InferixProfiler": "inferix_tpu.profiling.profiler",
     "ProfilingConfig": "inferix_tpu.profiling.profiler",
     "create_streaming_backend": "inferix_tpu.core.media.streaming_backend",
+    "FlowUniPCMultistep": "inferix_tpu.models.schedulers.fm_solvers",
+    "FlowDPMSolverMultistep": "inferix_tpu.models.schedulers.fm_solvers",
+    "DiffusionAnalyzer": "inferix_tpu.profiling.diffusion_analyzer",
+    "initialize_multihost": "inferix_tpu.parallel.multihost",
+    "make_global_mesh": "inferix_tpu.parallel.multihost",
+    "make_mesh": "inferix_tpu.parallel.mesh",
+    "pp_pipeline": "inferix_tpu.parallel.pipeline_parallel",
+    "sp_cache_attention": "inferix_tpu.parallel.distributed_attention",
+    "create_prompt_expander": "inferix_tpu.utils.prompt_extend",
+    "register_flow_metrics": "inferix_tpu.eval.flow_metrics",
+    "evaluate_video": "inferix_tpu.eval.vde",
+    "quality_delta": "inferix_tpu.eval.vde",
 }
 
 __all__ = sorted(_LAZY)
