@@ -92,9 +92,15 @@ class AbstractInferencePipeline(abc.ABC):
         num_segments: int,
         stream_callback: Optional[Callable] = None,
         segment_callback: Optional[Callable] = None,
+        offload_segments: bool = False,
     ) -> List[jax.Array]:
         """Unbounded video via fixed-length segments with overlap-latent
-        carry; prompts cycle per segment."""
+        carry; prompts cycle per segment.
+
+        offload_segments=True moves each finished segment's latents to host
+        memory (only the overlap carry stays on device) — without it a long
+        run accumulates every segment in HBM and eventually OOMs (e.g. 10
+        segments of 1.3B latents on a 16 GB chip)."""
         boundary = self._boundary()
         overlap = boundary.overlap_frames
 
@@ -116,6 +122,9 @@ class AbstractInferencePipeline(abc.ABC):
             # across concatenated segments (reference streams decoded blocks
             # only, base_pipeline.py:605-607)
             latents = latents[:, ninit:] if ninit else latents
+            if offload_segments:
+                cpu = jax.devices("cpu")[0]
+                latents = jax.device_put(latents, cpu)
             segments.append(latents)
             if segment_callback is not None:
                 segment_callback(latents, seg)

@@ -228,3 +228,12 @@ def test_block_level_stop(pipe):
     assert len(segs) == 1
     # segment aborted early: fewer than the full 4 frames generated
     assert segs[0].shape[1] < 4
+
+
+def test_streaming_offload_segments_to_host(pipe):
+    segments = pipe.run_streaming_generation(
+        ["p"], num_segments=2, offload_segments=True)
+    assert len(segments) == 2
+    for s in segments:
+        assert s.devices() == {jax.devices("cpu")[0]}
+        assert np.isfinite(np.asarray(s)).all()
