@@ -17,12 +17,42 @@ through pinned host memory via jax.device_put.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .cache import KVCache, KVCacheSpec, init_kv_cache
+
+
+# Donated in-place cache mutations: the eager `.at[].set` forms allocate a
+# SECOND full cache (a transient 2x — 11.2 GB for the 1.3B model) before the
+# old one is released; donation lets XLA write in place.
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=1)
+def _zero_slot_donated(cache, slot: int):
+    return jax.tree.map(
+        lambda x: x.at[:, slot].set(jnp.zeros((), x.dtype)), cache)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=1)
+def _zero_layer_donated(cache, layer_idx: int):
+    return jax.tree.map(
+        lambda x: x.at[layer_idx].set(jnp.zeros((), x.dtype)), cache)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(3, 4))
+def _set_range_donated(cache, k_data, v_data, layer_idx: int, slot: int,
+                       start=0):
+    return cache._replace(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_data[None, None].astype(cache.k.dtype),
+            (layer_idx, slot, start, 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_data[None, None].astype(cache.v.dtype),
+            (layer_idx, slot, start, 0, 0)),
+    )
 
 
 @dataclasses.dataclass
@@ -88,10 +118,7 @@ class KVCacheManager:
         self._cache = cache
 
     def _zero_slot(self, slot: int) -> None:
-        c = self._cache
-        self._cache = jax.tree.map(
-            lambda x: x.at[:, slot].set(jnp.zeros_like(x[:, slot])), c
-        )
+        self._cache = _zero_slot_donated(self._cache, slot)
 
     def clear(self) -> None:
         """Free-before-VAE (reference `free`/`clear_cache` choreography,
@@ -142,10 +169,7 @@ class KVCacheManager:
         layer-by-layer free-before-VAE)."""
         if self._cache is None:
             return
-        self._cache = jax.tree.map(
-            lambda x: x.at[layer_idx].set(jnp.zeros_like(x[layer_idx])),
-            self._cache,
-        )
+        self._cache = _zero_layer_donated(self._cache, layer_idx)
 
     def get_range(self, request: KVCacheRequest, layer_idx: int,
                   start: int, length: int):
@@ -160,11 +184,6 @@ class KVCacheManager:
                   start: int, k_data, v_data) -> None:
         """Partial write into one request's cache (reference `set`)."""
         slot = self.slot_of(request)
-        c = self.cache
-        n = k_data.shape[0]
-        self._cache = c._replace(
-            k=c.k.at[layer_idx, slot, start:start + n].set(
-                k_data.astype(c.k.dtype)),
-            v=c.v.at[layer_idx, slot, start:start + n].set(
-                v_data.astype(c.v.dtype)),
-        )
+        self._cache = _set_range_donated(
+            self.cache, jnp.asarray(k_data), jnp.asarray(v_data),
+            layer_idx, slot, start)
