@@ -19,6 +19,12 @@ Ulysses all-to-all helpers):
 
 Both run inside shard_map and compose with the tp (head) axis: ulysses
 requires heads % (sp*tp) == 0.
+
+These are the STANDALONE primitives (full-sequence attention, no KV cache).
+The production in-forward path — SP attention over the CACHED PREFIX inside
+`block_forward`, with head-sharded/token-sharded caches and prefix-causal
+masks — lives in `parallel/distributed_attention.py` and is what
+`ParallelConfig.sp_mode` selects.
 """
 from __future__ import annotations
 
