@@ -67,3 +67,48 @@ def test_mid_run_admission_isolated(batcher_factory):
 
     np.testing.assert_allclose(np.asarray(solo), np.asarray(mixed),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mid_run_admission_isolated_with_int8_kv():
+    """ADVICE round-1 finding 1, closed at the model level: continuous
+    batching + int8 KV cache — every stream attends over ITS OWN prefix
+    length (per-batch bounds in the quantized kernels), so a stream admitted
+    next to a longer-running neighbor matches its isolated run."""
+    cfg = tiny_test_config()
+    cfg.runtime.batch_size = 2
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    cfg.quant.kv_cache_dtype = "int8"
+    # keep weights unquantized: isolate the cache effect
+    cfg.quant.exclude = ("self_attn", "cross_attn", "ffn", "text_embedding",
+                        "head", "patch_embedding", "time_")
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+
+    def make():
+        gen = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        b = ContinuousBatcher(gen)
+        m = cfg.model
+        xattn = gen.encode_text_context(
+            jnp.zeros((2, m.text_len, m.text_dim)))
+        b.set_conditioning(xattn)
+        return b
+
+    # isolated run of stream "x"
+    b1 = make()
+    b1.admit("x", num_frames=2, seed=7)
+    for _ in range(2):
+        b1.step()
+    solo = np.concatenate([np.asarray(o) for o in b1.streams["x"].outputs],
+                          axis=1)
+
+    # same stream admitted while "y" is already 2 blocks in
+    b2 = make()
+    b2.admit("y", num_frames=4, seed=9)
+    b2.step()
+    b2.step()
+    b2.admit("x", num_frames=2, seed=7)
+    for _ in range(2):
+        b2.step()
+    mixed = np.concatenate([np.asarray(o) for o in b2.streams["x"].outputs],
+                           axis=1)
+    np.testing.assert_allclose(mixed, solo, rtol=2e-4, atol=2e-4)
