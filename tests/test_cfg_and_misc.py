@@ -176,3 +176,44 @@ def test_diffusion_analyzer_aggregation():
     cats = {r["category"] for r in full["recommendations"]}
     assert "diffusion_steps" in cats      # 615 ms > 500 ms threshold
     assert full["blocks"]["avg_block_size"] == 3
+
+
+def test_extract_metrics_from_report(tmp_path):
+    from inferix_tpu.profiling.extract_metrics import (
+        aggregate_metrics, extract_metrics)
+    from inferix_tpu.profiling.profiler import InferixProfiler, ProfilingConfig
+
+    prof = InferixProfiler(ProfilingConfig(output_dir=str(tmp_path)))
+    prof.start_session("s")
+    with prof.stage("diffusion_generation"):
+        pass
+    prof.record_block_computation(0, 3, 400.0)
+    prof.record_block_computation(1, 3, 850.0)
+    prof.end_session()
+    paths = prof.save_report(rank=0)
+    m = extract_metrics(paths[0])
+    assert m["num_blocks"] == 2
+    assert abs(m["avg_block_ms"] - 425.0) < 1e-6   # 400 + (850-400) deltas
+    assert abs(m["frames_per_s"] - 1000.0 * 6 / 850.0) < 1e-6
+    agg = aggregate_metrics([paths[0], paths[0]])
+    assert agg["ranks"] == 2
+    assert agg["avg_block_ms"]["avg"] == m["avg_block_ms"]
+
+
+def test_example_configs_parse():
+    import glob
+    import json as _json
+
+    from inferix_tpu.core.config import EngineConfig
+    from inferix_tpu.pipeline.magi import magi_config_from_json
+
+    for path in glob.glob("examples/configs/*.json"):
+        with open(path) as f:
+            d = _json.load(f)
+        if "magi" in path:
+            mc, rc = magi_config_from_json(path)
+            assert mc.num_layers > 0 and rc.num_steps > 0
+        else:
+            d.pop("_comment", None)
+            cfg = EngineConfig.from_dict(d)
+            assert cfg.runtime.num_frames > 0
