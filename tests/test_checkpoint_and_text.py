@@ -246,3 +246,36 @@ def test_xlm_roberta_matches_torch_oracle():
     got = xlm_roberta_clip_text(params, cfg, jnp.asarray(ids_t.numpy()))
     np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    """Orbax param save/load, including quantized (int8 + fp8) leaves."""
+    import jax
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.quant.api import quantize_params
+    from inferix_tpu.utils.native_checkpoint import load_params, save_params
+
+    cfg = tiny_test_config()
+    cfg.quant.enabled = True
+    cfg.quant.dtype = "int8"
+    params = quantize_params(
+        init_params(jax.random.key(0), cfg.model, dtype=jnp.float32),
+        cfg.quant)
+    # add an fp8 leaf to exercise the tag path
+    params["fp8_probe"] = {"w_q": jnp.asarray(
+        [[0.5, -1.25], [448.0, 0.0]], jnp.float32
+    ).astype(jnp.float8_e4m3fn)}
+
+    path = save_params(str(tmp_path / "ckpt"), params)
+    restored = load_params(path, target=params)
+
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(restored)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(
+            np.asarray(a.astype(jnp.float32)),
+            np.asarray(b.astype(jnp.float32)))
