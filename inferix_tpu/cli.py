@@ -194,3 +194,55 @@ if __name__ == "__main__":
         "stream": main_stream,
     }[cmd]
     sys.exit(entry(sys.argv[2:]))
+
+
+def main_vde(argv: Optional[List[str]] = None) -> int:
+    """LV-Bench VDE evaluation CLI (reference `LV-Bench/vde.py` entry):
+    score videos with the metric factory (incl. the optical-flow / MUSIQ-
+    style plug-ins) and report per-metric drift + optional A/B quality
+    delta."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        description="Video-Drift-Error evaluation (LV-Bench parity)")
+    p.add_argument("videos", nargs="+", help="video files (.mp4/.npz)")
+    p.add_argument("--chunks", type=int, default=10)
+    p.add_argument("--metrics", type=str, default=None,
+                   help="comma-separated metric names (default: all)")
+    p.add_argument("--weight-type", choices=["linear", "log"],
+                   default="linear")
+    p.add_argument("--compare", type=str, default=None,
+                   help="second video: report per-metric quality delta "
+                        "instead of drift")
+    p.add_argument("--output", type=str, default=None, help="JSON out path")
+    args = p.parse_args(argv)
+
+    from .core.media.video_utils import load_video
+    from .eval.flow_metrics import register_flow_metrics
+    from .eval.vde import evaluate_video, quality_delta
+
+    register_flow_metrics()
+    metrics = args.metrics.split(",") if args.metrics else None
+    results = {}
+    for path in args.videos:
+        video = load_video(path).astype("float32")
+        if video.max() > 1.5:
+            video = video / 255.0
+        if args.compare:
+            other = load_video(args.compare).astype("float32")
+            if other.max() > 1.5:
+                other = other / 255.0
+            results[path] = quality_delta(video, other,
+                                          n_chunks=args.chunks,
+                                          metrics=metrics)
+        else:
+            results[path] = evaluate_video(video, n_chunks=args.chunks,
+                                           metrics=metrics,
+                                           weight_type=args.weight_type)
+    out = json.dumps(results, indent=1)
+    print(out)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+    return 0
