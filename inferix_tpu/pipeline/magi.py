@@ -197,7 +197,7 @@ class MagiPipeline:
             x_den = x[:, c_start * cw: c_end * cw].reshape(v.shape)
             x_new = (x_den + v * d).reshape(
                 x.shape[0], (c_end - c_start) * cw, *x.shape[2:])
-            x = x.at[:, c_start * cw: c_end * cw].set(x_new)
+            x = x.at[:, c_start * cw: c_end * cw].set(x_new.astype(x.dtype))
 
             done = sched.mark_integrated(step)
             if done is not None:
