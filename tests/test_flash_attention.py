@@ -8,8 +8,9 @@ from inferix_tpu.ops.attention import attention_reference
 from inferix_tpu.ops.flash_attention import flash_attention_prefix
 
 
+@pytest.mark.parametrize("softmax", ["fixedm", "runmax"])
 @pytest.mark.parametrize("kv_len", [640, 511, 300, 17, 1])
-def test_flash_prefix_parity(kv_len):
+def test_flash_prefix_parity(kv_len, softmax):
     rng = np.random.default_rng(0)
     b, sq, skv, h, d = 1, 24, 640, 2, 128
     q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
@@ -19,8 +20,30 @@ def test_flash_prefix_parity(kv_len):
     want, want_lse = attention_reference(q, k, v, mask)
     got, lse = flash_attention_prefix(
         q, k, v, jnp.int32(kv_len), return_lse=True, interpret=True,
-        q_block=16, kv_block=128,
+        q_block=16, kv_block=128, softmax=softmax,
     )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_flash_fixedm_large_logits():
+    """The max-free softmax must stay exact up to its documented bound
+    (|natural logit| ~ 60): scale q so max|q.k|*scale ~ 50 and compare to
+    the oracle — this is far beyond any normalized-QK attention's range."""
+    rng = np.random.default_rng(9)
+    b, sq, skv, h, d = 1, 16, 384, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    q = q * 12.0  # logits ~ N(0, 12) after 1/sqrt(d) scale; max ~ +-50
+    want, want_lse = attention_reference(q, k, v, jnp.arange(skv) < 300)
+    got, lse = flash_attention_prefix(
+        q, k, v, jnp.int32(300), return_lse=True, interpret=True,
+        q_block=16, kv_block=128, softmax="fixedm",
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
