@@ -158,12 +158,13 @@ def cache_attention(
 
     if k_scale is not None:
         if use_pallas:
-            # v2: int8 PV matmul with per-kv-block V scales (measured 7.11ms
-            # vs v1's 8.01 at full cache; bf16-KV remains fastest at 6.54 —
-            # int8 KV buys HBM capacity, not speed, on v5e)
-            from .flash_attention import (
-                flash_attention_prefix_quant_v2 as flash_attention_prefix_quant,
-            )
+            # v1 (bf16 PV, in-kernel dequant) with the max-free softmax:
+            # 6.16 ms at full cache vs v2 int8-PV runmax 7.50 and v1 runmax
+            # 8.29 — the fixedm VPU savings flipped the v1/v2 ordering
+            # (v2's int8 p-quantization needs max-normalized probabilities,
+            # so it cannot take fixedm). bf16 KV remains fastest at 5.89;
+            # int8 KV buys HBM capacity at ~5% attention cost.
+            from .flash_attention import flash_attention_prefix_quant
 
             if kv_mask is None:
                 kv_len = jnp.int32(k.shape[1])
