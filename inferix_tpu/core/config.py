@@ -42,6 +42,12 @@ class ModelConfig:
     eps: float = 1e-6
     rope_max_seq_len: int = 1024
 
+    # Fuse the self-attention q/k/v projections into one [D, 3D] matmul at
+    # generator init (numerically identical; one MXU dispatch instead of
+    # three — measured ~3% of layer linear+elementwise time on v5e).
+    # Disabled automatically under tensor parallelism (tp>1 keeps separate
+    # head-sharded projections).
+    fuse_qkv: bool = True
     # Unroll the layer loop instead of lax.scan: static per-layer slices let
     # XLA treat leading-axis slicing/updating of the KV cache as pointer
     # arithmetic (no per-layer extract/write-back copies), at the cost of a

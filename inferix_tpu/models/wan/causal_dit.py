@@ -142,6 +142,45 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> Params:
     return params
 
 
+def fuse_qkv_params(params: Params) -> Params:
+    """Merge each block's self-attention q/k/v projections into one fused
+    [D, 3D] projection so the hot path issues one MXU matmul per layer
+    instead of three (measured ~3% of the layer's linear+elementwise time
+    on v5e, exp/r2_fusedqkv.py). Numerically identical — the fused output
+    is split back before the q/k RMS norms.
+
+    Handles both bf16 leaves ({"w", "b"}) and quantized leaves
+    ({"w_q", "scale", "b"}); a per-tensor scale is broadcast per-channel
+    first so the three projections' scales can concatenate. Stacked-layer
+    leading axes pass through (concat is on the last axis). No-op if the
+    tree is already fused."""
+    blocks = params.get("blocks")
+    if blocks is None or "qkv" in blocks.get("self_attn", {}):
+        return params
+    sa = blocks["self_attn"]
+    q, k, v = sa["q"], sa["k"], sa["v"]
+    fused: Params = {}
+    if "w" in q:
+        fused["w"] = jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)
+    else:
+        fused["w_q"] = jnp.concatenate([q["w_q"], k["w_q"], v["w_q"]],
+                                       axis=-1)
+
+        def per_channel(p):
+            s, wq = p["scale"], p["w_q"]
+            return jnp.broadcast_to(s, s.shape[:-1] + (wq.shape[-1],))
+
+        fused["scale"] = jnp.concatenate(
+            [per_channel(q), per_channel(k), per_channel(v)], axis=-1)
+    fused["b"] = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
+    new_sa = {kk: vv for kk, vv in sa.items() if kk not in ("q", "k", "v")}
+    new_sa["qkv"] = fused
+    new_params = dict(params)
+    new_params["blocks"] = dict(blocks)
+    new_params["blocks"]["self_attn"] = new_sa
+    return new_params
+
+
 # ---------------------------------------------------------------------------
 # Static geometry helper
 # ---------------------------------------------------------------------------
@@ -328,9 +367,17 @@ def block_forward(
     # --- self attention over KV cache ---
     sa = block["self_attn"]
     h_in = _modulate(layer_norm(x, eps=cfg.eps), shift_msa, scale_msa, frames)
-    q = rms_norm(linear(sa["q"], h_in), sa["norm_q"]["w"], cfg.eps)
-    k = rms_norm(linear(sa["k"], h_in), sa["norm_k"]["w"], cfg.eps)
-    v = linear(sa["v"], h_in).reshape(b, s, nh, hd)
+    if "qkv" in sa:
+        # fused projection (see fuse_qkv_params): one [D, 3D] matmul
+        qkv = linear(sa["qkv"], h_in)
+        q_p, k_p, v_p = jnp.split(qkv, 3, axis=-1)
+    else:
+        q_p = linear(sa["q"], h_in)
+        k_p = linear(sa["k"], h_in)
+        v_p = linear(sa["v"], h_in)
+    q = rms_norm(q_p, sa["norm_q"]["w"], cfg.eps)
+    k = rms_norm(k_p, sa["norm_k"]["w"], cfg.eps)
+    v = v_p.reshape(b, s, nh, hd)
     q = apply_rope(q.reshape(b, s, nh, hd), angles)
     k = apply_rope(k.reshape(b, s, nh, hd), angles)
 

@@ -65,7 +65,7 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         if "blocks" in path:
             # leading stacked-layer axis shards over pp (pipeline stages)
             if path.endswith("/w"):
-                if any(f"/{n}/w" in path for n in ("q", "k", "v")) and "ffn" not in path:
+                if any(f"/{n}/w" in path for n in ("q", "k", "v", "qkv")) and "ffn" not in path:
                     return P("pp", None, "tp")
                 if "/o/w" in path:
                     return P("pp", "tp", None)
@@ -77,7 +77,7 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             if path.endswith("/b"):
                 if "/fc1/b" in path:
                     return P("pp", "tp")
-                if any(f"/{n}/b" in path for n in ("q", "k", "v")) and "ffn" not in path:
+                if any(f"/{n}/b" in path for n in ("q", "k", "v", "qkv")) and "ffn" not in path:
                     return P("pp", "tp")
                 return P(*(["pp"] + [None] * (nd - 1)))
             return P(*(["pp"] + [None] * (nd - 1)))

@@ -46,9 +46,17 @@ class SemiARGenerator:
         mesh=None,
     ):
         self.cfg = cfg
-        self.params = params
         self.dtype = dtype
         m, r = cfg.model, cfg.runtime
+
+        # fuse self-attn q/k/v into one [D, 3D] projection (numerically
+        # identical, one MXU dispatch per layer). Kept separate under tp>1:
+        # the head-sharded TP layout splits each projection's output axis.
+        if m.fuse_qkv and (mesh is None or mesh.shape.get("tp", 1) == 1):
+            from ..models.wan.causal_dit import fuse_qkv_params
+
+            params = fuse_qkv_params(params)
+        self.params = params
 
         # in-forward SP attention (reference CoreAttention CP path): active
         # when a mesh with sp>1 is supplied and the parallel config names a

@@ -245,3 +245,53 @@ def test_unroll_layers_matches_scan():
         lat, _ = g.generate(noise, xattn, jax.random.key(2))
         outs.append(np.asarray(lat))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-5)
+
+
+def test_fused_qkv_matches_separate():
+    """fuse_qkv_params is numerically identical to separate q/k/v projections
+    (bf16 leaves and int8-quantized leaves)."""
+    from inferix_tpu.models.wan.causal_dit import fuse_qkv_params
+    from inferix_tpu.quant.api import quantize_params
+
+    cfg = tiny_test_config()
+    cfg.model.fuse_qkv = False
+    params = init_params(jax.random.key(5), cfg.model, dtype=jnp.float32)
+    noise = jax.random.normal(
+        jax.random.key(6),
+        (1, 2, cfg.runtime.latent_height, cfg.runtime.latent_width,
+         cfg.runtime.latent_channels), dtype=jnp.float32)
+    ctx = jnp.zeros((1, cfg.model.text_len, cfg.model.text_dim))
+
+    gen_sep = SemiARGenerator(cfg, params, dtype=jnp.float32)
+    xattn = gen_sep.encode_text_context(ctx)
+    a, _ = gen_sep.generate(noise, xattn, jax.random.key(7))
+
+    fcfg = tiny_test_config()
+    fcfg.model.fuse_qkv = True
+    gen_fused = SemiARGenerator(fcfg, params, dtype=jnp.float32)
+    assert "qkv" in gen_fused.params["blocks"]["self_attn"]
+    assert "q" not in gen_fused.params["blocks"]["self_attn"]
+    b, _ = gen_fused.generate(noise, xattn, jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+    # quantized leaves: fuse after quantization, same int8 numerics
+    qcfg = tiny_test_config()
+    qcfg.quant.enabled = True
+    qcfg.quant.dtype = "int8"
+    qcfg.quant.granularity = "per_channel"
+    qparams = quantize_params(params, qcfg.quant)
+    qcfg.model.fuse_qkv = False
+    gq_sep = SemiARGenerator(qcfg, qparams, dtype=jnp.float32)
+    qa, _ = gq_sep.generate(noise, xattn, jax.random.key(7))
+    fused_q = fuse_qkv_params(qparams)
+    assert fused_q["blocks"]["self_attn"]["qkv"]["w_q"].dtype == jnp.int8
+    q2cfg = tiny_test_config()
+    q2cfg.quant.enabled = True
+    q2cfg.quant.dtype = "int8"
+    q2cfg.quant.granularity = "per_channel"
+    q2cfg.model.fuse_qkv = True
+    gq_fused = SemiARGenerator(q2cfg, qparams, dtype=jnp.float32)
+    qb, _ = gq_fused.generate(noise, xattn, jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                               rtol=2e-5, atol=2e-5)
