@@ -120,12 +120,15 @@ class SemiARGenerator:
         self.context_noise = float(r.context_noise)
         self.frame_seq = self.statics.geo.frame_seq
 
-        self._block_step = jax.jit(
-            functools.partial(_denoise_block_impl, statics=self.statics,
-                              steps=self.denoising_steps,
-                              context_noise=self.context_noise),
-            static_argnames=(),
-            donate_argnames=("cache",),
+        # denoise loop and context re-run dispatch as SEPARATE programs:
+        # x0 is host-readable after the 4 denoise forwards (one forward
+        # earlier -> ~20% lower time-to-first-block) and the context re-run
+        # overlaps with host-side streaming/decode of the block. The denoise
+        # half must NOT donate the cache — the context step reads it next
+        # (and, running persist_kv=False, never mutates it).
+        self._steps_only = jax.jit(
+            functools.partial(_denoise_steps_impl, statics=self.statics,
+                              steps=self.denoising_steps),
         )
         self._context_step = jax.jit(
             functools.partial(_context_cache_impl, statics=self.statics,
@@ -154,10 +157,14 @@ class SemiARGenerator:
         current_start_frame: int | jax.Array,
     ) -> Tuple[jax.Array, KVCache]:
         start = jnp.asarray(current_start_frame, jnp.int32) * self.frame_seq
-        return self._block_step(
+        x0 = self._steps_only(
             self.params, self.rope_tables, self.schedule, cache, xattn,
             noisy, rng, start,
         )
+        cache = self._context_step(
+            self.params, self.rope_tables, cache, xattn, x0, start,
+        )
+        return x0, cache
 
     def cache_context_block(
         self,
@@ -233,7 +240,7 @@ class SemiARGenerator:
 # jitted implementations
 # ---------------------------------------------------------------------------
 
-def _denoise_block_impl(
+def _denoise_steps_impl(
     params: Params,
     rope_tables,
     schedule: FlowMatchSchedule,
@@ -245,8 +252,12 @@ def _denoise_block_impl(
     *,
     statics: DiTStatics,
     steps: Sequence[float],
-    context_noise: float,
-) -> Tuple[jax.Array, KVCache]:
+) -> jax.Array:
+    """The few-step denoise loop ONLY (no context re-run): returns x0 and
+    leaves the cache untouched (denoise steps run persist_kv=False — each
+    step's KV is overwritten anyway). Split from the context re-run so the
+    caller can read x0 one forward earlier (lower time-to-first-block) and
+    overlap the re-run with host-side streaming/decode."""
     b, f = noisy.shape[0], noisy.shape[1]
     n_steps = len(steps)
 
@@ -289,12 +300,36 @@ def _denoise_block_impl(
         noisy_next = jnp.where(last, x0, renoised)
         return (noisy_next, x0, cache_c), None
 
-    (_, x0, cache), _ = jax.lax.scan(
+    (_, x0, _), _ = jax.lax.scan(
         step, (noisy, noisy, cache), (t_vals, t_nexts, is_last, step_rngs)
     )
+    return x0
 
-    # context re-run: refresh the cache with (nearly) clean KV (the flow
-    # output is discarded, so the head is skipped)
+
+def _denoise_block_impl(
+    params: Params,
+    rope_tables,
+    schedule: FlowMatchSchedule,
+    cache: KVCache,
+    xattn: CrossAttnCache,
+    noisy: jax.Array,
+    rng: jax.Array,
+    current_start: jax.Array,
+    *,
+    statics: DiTStatics,
+    steps: Sequence[float],
+    context_noise: float,
+) -> Tuple[jax.Array, KVCache]:
+    """Full block step in one program: denoise loop + clean-context re-run
+    (the flow output of the re-run is discarded, so the head is skipped).
+    `SemiARGenerator.denoise_block` dispatches the two halves as separate
+    programs instead (earlier x0 readback); this fused variant remains for
+    single-dispatch callers (__graft_entry__, bench_scaling)."""
+    b, f = noisy.shape[0], noisy.shape[1]
+    x0 = _denoise_steps_impl(
+        params, rope_tables, schedule, cache, xattn, noisy, rng,
+        current_start, statics=statics, steps=steps,
+    )
     t_ctx = jnp.full((b, f), context_noise, jnp.float32)
     _, cache = dit_forward_inference(
         params, statics, rope_tables, x0, t_ctx, xattn, cache, current_start,
