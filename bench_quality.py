@@ -66,6 +66,20 @@ def main():
     vid_a = np.clip(vid_a, 0, 1)
     vid_b = np.clip(vid_b, 0, 1)
 
+    # fast-context mode (context_mode='last_step'): same weights/precision as
+    # bf16, only the context-KV source differs — the delta isolates the cost
+    # of skipping the clean-context re-run.
+    import dataclasses
+
+    fcfg = EngineConfig()
+    fcfg.runtime = dataclasses.replace(fcfg.runtime, context_mode="last_step")
+    lat_fast = generate(fcfg, params, jnp.bfloat16)
+    vid_f = np.asarray(vae.decode(jnp.asarray(lat_fast)))[0] * 0.5 + 0.5
+    vid_f = np.clip(vid_f, 0, 1)
+    fast_deltas = quality_delta(vid_a, vid_f, n_chunks=3, metrics=metrics)
+    fast_lat_rel = float(np.abs(lat_fast - lat_bf16).mean()
+                         / (np.abs(lat_bf16).mean() + 1e-8))
+
     lat_rel = float(np.abs(lat_int8 - lat_bf16).mean()
                     / (np.abs(lat_bf16).mean() + 1e-8))
     metrics = ["clarity", "motion", "dynamic", "subject_consistency",
@@ -77,6 +91,10 @@ def main():
         "latent_mean_rel_diff": round(lat_rel, 4),
         "per_metric_rel_delta": {k: round(v, 4) for k, v in deltas.items()},
         "max_metric_delta": round(max(deltas.values()), 4),
+        "fast_context_latent_mean_rel_diff": round(fast_lat_rel, 4),
+        "fast_context_per_metric_rel_delta": {
+            k: round(v, 4) for k, v in fast_deltas.items()},
+        "fast_context_max_metric_delta": round(max(fast_deltas.values()), 4),
         "note": ("random-init weights (no checkpoints in this env): deltas "
                  "measure pure quantization-induced numerical divergence "
                  "on identical content"),

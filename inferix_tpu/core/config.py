@@ -124,6 +124,14 @@ class RuntimeConfig:
     denoising_step_list: Tuple[int, ...] = (1000, 750, 500, 250)
     warp_denoising_step: bool = True
     context_noise: int = 0
+    # How the KV cache gets its persistent "context" for later blocks:
+    #   "rerun"     — extra forward on clean x0 at t=context_noise (reference
+    #                 semantics, `CausalInferencePipeline.py:348-361`)
+    #   "last_step" — persist the KV written during the FINAL denoise step
+    #                 (input renoised at denoising_step_list[-1]); skips the
+    #                 re-run forward entirely: 4 forwards/block instead of 5
+    #                 (~25% faster), at a measurable context-quality cost.
+    context_mode: str = "rerun"
     timestep_shift: float = 8.0
     guidance_scale: float = 0.0
     decode_mode: DecodeMode = DecodeMode.AFTER_ALL

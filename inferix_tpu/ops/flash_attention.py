@@ -20,6 +20,7 @@ across the kv dimension.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -28,6 +29,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# Default KV block size for the prefix kernels. The isolated-kernel sweep
+# (exp/r3_blocks.py, v5e, full 32760-token cache) says 8192 is fastest
+# (5.65 ms vs 5.93 at 2048) — but e2e (exp/r3_kvblock_e2e.py) 8192 LOSES
+# (clip 2.365 vs 2.517 f/s; sustained 2.047 vs 2.05): early blocks pay the
+# padding and the microbench win vanishes under XLA's overlap of the cache
+# slice/transpose copies with kernel time. 4096 is within noise both ways.
+# Keep 2048. Read once at import; override per-process with INFERIX_KV_BLOCK.
+DEFAULT_KV_BLOCK = int(os.environ.get("INFERIX_KV_BLOCK", "2048"))
 
 
 LOG2E = 1.4426950408889634
@@ -184,7 +194,7 @@ def flash_attention_prefix(
     kv_start: jax.Array | int = 0,  # start of the valid span
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 2048,
+    kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
     softmax: str = "fixedm",
@@ -202,6 +212,8 @@ def flash_attention_prefix(
     if scale is None:
         scale = d**-0.5
     q_block = _fit_block(sq, q_block)
+    if kv_block is None:
+        kv_block = DEFAULT_KV_BLOCK
     kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
 
     # [B, S, H, D] -> [B*H, S, D]
@@ -422,7 +434,7 @@ def flash_attention_prefix_quant(
     kv_len: jax.Array,
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 2048,
+    kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
     softmax: str = "fixedm",
@@ -441,6 +453,8 @@ def flash_attention_prefix_quant(
     if scale is None:
         scale = d**-0.5
     q_block = min(q_block, -(-sq // 16) * 16)
+    if kv_block is None:
+        kv_block = DEFAULT_KV_BLOCK
     kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
 
     def bh(x):
@@ -630,7 +644,7 @@ def flash_attention_prefix_quant_i8(
     kv_len: jax.Array,
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 2048,
+    kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -639,6 +653,8 @@ def flash_attention_prefix_quant_i8(
     if scale is None:
         scale = d**-0.5
     q_block = min(q_block, -(-sq // 32) * 32)
+    if kv_block is None:
+        kv_block = DEFAULT_KV_BLOCK
     kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
 
     def bh(x):
@@ -891,7 +907,7 @@ def flash_attention_prefix_quant_v2(
     kv_len: jax.Array,     # scalar or [B] int32
     scale: Optional[float] = None,
     q_block: int = 1024,
-    kv_block: int = 2048,
+    kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -900,6 +916,8 @@ def flash_attention_prefix_quant_v2(
     if scale is None:
         scale = d**-0.5
     q_block = _fit_block(sq, q_block)
+    if kv_block is None:
+        kv_block = DEFAULT_KV_BLOCK
     kv_block = min(kv_block, max(128, -(-skv // 128) * 128))
 
     def bh(x):

@@ -126,6 +126,20 @@ class SemiARGenerator:
         # overlaps with host-side streaming/decode of the block. The denoise
         # half must NOT donate the cache — the context step reads it next
         # (and, running persist_kv=False, never mutates it).
+        self.context_mode = getattr(r, "context_mode", "rerun")
+        if self.context_mode not in ("rerun", "last_step"):
+            raise ValueError(
+                f"context_mode must be 'rerun' or 'last_step', got "
+                f"{self.context_mode!r}")
+        if self.context_mode == "last_step":
+            # 4 forwards/block instead of 5: the final denoise step persists
+            # its KV and there is no context re-run (see RuntimeConfig).
+            self._steps_persist = jax.jit(
+                functools.partial(_denoise_steps_impl, statics=self.statics,
+                                  steps=self.denoising_steps,
+                                  persist_last_kv=True),
+                donate_argnames=("cache",),
+            )
         self._steps_only = jax.jit(
             functools.partial(_denoise_steps_impl, statics=self.statics,
                               steps=self.denoising_steps),
@@ -157,6 +171,11 @@ class SemiARGenerator:
         current_start_frame: int | jax.Array,
     ) -> Tuple[jax.Array, KVCache]:
         start = jnp.asarray(current_start_frame, jnp.int32) * self.frame_seq
+        if self.context_mode == "last_step":
+            return self._steps_persist(
+                self.params, self.rope_tables, self.schedule, cache, xattn,
+                noisy, rng, start,
+            )
         x0 = self._steps_only(
             self.params, self.rope_tables, self.schedule, cache, xattn,
             noisy, rng, start,
@@ -252,14 +271,23 @@ def _denoise_steps_impl(
     *,
     statics: DiTStatics,
     steps: Sequence[float],
-) -> jax.Array:
+    persist_last_kv: bool = False,
+):
     """The few-step denoise loop ONLY (no context re-run): returns x0 and
     leaves the cache untouched (denoise steps run persist_kv=False — each
     step's KV is overwritten anyway). Split from the context re-run so the
     caller can read x0 one forward earlier (lower time-to-first-block) and
-    overlap the re-run with host-side streaming/decode."""
+    overlap the re-run with host-side streaming/decode.
+
+    persist_last_kv=True (context_mode='last_step'): the FINAL denoise step
+    runs unrolled with persist_kv=True and (x0, cache) is returned — the
+    block's context KV comes from the last denoise forward (input renoised
+    at steps[-1]) instead of a separate clean re-run, saving one full
+    forward per block. The scanned prefix steps are unchanged, so the
+    default path's compiled graph is identical to persist_last_kv=False."""
     b, f = noisy.shape[0], noisy.shape[1]
     n_steps = len(steps)
+    n_scan = n_steps - 1 if persist_last_kv else n_steps
 
     # scan over denoise steps: ONE compiled forward instance instead of
     # n_steps unrolled copies (the graph is dominated by the 30-layer DiT;
@@ -300,10 +328,30 @@ def _denoise_steps_impl(
         noisy_next = jnp.where(last, x0, renoised)
         return (noisy_next, x0, cache_c), None
 
-    (_, x0, _), _ = jax.lax.scan(
-        step, (noisy, noisy, cache), (t_vals, t_nexts, is_last, step_rngs)
+    if not persist_last_kv:
+        (_, x0, _), _ = jax.lax.scan(
+            step, (noisy, noisy, cache), (t_vals, t_nexts, is_last, step_rngs)
+        )
+        return x0
+
+    # context_mode='last_step': scan the first n-1 steps (same rng stream as
+    # the default path, so x0 is bit-identical), then unroll the final step
+    # with persist_kv=True — its KV write IS the block's context.
+    if n_scan > 0:
+        (noisy_c, _, cache), _ = jax.lax.scan(
+            step, (noisy, noisy, cache),
+            (t_vals[:n_scan], t_nexts[:n_scan], is_last[:n_scan],
+             step_rngs[:n_scan]),
+        )
+    else:
+        noisy_c = noisy
+    t = jnp.full((b, f), float(steps[-1]), jnp.float32)
+    flow, cache = dit_forward_inference(
+        params, statics, rope_tables, noisy_c, t, xattn, cache,
+        current_start, persist_kv=True,
     )
-    return x0
+    x0 = schedule.flow_to_x0(flow, noisy_c, t)
+    return x0, cache
 
 
 def _denoise_block_impl(

@@ -295,3 +295,48 @@ def test_fused_qkv_matches_separate():
     qb, _ = gq_fused.generate(noise, xattn, jax.random.key(7))
     np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_last_step_context_mode(gen):
+    """context_mode='last_step' skips the context re-run: first-block x0 is
+    bit-identical to the default (same denoise math + rng stream), the cache
+    content differs (KV from the final denoise step, not a clean re-run),
+    and multi-block generation stays finite."""
+    import dataclasses
+
+    from inferix_tpu.core.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    cfg.runtime = dataclasses.replace(cfg.runtime, context_mode="last_step")
+    fast = SemiARGenerator(cfg, gen.params, dtype=jnp.float32)
+
+    xattn = gen.encode_text_context(
+        jnp.zeros((1, gen.cfg.model.text_len, gen.cfg.model.text_dim)))
+    noise = _noise(gen, frames=1)
+
+    x0_ref, cache_ref = gen.denoise_block(
+        gen.init_cache(), xattn, noise, jax.random.key(5), 0)
+    x0_fast, cache_fast = fast.denoise_block(
+        fast.init_cache(), xattn, noise, jax.random.key(5), 0)
+    np.testing.assert_array_equal(np.asarray(x0_ref), np.asarray(x0_fast))
+    # the persisted KV must be populated but NOT equal to the clean re-run's
+    assert np.abs(np.asarray(cache_fast.k[:, :, : fast.frame_seq])).sum() > 0
+    assert not np.allclose(np.asarray(cache_ref.k[:, :, : fast.frame_seq]),
+                           np.asarray(cache_fast.k[:, :, : fast.frame_seq]))
+
+    latents, _ = fast.generate(_noise(gen, frames=4), xattn, jax.random.key(6))
+    assert latents.shape[1] == 4
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_last_step_mode_rejects_bad_value():
+    import dataclasses
+
+    from inferix_tpu.core.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    cfg.runtime = dataclasses.replace(cfg.runtime, context_mode="bogus")
+    with pytest.raises(ValueError):
+        SemiARGenerator(cfg, init_params(jax.random.key(0), cfg.model,
+                                         dtype=jnp.float32),
+                        dtype=jnp.float32)
