@@ -66,6 +66,13 @@ def main():
     vid_a = np.clip(vid_a, 0, 1)
     vid_b = np.clip(vid_b, 0, 1)
 
+    lat_rel = float(np.abs(lat_int8 - lat_bf16).mean()
+                    / (np.abs(lat_bf16).mean() + 1e-8))
+    metrics = ["clarity", "motion", "dynamic", "subject_consistency",
+               "background_consistency", "clarity_musiq", "motion_flow",
+               "dynamic_flow"]
+    deltas = quality_delta(vid_a, vid_b, n_chunks=3, metrics=metrics)
+
     # fast-context mode (context_mode='last_step'): same weights/precision as
     # bf16, only the context-KV source differs — the delta isolates the cost
     # of skipping the clean-context re-run.
@@ -79,13 +86,6 @@ def main():
     fast_deltas = quality_delta(vid_a, vid_f, n_chunks=3, metrics=metrics)
     fast_lat_rel = float(np.abs(lat_fast - lat_bf16).mean()
                          / (np.abs(lat_bf16).mean() + 1e-8))
-
-    lat_rel = float(np.abs(lat_int8 - lat_bf16).mean()
-                    / (np.abs(lat_bf16).mean() + 1e-8))
-    metrics = ["clarity", "motion", "dynamic", "subject_consistency",
-               "background_consistency", "clarity_musiq", "motion_flow",
-               "dynamic_flow"]
-    deltas = quality_delta(vid_a, vid_b, n_chunks=3, metrics=metrics)
     out = {
         "metric": "quant_quality_delta",
         "latent_mean_rel_diff": round(lat_rel, 4),

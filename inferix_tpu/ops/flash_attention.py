@@ -38,6 +38,11 @@ NEG_INF = -1e30
 # slice/transpose copies with kernel time. 4096 is within noise both ways.
 # Keep 2048. Read once at import; override per-process with INFERIX_KV_BLOCK.
 DEFAULT_KV_BLOCK = int(os.environ.get("INFERIX_KV_BLOCK", "2048"))
+# Query block: _fit_block() splits Sq into near-equal aligned blocks no
+# larger than this (Sq=4680 -> 5 x 944 at the 1024 default). The sweep
+# (exp/r3_blocks.py) has (q=2368, kv=2048) at 5.73 ms vs (944, 2048)
+# 5.93 at full cache; e2e choice recorded in exp/r2_results.jsonl.
+DEFAULT_Q_BLOCK = int(os.environ.get("INFERIX_Q_BLOCK", "1024"))
 
 
 LOG2E = 1.4426950408889634
@@ -193,7 +198,7 @@ def flash_attention_prefix(
     kv_len: jax.Array,     # scalar int32: end of the valid span
     kv_start: jax.Array | int = 0,  # start of the valid span
     scale: Optional[float] = None,
-    q_block: int = 1024,
+    q_block: Optional[int] = None,
     kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
@@ -211,6 +216,8 @@ def flash_attention_prefix(
     skv = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    if q_block is None:
+        q_block = DEFAULT_Q_BLOCK
     q_block = _fit_block(sq, q_block)
     if kv_block is None:
         kv_block = DEFAULT_KV_BLOCK
@@ -433,7 +440,7 @@ def flash_attention_prefix_quant(
     v_scale: jax.Array,    # [B, Skv, H] f32
     kv_len: jax.Array,
     scale: Optional[float] = None,
-    q_block: int = 1024,
+    q_block: Optional[int] = None,
     kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
@@ -452,6 +459,8 @@ def flash_attention_prefix_quant(
     skv = k_q.shape[1]
     if scale is None:
         scale = d**-0.5
+    if q_block is None:
+        q_block = DEFAULT_Q_BLOCK
     q_block = min(q_block, -(-sq // 16) * 16)
     if kv_block is None:
         kv_block = DEFAULT_KV_BLOCK
@@ -643,7 +652,7 @@ def flash_attention_prefix_quant_i8(
     v_scale: jax.Array,    # [B, Skv, H] f32
     kv_len: jax.Array,
     scale: Optional[float] = None,
-    q_block: int = 1024,
+    q_block: Optional[int] = None,
     kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
@@ -652,6 +661,8 @@ def flash_attention_prefix_quant_i8(
     skv = k_q.shape[1]
     if scale is None:
         scale = d**-0.5
+    if q_block is None:
+        q_block = DEFAULT_Q_BLOCK
     q_block = min(q_block, -(-sq // 32) * 32)
     if kv_block is None:
         kv_block = DEFAULT_KV_BLOCK
@@ -906,7 +917,7 @@ def flash_attention_prefix_quant_v2(
     v_scale: jax.Array,    # [B, Skv, H] f32
     kv_len: jax.Array,     # scalar or [B] int32
     scale: Optional[float] = None,
-    q_block: int = 1024,
+    q_block: Optional[int] = None,
     kv_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
@@ -915,6 +926,8 @@ def flash_attention_prefix_quant_v2(
     skv = k_q.shape[1]
     if scale is None:
         scale = d**-0.5
+    if q_block is None:
+        q_block = DEFAULT_Q_BLOCK
     q_block = _fit_block(sq, q_block)
     if kv_block is None:
         kv_block = DEFAULT_KV_BLOCK

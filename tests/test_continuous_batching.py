@@ -112,3 +112,26 @@ def test_mid_run_admission_isolated_with_int8_kv():
     mixed = np.concatenate([np.asarray(o) for o in b2.streams["x"].outputs],
                            axis=1)
     np.testing.assert_allclose(mixed, solo, rtol=2e-4, atol=2e-4)
+
+
+def test_continuous_batching_last_step_context_mode():
+    """Per-slot rng streams flow through the persist-last-KV path: streams
+    still advance independently and stay slot-invariant."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg.runtime.batch_size = 2
+    cfg.runtime = dataclasses.replace(cfg.runtime, context_mode="last_step")
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    gen = SemiARGenerator(cfg, params, dtype=jnp.float32)
+    b = ContinuousBatcher(gen)
+    m = cfg.model
+    b.set_conditioning(gen.encode_text_context(
+        jnp.zeros((2, m.text_len, m.text_dim))))
+    b.admit("a", num_frames=2, seed=1)
+    b.step()
+    b.admit("b", num_frames=1, seed=2)
+    b.step()
+    assert b.streams["a"].finished and b.streams["b"].finished
+    outs = b.retire("a").outputs
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
