@@ -35,6 +35,11 @@ def _common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--decode-mode",
                    choices=["after_all", "per_block", "no_decode"],
                    default="after_all")
+    p.add_argument("--context-mode", choices=["rerun", "last_step"],
+                   default=None,
+                   help="'last_step' skips the clean-context re-run "
+                        "(4 forwards/block instead of 5, ~29%% faster; "
+                        "slightly noisier context KV)")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (no real weights; smoke runs)")
@@ -59,6 +64,8 @@ def _build_config(args):
         cfg.quant.enabled = True
         cfg.quant.dtype = args.quant
         cfg.quant.quantize_kv_cache = args.quant_kv
+    if getattr(args, "context_mode", None):
+        cfg.runtime.context_mode = args.context_mode
     return cfg
 
 
