@@ -123,11 +123,18 @@ class MagiStatics(NamedTuple):
     cfg: MagiModelConfig
     spec: KVCacheSpec
     geo: MagiGeometry
+    # in-forward CP over the window (reference FullyParallelAttention
+    # cp-strategy dispatch none/ulysses/cso, dit_module.py:1087-1195):
+    # "cso" runs the per-chunk shuffled-Ulysses pipeline of
+    # `parallel/distributed_attention.cso_chunk_attention` inside each layer
+    mesh: object = None
+    sp_mode: str = "none"
 
 
 def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
                       latent_w: int, max_chunks: int,
-                      dtype=jnp.bfloat16) -> MagiStatics:
+                      dtype=jnp.bfloat16, mesh=None,
+                      sp_mode: str = "none") -> MagiStatics:
     geo = MagiGeometry(latent_h, latent_w, cfg.chunk_width, cfg.patch_size)
     spec = KVCacheSpec(
         num_layers=cfg.num_layers,
@@ -137,7 +144,13 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
         head_dim=cfg.kv_channels,
         dtype=dtype,
     )
-    return MagiStatics(cfg=cfg, spec=spec, geo=geo)
+    if sp_mode not in ("none", "cso"):
+        raise ValueError(f"MAGI sp_mode must be 'none' or 'cso', got "
+                         f"{sp_mode!r}")
+    if sp_mode != "none" and (mesh is None or mesh.shape.get("sp", 1) <= 1):
+        sp_mode = "none"
+    return MagiStatics(cfg=cfg, spec=spec, geo=geo, mesh=mesh,
+                       sp_mode=sp_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +378,8 @@ def _magi_layer(
     token_ranges: jax.Array,
     current_start: jax.Array,
     current_end: jax.Array,
+    mesh=None,
+    sp_mode: str = "none",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One MAGI transformer layer (reference TransformerLayer.forward,
     dit_module.py:1243-1320). Returns (h_x, new_k_layer, new_v_layer)."""
@@ -389,27 +404,39 @@ def _magi_layer(
     k_layer, v_layer = write_block(spec, k_layer, v_layer, k, v,
                                    current_start)
 
-    use_pallas = jax.default_backend() == "tpu"
-    outs = []
-    for ci in range(n_chunks):
-        qi = q[:, ci * ct:(ci + 1) * ct]
-        span = token_ranges[ci]
-        if use_pallas:
-            from ...ops.flash_attention import flash_attention_gqa
+    if sp_mode == "cso":
+        # in-forward CP: per-chunk shuffled-Ulysses pipeline (reference CSO
+        # strategy) — the chunk loop with its a2a chains lives inside a
+        # shard_map island; everything around stays GSPMD-sharded
+        from ...parallel.distributed_attention import cso_chunk_attention
 
-            outs.append(flash_attention_gqa(
-                qi, k_layer, v_layer,
-                kv_len=jnp.minimum(span[1], current_end),
-                kv_start=span[0],
-            ))
-        else:
-            kc = jnp.repeat(k_layer, rep, axis=2)
-            vc = jnp.repeat(v_layer, rep, axis=2)
-            idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
-            mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
-                                                         current_end))
-            outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
-    core = jnp.concatenate(outs, axis=1)               # [B, S, nh, hd]
+        qc = q.reshape(b, n_chunks, ct, nh, hd)
+        core = cso_chunk_attention(
+            mesh, qc, k_layer, v_layer, token_ranges,
+            jnp.asarray(current_end, jnp.int32),
+        ).reshape(b, n_chunks * ct, nh, hd)
+    else:
+        use_pallas = jax.default_backend() == "tpu"
+        outs = []
+        for ci in range(n_chunks):
+            qi = q[:, ci * ct:(ci + 1) * ct]
+            span = token_ranges[ci]
+            if use_pallas:
+                from ...ops.flash_attention import flash_attention_gqa
+
+                outs.append(flash_attention_gqa(
+                    qi, k_layer, v_layer,
+                    kv_len=jnp.minimum(span[1], current_end),
+                    kv_start=span[0],
+                ))
+            else:
+                kc = jnp.repeat(k_layer, rep, axis=2)
+                vc = jnp.repeat(v_layer, rep, axis=2)
+                idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
+                mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
+                                                             current_end))
+                outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
+        core = jnp.concatenate(outs, axis=1)           # [B, S, nh, hd]
 
     # --- cross attention (parallel branch, same ln input) ---
     qx = magi_linear(blk["qx"], ln).reshape(b, -1, nh, hd)
@@ -538,7 +565,8 @@ def magi_forward(
             blk, h_x, cond, y, caption_mask, k_layer, v_layer,
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
-            current_end=current_end,
+            current_end=current_end, mesh=statics.mesh,
+            sp_mode=statics.sp_mode,
         )
         k_all = jax.lax.dynamic_update_index_in_dim(
             k_all, k_layer.astype(k_all.dtype), lid, 0)

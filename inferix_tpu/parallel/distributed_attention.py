@@ -177,6 +177,90 @@ def ring_pass_q_cache_attention(
 
 
 # ---------------------------------------------------------------------------
+# CSO: per-chunk shuffled Ulysses pipeline (MAGI multi-range denoising)
+# ---------------------------------------------------------------------------
+
+def _cso_local_span_attn(qg, k, v, span_start, span_end):
+    """Local per-chunk attention over the kv span [span_start, span_end) of
+    the head-sharded cache. qg: [B, ct, Hq_loc, D]; k/v: [B, Smax, Hkv_loc, D]."""
+    if jax.default_backend() == "tpu":
+        from ..ops.flash_attention import flash_attention_gqa
+
+        return flash_attention_gqa(qg, k, v, kv_len=span_end,
+                                   kv_start=span_start)
+    rep = qg.shape[2] // k.shape[2]
+    kf = jnp.repeat(k.astype(qg.dtype), rep, axis=2)
+    vf = jnp.repeat(v.astype(qg.dtype), rep, axis=2)
+    idx = jnp.arange(k.shape[1], dtype=jnp.int32)
+    mask = (idx >= span_start) & (idx < span_end)
+    out, _ = attention_chunked(qg, kf, vf, kv_mask=mask)
+    return out
+
+
+def cso_chunk_attention(
+    mesh: Mesh,
+    q: jax.Array,             # [B, n_chunks, ct, Hq, D] — ct sharded over sp
+    k: jax.Array,             # [B, Smax, Hkv, D] cache — heads over sp
+    v: jax.Array,
+    token_ranges: jax.Array,  # [n_chunks, 2] int32 token span per chunk
+    current_end: jax.Array,   # scalar int32 clamp (live window end)
+) -> jax.Array:
+    """Context-shuffle-overlap attention: the TPU redesign of the reference's
+    CSO CP strategy (`inferix/distributed/parallelism/context_parallel.py:258-306`
+    cp_shuffle_overlap_process + `:604-665` CSOHelper.overlap,
+    dispatched from `magi/dit/dit_module.py:1087-1195`).
+
+    The reference shuffles the window so every rank holds 1/cp of EVERY
+    denoising range (uniform load even though ranges attend to different kv
+    spans), then software-pipelines per-range attention against the a2a of
+    the next range's queries. Here the shuffle is the sharding itself —
+    splitting each chunk's `ct` tokens over `sp` IS the slice-of-every-range
+    layout — and the per-chunk loop issues independent a2a -> attend -> a2a
+    chains that XLA's async collective scheduler overlaps (chunk i's kernel
+    runs while chunk i+1's all-to-all is in flight), which is the TPU-native
+    form of CSOHelper's manual double buffering.
+
+    Per chunk: all-to-all scatters Hq over sp / gathers the chunk's tokens
+    (every device gets the FULL chunk for Hq/sp heads), local GQA span
+    attention over the device's Hkv/sp cache heads, and the reverse
+    all-to-all restores the shuffle layout.
+    """
+    sp = mesh.shape["sp"]
+    n_chunks = q.shape[1]
+    assert mesh.shape.get("tp", 1) == 1, "MAGI CSO shards heads over sp only"
+    assert q.shape[3] % sp == 0 and k.shape[2] % sp == 0, (
+        f"q heads {q.shape[3]} and kv heads {k.shape[2]} must divide sp {sp}")
+    assert q.shape[2] % sp == 0, (
+        f"chunk tokens {q.shape[2]} must divide sp {sp}")
+
+    def body(q_, k_, v_, ranges_, cur_end_):
+        outs = []
+        for ci in range(n_chunks):
+            qi = q_[:, ci]                       # [B, ct/sp, Hq, D]
+            qg = jax.lax.all_to_all(qi, "sp", split_axis=2, concat_axis=1,
+                                    tiled=True)  # [B, ct, Hq/sp, D]
+            span = ranges_[ci]
+            out = _cso_local_span_attn(
+                qg, k_, v_, span[0], jnp.minimum(span[1], cur_end_[0]))
+            outs.append(jax.lax.all_to_all(out, "sp", split_axis=1,
+                                           concat_axis=2, tiled=True))
+        return jnp.stack(outs, axis=1)           # [B, n_chunks, ct/sp, Hq, D]
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            P("dp", None, "sp", None, None),     # q: chunk tokens over sp
+            P("dp", None, "sp", None),           # cache: kv heads over sp
+            P("dp", None, "sp", None),
+            P(None, None),                       # token ranges (replicated)
+            P(None),                             # current_end (replicated)
+        ),
+        out_specs=P("dp", None, "sp", None, None),
+        check_vma=False,
+    )(q, k, v, token_ranges, jnp.reshape(current_end, (1,)))
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + comm accounting
 # ---------------------------------------------------------------------------
 
@@ -206,8 +290,10 @@ def sp_comm_bytes_per_layer(
     if sp <= 1 or mode == "none":
         return 0
     h_loc = num_heads // tp
-    if mode == "ulysses":
+    if mode in ("ulysses", "cso"):
         # q in + out a2a: each device exchanges (sp-1)/sp of its local shard
+        # (cso issues the same volume as ulysses, split per chunk so the
+        # chunk-i kernel overlaps the chunk-i+1 exchange)
         local = batch * (block_tokens // sp) * h_loc * head_dim * itemsize
         return 2 * local * (sp - 1) // sp * sp  # both directions, all hops
     # ring pass-q: q + acc(f32) + m/l(f32) hop sp times

@@ -47,6 +47,10 @@ class MagiRuntimeConfig:
     clean_chunk_kvrange: int = -1
     clean_t: float = 0.9999
     seed: int = 1234
+    # in-forward CP over the window when a mesh with sp>1 is supplied
+    # (reference cp_strategy none/ulysses/cso, dit_module.py:1087-1195;
+    # here "cso" = per-chunk shuffled-Ulysses island, the TPU CSO analog)
+    cp_strategy: str = "none"
 
 
 class MagiPipeline:
@@ -68,8 +72,14 @@ class MagiPipeline:
         self.profiler = profiler or InferixProfiler()
         # batch 2 = (conditional, unconditional) halves, reference x.chunk(2)
         self.batch = 2
+        sp_mode = "none"
+        if (mesh is not None and mesh.shape.get("sp", 1) > 1
+                and runtime.cp_strategy == "cso"
+                and mesh.shape.get("pp", 1) == 1):
+            sp_mode = "cso"
         self.statics = make_magi_statics(
-            model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype
+            model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
+            mesh=mesh, sp_mode=sp_mode,
         )
         self.rope_tables = build_rope_tables(model_cfg.kv_channels,
                                              model_cfg.rope_max_seq_len)

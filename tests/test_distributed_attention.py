@@ -79,3 +79,71 @@ def test_sp_comm_accounting_positive():
                                 num_heads=12, head_dim=128)
     assert r > 0
     assert sp_comm_bytes_per_layer("none", 1, 1, 1, 4680, 32760, 12, 128) == 0
+
+
+# ---------------------------------------------------------------------------
+# CSO (per-chunk shuffled-Ulysses, the MAGI CP strategy)
+# ---------------------------------------------------------------------------
+
+def test_cso_chunk_attention_matches_local():
+    """cso_chunk_attention == per-chunk span attention computed locally."""
+    from inferix_tpu.ops.attention import attention_chunked
+    from inferix_tpu.parallel.distributed_attention import cso_chunk_attention
+
+    b, n_chunks, ct, hq, hkv, d, smax = 1, 3, 32, 4, 2, 32, 96
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (b, n_chunks, ct, hq, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, smax, hkv, d),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, smax, hkv, d),
+                          jnp.float32)
+    ranges = jnp.array([[0, 32], [0, 64], [32, 96]], jnp.int32)
+    cur_end = jnp.int32(96)
+
+    cfg = ParallelConfig(dp=1, sp=2, tp=1, pp=1)
+    mesh = make_mesh(cfg)
+    got = np.asarray(cso_chunk_attention(mesh, q, k, v, ranges, cur_end))
+
+    rep = hq // hkv
+    kf, vf = jnp.repeat(k, rep, axis=2), jnp.repeat(v, rep, axis=2)
+    idx = jnp.arange(smax)
+    for ci in range(n_chunks):
+        mask = (idx >= ranges[ci, 0]) & (idx < jnp.minimum(ranges[ci, 1],
+                                                           cur_end))
+        ref, _ = attention_chunked(q[:, ci], kf, vf, kv_mask=mask)
+        np.testing.assert_allclose(got[:, ci], np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_magi_cso_matches_single_device():
+    """MAGI windowed generation with cp_strategy='cso' on an sp=2 CPU mesh
+    equals the single-device walk (reference FullyParallelAttention CSO
+    dispatch, dit_module.py:1087-1195)."""
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                             max_chunks=6, dtype=jnp.float32)
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    rt_cso = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                               cp_strategy="cso")
+    mesh = make_mesh(ParallelConfig(dp=1, sp=2, tp=1, pp=1))
+    cso_pipe = MagiPipeline(mcfg, rt_cso, params=params, latent_h=8,
+                            latent_w=8, max_chunks=6, dtype=jnp.float32,
+                            mesh=mesh)
+    assert cso_pipe.statics.sp_mode == "cso"
+    got = [np.asarray(lat) for _, lat in
+           cso_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    assert len(got) == len(base)
+    for a, g in zip(base, got):
+        np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
