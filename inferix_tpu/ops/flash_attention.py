@@ -39,9 +39,11 @@ NEG_INF = -1e30
 # Keep 2048. Read once at import; override per-process with INFERIX_KV_BLOCK.
 DEFAULT_KV_BLOCK = int(os.environ.get("INFERIX_KV_BLOCK", "2048"))
 # Query block: _fit_block() splits Sq into near-equal aligned blocks no
-# larger than this (Sq=4680 -> 5 x 944 at the 1024 default). The sweep
-# (exp/r3_blocks.py) has (q=2368, kv=2048) at 5.73 ms vs (944, 2048)
-# 5.93 at full cache; e2e choice recorded in exp/r2_results.jsonl.
+# larger than this (Sq=4680 -> 5 x 944 at the 1024 default). The isolated
+# sweep (exp/r3_blocks.py) has (q=2368, kv=2048) at 5.73 ms vs (944, 2048)
+# 5.93 at full cache, but e2e (exp/r3_kvblock_e2e.py with INFERIX_Q_BLOCK
+# =2368) hits RESOURCE_EXHAUSTED on the 16 GB v5e — the [q_blk, kv_blk]
+# fp32 probability tile's VMEM footprint quadruples. Keep 1024.
 DEFAULT_Q_BLOCK = int(os.environ.get("INFERIX_Q_BLOCK", "1024"))
 
 

@@ -81,6 +81,21 @@ class MagiPipeline:
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
             mesh=mesh, sp_mode=sp_mode,
         )
+        if self.statics.sp_mode == "cso":
+            from ..core.monitoring import print_rank_0
+            from ..parallel.distributed_attention import sp_comm_bytes_per_layer
+
+            per_layer = sp_comm_bytes_per_layer(
+                "cso", mesh.shape["sp"], 1, self.batch,
+                runtime.window_size * self.statics.geo.chunk_tokens,
+                self.statics.spec.max_tokens,
+                model_cfg.num_attention_heads, model_cfg.kv_channels,
+                itemsize=jnp.dtype(dtype).itemsize,
+            )
+            print_rank_0(
+                f"[cso] sp={mesh.shape['sp']} comm/layer/forward="
+                f"{per_layer / 2**20:.2f} MiB over "
+                f"{runtime.window_size} chunks")
         self.rope_tables = build_rope_tables(model_cfg.kv_channels,
                                              model_cfg.rope_max_seq_len)
         self.params = params if params is not None else init_magi_params(
