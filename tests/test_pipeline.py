@@ -237,3 +237,25 @@ def test_streaming_offload_segments_to_host(pipe):
     for s in segments:
         assert s.devices() == {jax.devices("cpu")[0]}
         assert np.isfinite(np.asarray(s)).all()
+
+
+def test_streaming_with_fast_context_mode():
+    """run_streaming_generation under context_mode='last_step': segments
+    carry overlap correctly and cache context persists across blocks even
+    though the clean-context re-run is skipped."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg.runtime.num_frames = 4
+    cfg.runtime.frames_per_segment = 4
+    cfg.runtime.overlap_frames = 1
+    cfg.runtime.streaming_mode = StreamingMode.TRUE_STREAMING
+    cfg.runtime = dataclasses.replace(cfg.runtime, context_mode="last_step")
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    p = SelfForcingPipeline(cfg, params=params, vae=_tiny_vae(),
+                            dtype=jnp.float32)
+    p.setup()
+    segments = p.run_streaming_generation(
+        ["prompt"], num_segments=2, offload_segments=True)
+    assert segments[0].shape[1] == 4 and segments[1].shape[1] == 3
+    assert all(np.isfinite(np.asarray(s)).all() for s in segments)
