@@ -76,10 +76,8 @@ def main():
     # fast-context mode (context_mode='last_step'): same weights/precision as
     # bf16, only the context-KV source differs — the delta isolates the cost
     # of skipping the clean-context re-run.
-    import dataclasses
-
     fcfg = EngineConfig()
-    fcfg.runtime = dataclasses.replace(fcfg.runtime, context_mode="last_step")
+    fcfg.runtime.context_mode = "last_step"
     lat_fast = generate(fcfg, params, jnp.bfloat16)
     vid_f = np.asarray(vae.decode(jnp.asarray(lat_fast)))[0] * 0.5 + 0.5
     vid_f = np.clip(vid_f, 0, 1)

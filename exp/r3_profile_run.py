@@ -37,8 +37,17 @@ lat = pipe.run_text_to_video(["warmup"], decode_mode=DecodeMode.NO_DECODE)
 np.asarray(lat[(0, 0, 0, 0, 0)])
 
 prof.reset()
-lat = pipe.run_text_to_video(["a harbor at dawn"],
-                             decode_mode=DecodeMode.NO_DECODE)
+# the block callback forces a host readback per block so the profiler's
+# stage/block timings reflect device completion, not async dispatch (the
+# axon relay's block_until_ready returns early; NO_DECODE otherwise records
+# enqueue times)
+def _sync_block(x0, i):
+    np.asarray(jax.device_get(x0[(0,) * x0.ndim]))
+
+
+lat = pipe.run_text_to_video(
+    ["a harbor at dawn"], decode_mode=DecodeMode.NO_DECODE,
+    block_callback=_sync_block)
 np.asarray(lat[(0, 0, 0, 0, 0)])
 paths = prof.save_report()
 print("report:", paths)

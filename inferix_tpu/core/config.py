@@ -130,7 +130,7 @@ class RuntimeConfig:
     #   "last_step" — persist the KV written during the FINAL denoise step
     #                 (input renoised at denoising_step_list[-1]); skips the
     #                 re-run forward entirely: 4 forwards/block instead of 5
-    #                 (~25% faster), at a measurable context-quality cost.
+    #                 (+29% measured), at a measurable context-quality cost.
     context_mode: str = "rerun"
     timestep_shift: float = 8.0
     guidance_scale: float = 0.0

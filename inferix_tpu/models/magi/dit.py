@@ -148,7 +148,11 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
         raise ValueError(f"MAGI sp_mode must be 'none' or 'cso', got "
                          f"{sp_mode!r}")
     if sp_mode != "none" and (mesh is None or mesh.shape.get("sp", 1) <= 1):
-        sp_mode = "none"
+        # an explicit CSO request without an sp>1 mesh is a misconfiguration,
+        # not a fallback case — fail loudly (MagiPipeline gates before calling)
+        raise ValueError(
+            "sp_mode='cso' requires a mesh with sp>1 "
+            f"(got mesh={None if mesh is None else dict(mesh.shape)})")
     return MagiStatics(cfg=cfg, spec=spec, geo=geo, mesh=mesh,
                        sp_mode=sp_mode)
 

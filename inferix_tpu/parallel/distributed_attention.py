@@ -229,9 +229,10 @@ def cso_chunk_attention(
     n_chunks = q.shape[1]
     assert mesh.shape.get("tp", 1) == 1, "MAGI CSO shards heads over sp only"
     assert q.shape[3] % sp == 0 and k.shape[2] % sp == 0, (
-        f"q heads {q.shape[3]} and kv heads {k.shape[2]} must divide sp {sp}")
+        f"sp {sp} must divide q heads {q.shape[3]} and kv heads "
+        f"{k.shape[2]}")
     assert q.shape[2] % sp == 0, (
-        f"chunk tokens {q.shape[2]} must divide sp {sp}")
+        f"sp {sp} must divide chunk tokens {q.shape[2]}")
 
     def body(q_, k_, v_, ranges_, cur_end_):
         outs = []

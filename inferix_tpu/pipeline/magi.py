@@ -76,6 +76,11 @@ class MagiPipeline:
         if (mesh is not None and mesh.shape.get("sp", 1) > 1
                 and runtime.cp_strategy == "cso"
                 and mesh.shape.get("pp", 1) == 1):
+            if mesh.shape.get("tp", 1) > 1:
+                raise ValueError(
+                    "MAGI cp_strategy='cso' shards heads over sp only — "
+                    "use tp=1 in the mesh (got tp="
+                    f"{mesh.shape['tp']})")
             sp_mode = "cso"
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,

@@ -9,10 +9,15 @@ This is the TPU re-design of the reference's canonical inner loop
     3. re-run the generator at t=context_noise so the KV cache holds CLEAN
        context for subsequent blocks (`:348-361`)
 
-Everything inside one block — all denoise steps plus the context re-run — is a
-single jitted, cache-donating function, so the whole block runs on-device with
-no host round-trips. The block loop itself stays in Python (one compilation,
-static shapes; the number of blocks varies across calls without recompiling).
+A block dispatches as TWO jitted programs: the few-step denoise loop (whose
+x0 output becomes host-readable one forward early — lower time-to-first-
+block) and the cache-donating context re-run, which pipelines behind the
+next block / host-side decode. With `context_mode="last_step"` the second
+program is skipped entirely: the final denoise step persists its KV. The
+fused single-program variant (`_denoise_block_impl`) remains for
+single-dispatch callers (__graft_entry__, bench_scaling). The block loop
+itself stays in Python (one compilation, static shapes; the number of
+blocks varies across calls without recompiling).
 """
 from __future__ import annotations
 
