@@ -26,7 +26,9 @@ from ..core.config import ModelConfig
 
 
 def _to_np(t) -> np.ndarray:
-    """torch tensor -> numpy (via float32 for bf16, cast later)."""
+    """torch tensor or numpy array -> numpy (via float32 for bf16/fp8)."""
+    if isinstance(t, np.ndarray):
+        return t
     import torch
 
     if t.dtype == torch.bfloat16 or "float8" in str(t.dtype):
@@ -190,11 +192,14 @@ def load_self_forcing_checkpoint(model_path: str, cfg: ModelConfig,
 # VAE weights
 # ---------------------------------------------------------------------------
 
-def convert_wan_vae_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+def convert_wan_vae_state_dict(sd: Dict[str, Any], cfg=None) -> Dict[str, Any]:
     """torch WanVAE_ state dict -> our functional VAE pytree. The reference
     module tree (vae.py:477-512: encoder/decoder/conv1/conv2) maps onto our
     init_encoder/init_decoder layout; conv weights are transposed to
-    [kt,kh,kw,in,out] and 2D convs gain a leading kt=1 axis."""
+    [kt,kh,kw,in,out] and 2D convs gain a leading kt=1 axis.
+
+    `cfg` is the VAEConfig describing the checkpoint's geometry (defaults to
+    the production Wan 2.1 VAE)."""
 
     def conv3d(prefix):
         w = _to_np(sd[f"{prefix}.weight"])
@@ -227,7 +232,8 @@ def convert_wan_vae_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     # walk the torch module indices in the same order our init builds layers
     from ..models.wan.vae import VAEConfig
 
-    cfg = VAEConfig()
+    if cfg is None:
+        cfg = VAEConfig()
     out: Dict[str, Any] = {
         "conv1": conv3d("conv1"),
         "conv2": conv3d("conv2"),
@@ -293,13 +299,15 @@ def convert_wan_vae_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree.map(jnp.asarray, out)
 
 
-def load_wan_vae(vae_path: str):
+def load_wan_vae(vae_path: str, cfg=None):
     """Wan2.1_VAE.pth -> CausalVAE with real weights."""
     from ..models.wan.vae import CausalVAE, VAEConfig
 
+    if cfg is None:
+        cfg = VAEConfig()
     sd = load_torch_state_dict(vae_path)
-    params = convert_wan_vae_state_dict(sd)
-    return CausalVAE(VAEConfig(), params=params)
+    params = convert_wan_vae_state_dict(sd, cfg)
+    return CausalVAE(cfg, params=params)
 
 
 # ---------------------------------------------------------------------------
