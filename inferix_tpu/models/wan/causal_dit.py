@@ -527,7 +527,17 @@ def dit_forward_inference(
     has_img = xattn.k_img is not None
 
     def layer(carry, xs):
-        h, caches = carry
+        # persist_kv=False: the cache is NOT part of the carry — it is closed
+        # over as a loop-invariant input. A pass-through carry defeats XLA's
+        # input/output donation aliasing (the while-loop carry buffer must be
+        # materialized separately), which costs a full extra cache copy in
+        # HBM — 2x3.21 GB at int8 B=4, the difference between fitting 4
+        # streams on a 16 GB chip and OOM.
+        if persist_kv:
+            h, caches = carry
+        else:
+            h = carry
+            caches = tuple(cache_fields)
         if has_img:
             block, xk, xv, xki, xvi, lid = xs
             img = (xki, xvi)
@@ -543,12 +553,13 @@ def dit_forward_inference(
             current_start, kv_mask, mesh=statics.mesh,
             sp_mode=statics.sp_mode,
         )
-        if persist_kv:
-            caches = tuple(
-                jax.lax.dynamic_update_index_in_dim(c, nc.astype(c.dtype),
-                                                    lid, 0)
-                for c, nc in zip(caches, new_layer_cache)
-            )
+        if not persist_kv:
+            return h, None
+        caches = tuple(
+            jax.lax.dynamic_update_index_in_dim(c, nc.astype(c.dtype),
+                                                lid, 0)
+            for c, nc in zip(caches, new_layer_cache)
+        )
         return (h, caches), None
 
     use_pp_pipeline = (
@@ -627,10 +638,11 @@ def dit_forward_inference(
                 xattn.k[lid], xattn.v[lid], img, current_start, kv_mask,
                 mesh=statics.mesh, sp_mode=statics.sp_mode,
             )
-            caches = tuple(
-                c.at[lid].set(nc.astype(c.dtype))
-                for c, nc in zip(caches, new_layer_cache)
-            )
+            if persist_kv:
+                caches = tuple(
+                    c.at[lid].set(nc.astype(c.dtype))
+                    for c, nc in zip(caches, new_layer_cache)
+                )
         new_fields = caches
     else:
         if has_img:
@@ -638,8 +650,12 @@ def dit_forward_inference(
                   xattn.v_img, layer_ids)
         else:
             xs = (params["blocks"], xattn.k, xattn.v, layer_ids)
-        (h, new_fields), _ = jax.lax.scan(
-            layer, (tokens, tuple(cache_fields)), xs)
+        if persist_kv:
+            (h, new_fields), _ = jax.lax.scan(
+                layer, (tokens, tuple(cache_fields)), xs)
+        else:
+            h, _ = jax.lax.scan(layer, tokens, xs)
+            new_fields = tuple(cache_fields)
 
     if need_output:
         out = head_forward(params, cfg, h, e)

@@ -70,8 +70,13 @@ class MagiPipeline:
         self.rt = runtime
         self.dtype = dtype
         self.profiler = profiler or InferixProfiler()
-        # batch 2 = (conditional, unconditional) halves, reference x.chunk(2)
-        self.batch = 2
+        # batch 2 = (conditional, unconditional) halves, reference x.chunk(2).
+        # The distilled path (cfg_number == 1) runs a SINGLE conditional
+        # forward like the reference dispatcher (dit_model.py:537-596) —
+        # except under pp, where the two halves double as the pipeline's
+        # microbatches.
+        pp_on = mesh is not None and mesh.shape.get("pp", 1) > 1
+        self.batch = 2 if (runtime.cfg_number >= 2 or pp_on) else 1
         sp_mode = "none"
         if (mesh is not None and mesh.shape.get("sp", 1) > 1
                 and runtime.cp_strategy == "cso"
@@ -176,18 +181,23 @@ class MagiPipeline:
             nkey, (1, chunk_num * cw, geo.latent_h, geo.latent_w,
                    cfg.in_channels)
         ).astype(self.dtype)
-        x = jnp.concatenate([x, x], axis=0)  # [2, ...] cond/uncond
+        # cond/uncond halves share noise (reference x.chunk(2) symmetry)
+        x = jnp.broadcast_to(x, (self.batch, *x.shape[1:]))
         if prefix_latents is not None:
-            pref = jnp.concatenate([prefix_latents, prefix_latents], axis=0)
+            pref = jnp.broadcast_to(
+                prefix_latents, (self.batch, *prefix_latents.shape[1:]))
             x = x.at[:, : chunk_offset * cw].set(pref.astype(x.dtype))
 
         cache = init_kv_cache(self.statics.spec)
 
         # caption: conditional half = real caption, uncond half = zeros
-        cap = jnp.concatenate(
-            [caption_emb, jnp.zeros_like(caption_emb)], axis=0
-        )
-        cmask = jnp.concatenate([caption_mask, caption_mask], axis=0)
+        if self.batch == 2:
+            cap = jnp.concatenate(
+                [caption_emb, jnp.zeros_like(caption_emb)], axis=0
+            )
+            cmask = jnp.concatenate([caption_mask, caption_mask], axis=0)
+        else:
+            cap, cmask = caption_emb, caption_mask
 
         # prefix feature extraction at clean_t fills the cache
         if chunk_offset > 0:

@@ -311,14 +311,18 @@ def _denoise_steps_impl(
         step_rngs = jax.random.split(rng, n_steps)
 
     def step(carry, xs):
-        noisy_c, x0_c, cache_c = carry
+        # the cache is deliberately NOT a carry: persist_kv=False never
+        # mutates it, and a pass-through carry blocks the donation aliasing
+        # of the final persisting forward (XLA materializes a full extra
+        # cache copy — see dit_forward_inference)
+        noisy_c, x0_c = carry
         t_val, t_next, last, srng = xs
         t = jnp.full((b, f), t_val, jnp.float32)
         # persist_kv=False: each denoise step's KV is overwritten by the next
         # step (and finally by the clean context re-run), so the per-layer
-        # write-back into the carried cache is pure wasted HBM traffic
-        flow, cache_c = dit_forward_inference(
-            params, statics, rope_tables, noisy_c, t, xattn, cache_c,
+        # write-back into the cache is pure wasted HBM traffic
+        flow, _ = dit_forward_inference(
+            params, statics, rope_tables, noisy_c, t, xattn, cache,
             current_start, persist_kv=False,
         )
         x0 = schedule.flow_to_x0(flow, noisy_c, t)
@@ -331,11 +335,11 @@ def _denoise_steps_impl(
         t_next_b = jnp.full((b, f), t_next, jnp.float32)
         renoised = schedule.add_noise(x0, fresh, t_next_b)
         noisy_next = jnp.where(last, x0, renoised)
-        return (noisy_next, x0, cache_c), None
+        return (noisy_next, x0), None
 
     if not persist_last_kv:
-        (_, x0, _), _ = jax.lax.scan(
-            step, (noisy, noisy, cache), (t_vals, t_nexts, is_last, step_rngs)
+        (_, x0), _ = jax.lax.scan(
+            step, (noisy, noisy), (t_vals, t_nexts, is_last, step_rngs)
         )
         return x0
 
@@ -343,8 +347,8 @@ def _denoise_steps_impl(
     # the default path, so x0 is bit-identical), then unroll the final step
     # with persist_kv=True — its KV write IS the block's context.
     if n_scan > 0:
-        (noisy_c, _, cache), _ = jax.lax.scan(
-            step, (noisy, noisy, cache),
+        (noisy_c, _), _ = jax.lax.scan(
+            step, (noisy, noisy),
             (t_vals[:n_scan], t_nexts[:n_scan], is_last[:n_scan],
              step_rngs[:n_scan]),
         )
