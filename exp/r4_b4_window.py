@@ -1,8 +1,9 @@
 """Serving-capacity sweep: N concurrent streams with the rolling-window
 long-video configuration (local_attn 12 + sink 1) + int8 linears + int8 KV
-+ fast context. The per-stream window cache is ~1.9 GB int8, so 4 streams
-fit alongside the int8 weights on one 16 GB chip — the max-throughput
-deployment point for sustained long-video serving.
++ fast context. Measured: B=4 does NOT fit one 15.75 GB v5e (XLA OOM
+report: 8.22 G arguments = 4 x ~1.7 G window caches + int8 weights, plus
+9.20 G program scratch -> 17.42 G). B=3 is the capacity point this script
+records.
 
 Usage: python exp/r4_b4_window.py [batch]
 """

@@ -1,0 +1,174 @@
+"""MAGI-1 4.5B distill-quant (fp8) steady-state window forward on one v5e.
+
+Reference workload (`example/magi/configs/4.5B/4.5B_distill_quant_config.json`):
+720x720 -> latent 90x90, chunk_width 6 (12150 tokens/chunk), window 4
+(48600-token window forward), num_steps 64 (=> 16 forwards per chunk),
+cfg_number 1 (single conditional forward), fp8 per-tensor quantized middle
+layers with bf16 first/last. Params are random but in the exact distill-quant
+layout (w_q e4m3 + weight_scale + act_scale) so the fp8 dequant path is the
+one measured.
+
+Derives: s/forward -> s/chunk (16 forwards) -> pixel frames/s
+(chunk = 6 latent frames x temporal factor 4 = 24 pixel frames).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+TINY = os.environ.get("MAGI_TINY") == "1"
+if TINY:  # CPU shape/tree smoke before paying the TPU compile
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from inferix_tpu.models.magi.dit import MagiModelConfig
+from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+
+def _sync(x):
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
+
+cfg = MagiModelConfig()  # defaults ARE the 4.5B geometry
+H = W = 90               # 720/8 VAE latent
+if TINY:
+    cfg = MagiModelConfig(
+        hidden_size=128, ffn_hidden_size=256, num_layers=4,
+        num_attention_heads=4, num_query_groups=2, kv_channels=32,
+        caption_channels=96, caption_max_length=16)
+    H = W = 8
+rng = np.random.default_rng(0)
+
+
+def lin(i, o, bias=False, f32=False):
+    dt = np.float32 if f32 else ml_dtypes.bfloat16
+    p = {"w": jnp.asarray(
+        (rng.standard_normal((i, o), np.float32) / np.sqrt(i)).astype(dt))}
+    if bias:
+        p["b"] = jnp.zeros((o,), jnp.float32 if f32 else jnp.bfloat16)
+    return p
+
+
+def fp8_lin(i, o):
+    w = rng.standard_normal((i, o), np.float32) / np.sqrt(i)
+    ws = np.abs(w).max() / 448.0
+    return {
+        "w_q": jnp.asarray((w / ws).astype(ml_dtypes.float8_e4m3fn)),
+        "weight_scale": jnp.float32(ws),
+        "act_scale": jnp.full((i,), 0.5, jnp.float32),
+    }
+
+
+def ln(n, f32=False):
+    dt = jnp.float32 if f32 else jnp.bfloat16
+    return {"w": jnp.zeros((n,), dt), "b": jnp.zeros((n,), dt)}
+
+
+def block(quant):
+    h, hd = cfg.hidden_size, cfg.kv_channels
+    qd = cfg.num_attention_heads * hd
+    kvd = cfg.num_query_groups * hd
+    mk = fp8_lin if quant else lin
+    return {
+        "ln_qkv": ln(h),
+        "q": mk(h, qd), "qx": mk(h, qd), "k": mk(h, kvd), "v": mk(h, kvd),
+        "q_ln": ln(hd), "qx_ln": ln(hd), "k_ln": ln(hd), "kx_ln": ln(hd),
+        "kv_xattn": lin(cfg.xattn_dim, 2 * kvd),
+        "proj": mk(2 * qd, h),
+        "ada_proj": lin(cfg.cond_dim, 2 * h, bias=True, f32=True),
+        "self_post_norm": ln(h, f32=True), "mlp_post_norm": ln(h, f32=True),
+        "mlp_ln": ln(h),
+        "fc1": mk(h, cfg.ffn_hidden_size), "fc2": mk(cfg.ffn_hidden_size, h),
+    }
+
+
+def stack(bs):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+
+
+patch_in = cfg.t_patch_size * cfg.patch_size ** 2 * cfg.in_channels
+patch_out = cfg.t_patch_size * cfg.patch_size ** 2 * cfg.out_channels
+params = {
+    "x_embedder": lin(patch_in, cfg.hidden_size),
+    "t_embedder": {"fc1": lin(256, cfg.cond_dim, bias=True, f32=True),
+                   "fc2": lin(cfg.cond_dim, cfg.cond_dim, bias=True,
+                              f32=True)},
+    "y_embedder": {
+        "y_proj_xattn": lin(cfg.caption_channels, cfg.xattn_dim, bias=True),
+        "y_proj_adaln": lin(cfg.caption_channels, cfg.cond_dim, bias=True,
+                            f32=True),
+        "null_caption_embedding": jnp.asarray(
+            (rng.standard_normal(
+                (cfg.caption_max_length, cfg.caption_channels),
+                np.float32) * 0.02).astype(ml_dtypes.bfloat16)),
+    },
+    "rope_bands": jnp.asarray(
+        1.0 / 10000.0 ** (np.arange(cfg.kv_channels // 8, dtype=np.float32)
+                          / (cfg.kv_channels // 8))),
+    "blocks_first": block(False),
+    "blocks_mid": stack([block(True) for _ in range(cfg.num_layers - 2)]),
+    "blocks_last": block(False),
+    "final_layernorm": ln(cfg.hidden_size, f32=True),
+    "final_linear": lin(cfg.hidden_size, patch_out),
+}
+
+rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
+                       cfg_number=1, noise2clean_kvrange=(5, 4, 3, 2),
+                       clean_chunk_kvrange=1)
+W_CHUNKS = rt.window_size
+pipe = MagiPipeline(cfg, rt, params=params, latent_h=H, latent_w=W,
+                    max_chunks=W_CHUNKS, dtype=jnp.bfloat16)
+assert pipe.batch == 1, pipe.batch
+
+from inferix_tpu.kvcache.cache import init_kv_cache
+
+cap = jnp.asarray(rng.standard_normal(
+    (1, cfg.caption_max_length, cfg.caption_channels),
+    np.float32).astype(ml_dtypes.bfloat16))
+cmask = jnp.ones((1, cfg.caption_max_length))
+x_window = jnp.asarray(rng.standard_normal(
+    (1, W_CHUNKS * rt.chunk_width, H, W, cfg.in_channels),
+    np.float32).astype(ml_dtypes.bfloat16))
+t_vals = np.array([0.9, 0.7, 0.4, 0.1])
+kv_ranges = np.stack([np.zeros(W_CHUNKS, np.int32),
+                      np.arange(1, W_CHUNKS + 1, dtype=np.int32)], axis=1)
+
+cache = init_kv_cache(pipe.statics.spec)
+# warm/compile
+velocity, cache = pipe._forward_window(x_window, t_vals, cap, cmask, cache,
+                                       slice_point=0, kv_ranges=kv_ranges)
+_sync(velocity)
+_sync(cache.k)
+
+n = 6
+t0 = time.perf_counter()
+for _ in range(n):
+    velocity, cache = pipe._forward_window(x_window, t_vals, cap, cmask,
+                                           cache, slice_point=0,
+                                           kv_ranges=kv_ranges)
+_sync(velocity)
+_sync(cache.k)
+fwd_s = (time.perf_counter() - t0) / n
+
+steps_per_chunk = rt.num_steps // rt.window_size          # 16
+chunk_s = steps_per_chunk * fwd_s
+pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
+line = json.dumps({
+    "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
+    "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),
+    "pixel_frames_per_s": round(pixel_frames_per_chunk / chunk_s, 3),
+    "finite": bool(np.isfinite(np.asarray(
+        jax.device_get(velocity[0, 0, 0, 0]))).all()),
+})
+print(line, flush=True)
+if not TINY:
+    with open("/root/repo/exp/r2_results.jsonl", "a") as f:
+        f.write(line + "\n")
