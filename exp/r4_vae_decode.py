@@ -1,0 +1,74 @@
+"""On-chip streaming VAE decode throughput (the piece every frames/s number
+so far excludes — NO_DECODE measured the generator alone).
+
+Measures the cached per-latent-frame decode at the reference resolution
+(60x104 latents -> 480x832 pixels, temporal factor 4) in bf16, and derives
+the combined generate+decode serving rate for the rolling-window config
+(0.91 s per 3-latent-frame block): both run on the one chip, so steady
+state is additive unless decode is offloaded.
+
+Reference context: TRUE_STREAMING budgets ~7.7 GB for VAE decode next to
+~8.4 GB generator (`inferix/pipeline/self_forcing/pipeline.py:510-523`).
+
+Usage: python exp/r4_vae_decode.py
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+
+
+def _sync(x):
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
+
+vae = CausalVAE(VAEConfig(), key=jax.random.key(0), dtype=jnp.bfloat16)
+vae.params = jax.tree.map(
+    lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+    vae.params)
+
+B, H, W, Z = 1, 60, 104, 16
+z = jax.random.normal(jax.random.key(1), (B, 1, H, W, Z), jnp.bfloat16)
+
+# first-frame program (temporal caches empty)
+out, cache = vae.decode_chunk(z, None, first=True)
+_sync(out)
+# steady-state program
+out, cache = vae.decode_chunk(z, cache, first=False)
+_sync(out)
+
+n = 12
+t0 = time.perf_counter()
+for _ in range(n):
+    out, cache = vae.decode_chunk(z, cache, first=False)
+_sync(out)
+dt = (time.perf_counter() - t0) / n
+pix_frames = out.shape[1]  # 4 pixel frames per steady-state latent frame
+
+gen_s_per_block = 0.91          # rolling-window int8+fast-context (BASELINE)
+lat_frames_per_block = 3
+combined = (lat_frames_per_block * 4) / (
+    gen_s_per_block + lat_frames_per_block * dt)
+
+line = json.dumps({
+    "exp": "vae_decode_480x832_bf16",
+    "ms_per_latent_frame": round(dt * 1e3, 1),
+    "pixel_frames_per_latent": int(pix_frames),
+    "decode_pixel_frames_per_s": round(pix_frames / dt, 2),
+    "combined_gen_plus_decode_pixel_fps": round(combined, 2),
+    "finite": bool(np.isfinite(np.asarray(
+        jax.device_get(out[0, 0, :2, :2, 0]))).all()),
+})
+print(line, flush=True)
+with open("/root/repo/exp/r2_results.jsonl", "a") as f:
+    f.write(line + "\n")

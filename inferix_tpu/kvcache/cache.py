@@ -47,6 +47,16 @@ class KVCacheSpec:
     # scales; attention dequantizes in-kernel via logit/probability column
     # scaling, so the cache's HBM traffic halves.
     quantized: bool = False
+    # Ring-write granule (tokens). When >0 every ring write's position and
+    # length are multiples of it (the Wan pipeline writes whole frames), and
+    # granule | ring_tokens, granule | sink_tokens — so a block write wraps
+    # only at granule boundaries and lowers to n//granule static-size
+    # dynamic_update_slices instead of a scatter. The scatter lowering made
+    # XLA materialize layout-changed copies of the ENTIRE stacked cache
+    # around the layer-scan carry (2 x 3.21 GB + 2 x 1.07 GB padded scale
+    # copies at int8 B=3 window-12 — the difference between B=1 and B=4
+    # fitting on a 15.75 GB v5e; see BASELINE.md round-2 capacity notes).
+    granule: int = 0
 
     @property
     def ring_tokens(self) -> int:
@@ -122,6 +132,16 @@ def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
     else:
         new = new.astype(cache.dtype)
     start = jnp.asarray(current_start, jnp.int32)
+    # Ring writes lower to per-granule dynamic_update_slices whenever the
+    # block is granule-aligned (always true for the Wan pipeline: blocks are
+    # whole frames): a contiguous block wraps the ring only at granule
+    # boundaries, so each granule piece is itself contiguous in slot space.
+    # The scatter fallback (`.at[slots].set`) forces XLA to materialize
+    # layout-changed copies of the ENTIRE stacked cache around the layer-scan
+    # carry — ~1.7x the cache set in extra HBM (measured, BASELINE.md).
+    g = spec.granule
+    use_dus_ring = spec.ring and g > 0 and n % g == 0 \
+        and spec.ring_tokens % g == 0 and spec.sink_tokens % g == 0
     if start.ndim == 1:
         # per-slot positions: vmap the single-slot write over batch
         def write_slot(c_b, new_b, st):
@@ -129,6 +149,14 @@ def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
                 idx = (st,) + tuple(jnp.zeros((), jnp.int32)
                                     for _ in range(c_b.ndim - 1))
                 return jax.lax.dynamic_update_slice(c_b, new_b, idx)
+            if use_dus_ring:
+                zeros = tuple(jnp.zeros((), jnp.int32)
+                              for _ in range(c_b.ndim - 1))
+                for i in range(n // g):
+                    slot0 = position_to_slot(spec, st + i * g)
+                    c_b = jax.lax.dynamic_update_slice(
+                        c_b, new_b[i * g:(i + 1) * g], (slot0,) + zeros)
+                return c_b
             pos = st + jnp.arange(n, dtype=jnp.int32)
             slots = position_to_slot(spec, pos)
             return c_b.at[slots].set(new_b)
@@ -140,6 +168,15 @@ def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
         idx = (jnp.zeros((), jnp.int32), start) + \
             tuple(jnp.zeros((), jnp.int32) for _ in range(cache.ndim - 2))
         return jax.lax.dynamic_update_slice(cache, new, idx)
+    if use_dus_ring:
+        zeros = tuple(jnp.zeros((), jnp.int32)
+                      for _ in range(cache.ndim - 2))
+        for i in range(n // g):
+            slot0 = position_to_slot(spec, start + i * g)
+            cache = jax.lax.dynamic_update_slice(
+                cache, new[:, i * g:(i + 1) * g],
+                (jnp.zeros((), jnp.int32), slot0) + zeros)
+        return cache
     pos = start + jnp.arange(n, dtype=jnp.int32)
     slots = position_to_slot(spec, pos)
     return cache.at[:, slots].set(new)

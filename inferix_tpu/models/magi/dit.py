@@ -134,7 +134,11 @@ class MagiStatics(NamedTuple):
 def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
                       latent_w: int, max_chunks: int,
                       dtype=jnp.bfloat16, mesh=None,
-                      sp_mode: str = "none") -> MagiStatics:
+                      sp_mode: str = "none", kv_dtype=None) -> MagiStatics:
+    """kv_dtype overrides the window cache's storage dtype (e.g.
+    float8_e4m3fn: scale-free fp8, cast-only in-kernel dequant — halves the
+    window cache, which is what lets the 4.5B reference window config
+    [4 chunks x 12150 tokens] fit one 15.75 GB v5e)."""
     geo = MagiGeometry(latent_h, latent_w, cfg.chunk_width, cfg.patch_size)
     spec = KVCacheSpec(
         num_layers=cfg.num_layers,
@@ -142,7 +146,7 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
         max_tokens=max_chunks * geo.chunk_tokens,
         num_kv_heads=cfg.num_query_groups,
         head_dim=cfg.kv_channels,
-        dtype=dtype,
+        dtype=kv_dtype if kv_dtype is not None else dtype,
     )
     if sp_mode not in ("none", "cso"):
         raise ValueError(f"MAGI sp_mode must be 'none' or 'cso', got "

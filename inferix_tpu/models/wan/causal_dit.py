@@ -230,6 +230,9 @@ def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
         ring=(cfg.local_attn_size != -1),
         dtype=kv_dtype if kv_dtype is not None else dtype,
         quantized=quantized,
+        # every pipeline write starts at a frame boundary and spans whole
+        # frames, so ring writes lower to DUS pieces (see KVCacheSpec.granule)
+        granule=frame_seq,
     )
 
 

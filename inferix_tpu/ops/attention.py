@@ -190,8 +190,12 @@ def cache_attention(
     # Small-KV attention (cross-attention over 512 text tokens) is cheaper as
     # fused XLA ops than as a Pallas kernel launch (measured 0.58 vs 0.75 ms
     # at kv=512): below this threshold the unfused logits fit comfortably and
-    # XLA fuses the softmax into the matmuls.
-    if use_pallas and k.shape[1] > 1024:
+    # XLA fuses the softmax into the matmuls. The unfused path materializes
+    # f32 logits [B, H, Sq, Skv], so it is gated on that tensor's size too —
+    # MAGI's window forward (Sq = 4x12150, 24 heads, 800 caption tokens) hit
+    # a 3.48 GB logits temp here and OOM'd the 4.5B model off one v5e.
+    logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
+    if use_pallas and (k.shape[1] > 1024 or logits_bytes > 256 * 2**20):
         from .flash_attention import flash_attention as pallas_flash
 
         return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale)

@@ -65,6 +65,7 @@ class MagiPipeline:
         dtype=jnp.float32,
         profiler: Optional[InferixProfiler] = None,
         mesh=None,
+        kv_dtype=None,
     ):
         self.cfg = model_cfg
         self.rt = runtime
@@ -89,7 +90,7 @@ class MagiPipeline:
             sp_mode = "cso"
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
-            mesh=mesh, sp_mode=sp_mode,
+            mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
         )
         if self.statics.sp_mode == "cso":
             from ..core.monitoring import print_rank_0
