@@ -55,28 +55,22 @@ with jax.default_device(cpu):
                        r.latent_width, r.latent_channels), jnp.bfloat16)
     cache = gen.init_cache()
 
+from inferix_tpu.utils.memory_analysis import abstractify, analyze_program
+
 with jax.default_device(cpu):
-    an_args = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.asarray(a).shape,
-                                       jnp.asarray(a).dtype),
-        (gen.params, gen.rope_tables, gen.schedule, cache, xattn, noise,
-         jax.random.key(1), jnp.int32(0)))
+    an_args = abstractify((gen.params, gen.rope_tables, gen.schedule, cache,
+                           xattn, noise, jax.random.key(1), jnp.int32(0)))
 
 programs = {"steps_persist": gen._steps_persist,
             "steps_only_nopersist": gen._steps_only}
 for name, jitted in programs.items():
     try:
-        compiled = jitted.lower(*an_args).compile()
+        m = analyze_program(jitted, *an_args, abstract=False)
     except Exception as e:  # noqa: BLE001 — OOM reports surface as RuntimeError
         print(f"== {name} B={B} local={LOCAL}: compile failed: "
               f"{str(e)[:500]}")
         continue
-    ma = compiled.memory_analysis()
     print(json.dumps({
         "exp": f"mem_analysis_{name}", "batch": B, "local_attn": LOCAL,
-        "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
-        "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
-        "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
-        "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
-        "code_mib": round(ma.generated_code_size_in_bytes / 2**20, 1),
+        **{k: round(v, 3) for k, v in m.items()},
     }), flush=True)

@@ -126,6 +126,11 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--chunks", type=int, default=4)
     p.add_argument("--num-steps", type=int, default=8)
     p.add_argument("--window-size", type=int, default=4)
+    p.add_argument("--image", help="I2V: condition on this image")
+    p.add_argument("--video", help="V2V: condition on this video's tail")
+    p.add_argument("--aspect-policy", default="fit",
+                   choices=("fit", "crop", "pad"))
+    p.add_argument("--fps", type=int, default=16)
     args = p.parse_args(argv)
     import jax
     import jax.numpy as jnp
@@ -141,9 +146,32 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
     pipe = MagiPipeline(mcfg, rt, latent_h=lat, latent_w=lat,
                         max_chunks=args.chunks + 2,
                         dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+    prefix = None
+    if args.image or args.video:
+        # I2V/V2V prefix conditioning (reference run_magi.py modes 2/3)
+        import dataclasses as _dc
+
+        from .models.magi.vae import ViTVAE, ViTVAEConfig, tiny_vitvae_config
+        from .pipeline.magi_media import (encode_prefix_latents, load_media,
+                                          process_image, process_prefix_video)
+
+        vcfg = tiny_vitvae_config() if args.tiny else ViTVAEConfig()
+        # the VAE's latent channels must match the DiT's input channels
+        vcfg = _dc.replace(vcfg, z_chans=mcfg.in_channels)
+        vae = ViTVAE(vcfg)
+        h = w = lat * vae.cfg.patch_size
+        if args.image:
+            frames = process_image(load_media(args.image)[0], h, w,
+                                   args.aspect_policy)
+        else:
+            frames = process_prefix_video(load_media(args.video), args.fps,
+                                          h, w, aspect_policy=args.aspect_policy)
+        prefix = encode_prefix_latents(vae, frames, chunk_width=rt.chunk_width
+                                       ).astype(pipe.dtype)
     cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
     cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
-    for idx, chunk in pipe.generate_chunks(cap, cmask, chunk_num=args.chunks):
+    for idx, chunk in pipe.generate_chunks(cap, cmask, chunk_num=args.chunks,
+                                           prefix_latents=prefix):
         print(f"chunk {idx}: {tuple(chunk.shape)} "
               f"finite={bool(jnp.isfinite(chunk).all())}")
     return 0

@@ -217,3 +217,21 @@ def test_example_configs_parse():
             d.pop("_comment", None)
             cfg = EngineConfig.from_dict(d)
             assert cfg.runtime.num_frames > 0
+
+
+def test_memory_analysis_chipless():
+    """analyze_program compiles on abstract inputs (nothing device-resident)
+    and reports argument/output sizes; donation shows up as alias."""
+    import jax
+    import jax.numpy as jnp
+
+    from inferix_tpu.utils.memory_analysis import analyze_program
+
+    f = jax.jit(lambda c, x: (x.sum(), c.at[0].add(1.0)),
+                donate_argnums=(0,))
+    m = analyze_program(f, jnp.zeros((1024, 1024), jnp.float32),
+                        jnp.zeros((8, 128), jnp.float32))
+    assert abs(m["argument_gib"] - (1024 * 1024 + 8 * 128) * 4 / 2**30) < 1e-6
+    # the donated 4 MiB buffer aliases the output on backends that support
+    # buffer donation (TPU always; CPU reports 0 — accept either)
+    assert m["output_gib"] >= 1024 * 1024 * 4 / 2**30 - 1e-6

@@ -150,3 +150,45 @@ def test_magi_config_from_json():
     mcfg, rt = magi_config_from_json("examples/configs/magi_4p5b.json")
     assert mcfg.num_layers == 34 and mcfg.num_query_groups == 8
     assert rt.num_steps == 64 and rt.noise2clean_kvrange == (5, 4, 3, 2)
+
+
+def test_magi_media_preprocessing():
+    """Aspect policies + v2v tail-clip mirror video_process.py:208-257."""
+    import numpy as np
+
+    from inferix_tpu.pipeline.magi_media import (
+        clip_prefix_video, encode_prefix_latents, prepare_frames,
+        process_image, process_prefix_video)
+
+    img = (np.random.default_rng(0).integers(0, 255, (100, 200, 3))
+           .astype(np.uint8))
+    for policy in ("fit", "crop", "pad"):
+        out = process_image(img, 64, 64, policy)
+        assert out.shape == (1, 64, 64, 3)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+    # pad: wide image -> black bars top/bottom
+    pad = prepare_frames(img[None], 64, 64, "pad")[0]
+    assert np.allclose(pad[0], -1.0) and np.allclose(pad[-1], -1.0)
+    # crop: no black bars (content covers), center crop of the wide axis
+    crop = prepare_frames(img[None], 64, 64, "crop")[0]
+    assert not np.allclose(crop[0], -1.0)
+
+    # v2v tail clip: 50 frames @ fps 16, max 2 chunks -> last 32
+    vid = np.zeros((50, 8, 8, 3), np.float32)
+    vid[:, 0, 0, 0] = np.arange(50)
+    cl = clip_prefix_video(vid, fps=16, max_chunks=2)
+    assert cl.shape[0] == 32 and cl[0, 0, 0, 0] == 18
+    assert clip_prefix_video(vid, fps=16, prefix_frame=7).shape[0] == 7
+    assert clip_prefix_video(vid[:10], fps=16).shape[0] == 1  # < 1s of video
+
+    out = process_prefix_video(vid, fps=16, h=16, w=16, max_chunks=1)
+    assert out.shape == (16, 16, 16, 3)
+
+    # encode to whole chunks through the tiny ViT-VAE
+    from inferix_tpu.models.magi.vae import ViTVAE, tiny_vitvae_config
+
+    vae = ViTVAE(tiny_vitvae_config())
+    pl = vae.cfg.patch_length
+    frames = np.zeros((3 * pl + 1, 16, 16, 3), np.float32)
+    lat = encode_prefix_latents(vae, frames, chunk_width=2)
+    assert lat.shape[1] % 2 == 0 and lat.shape[1] >= 4
