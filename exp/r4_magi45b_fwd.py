@@ -39,6 +39,8 @@ def _sync(x):
 
 cfg = MagiModelConfig()  # defaults ARE the 4.5B geometry
 H = W = 90               # 720/8 VAE latent
+# MAGI_WEIGHTS=fp8 (default: distill-quant e4m3 layout) | bf16 | int8
+WEIGHTS = os.environ.get("MAGI_WEIGHTS", "fp8")
 if TINY:
     cfg = MagiModelConfig(
         hidden_size=128, ffn_hidden_size=256, num_layers=4,
@@ -76,7 +78,7 @@ def block(quant):
     h, hd = cfg.hidden_size, cfg.kv_channels
     qd = cfg.num_attention_heads * hd
     kvd = cfg.num_query_groups * hd
-    mk = fp8_lin if quant else lin
+    mk = fp8_lin if (quant and WEIGHTS != "bf16") else lin
     return {
         "ln_qkv": ln(h),
         "q": mk(h, qd), "qx": mk(h, qd), "k": mk(h, kvd), "v": mk(h, kvd),
@@ -119,6 +121,15 @@ params = {
     "final_layernorm": ln(cfg.hidden_size, f32=True),
     "final_linear": lin(cfg.hidden_size, patch_out),
 }
+
+if WEIGHTS == "int8":
+    # the TPU serving path: requantize the fp8 distill-quant layout to
+    # per-channel W8A8 int8 at load (quant.api.magi_distill_quant_to_int8) —
+    # v5e has no fp8 ALUs, and per-forward e4m3 weight dequant measured
+    # 12.0 s/forward vs the ~2.4 s matmul bound
+    from inferix_tpu.quant.api import magi_distill_quant_to_int8
+
+    params = magi_distill_quant_to_int8(params)
 
 rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        cfg_number=1, noise2clean_kvrange=(5, 4, 3, 2),
@@ -168,7 +179,7 @@ chunk_s = steps_per_chunk * fwd_s
 pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
 line = json.dumps({
     "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
-    "kv_cache": "fp8_e4m3",
+    "weights": WEIGHTS, "kv_cache": "fp8_e4m3",
     "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),
     "pixel_frames_per_s": round(pixel_frames_per_chunk / chunk_s, 3),
     "finite": bool(np.isfinite(np.asarray(

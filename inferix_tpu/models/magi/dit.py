@@ -315,14 +315,33 @@ def _qdq_e4m3(x: jax.Array) -> jax.Array:
 
 
 def magi_linear(p: Params, x: jax.Array) -> jax.Array:
-    """Plain / fp8 per-tensor / fp8 per-channel (smooth) linear.
+    """Plain / fp8 distill-quant / int8 W8A8 linear.
 
     fp8 params (reference PerTensor/PerChannelQuantizedFp8Linear,
     dit_module.py:434-490): w_q e4m3 [in, out], weight_scale scalar,
     and either act_scale [in] (per-tensor: div_clamp_to by input_scale,
     rescale by it — SmoothQuant with scales folded into weights) or
-    smooth_scale [in] + input_scale scalar (per-channel)."""
+    smooth_scale [in] + input_scale scalar (per-channel). v5e has no fp8
+    ALUs, so this path dequantizes weights per forward — fidelity-exact to
+    the checkpoint but ~5x slower than the matmul bound at 4.5B. The
+    SERVING path is the int8 branch: `quant.api.magi_distill_quant_to_int8`
+    requantizes the checkpoint at load ({w_q int8, scale [out]}) and the
+    matmul runs on the MXU's native int8 dot with dynamic per-token
+    activation quantization (the Wan W8A8 recipe)."""
     if "w_q" in p:
+        if p["w_q"].dtype == jnp.int8:
+            from ...quant.kernels import quantize_act_int8_per_token
+
+            *lead, k = x.shape
+            x_q, x_scale = quantize_act_int8_per_token(
+                x.reshape(-1, k).astype(jnp.float32))
+            acc = jax.lax.dot_general(
+                x_q, p["w_q"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = (acc.astype(jnp.float32) * x_scale.astype(jnp.float32)
+                   * p["scale"].astype(jnp.float32).reshape(1, -1))
+            return out.astype(x.dtype).reshape(*lead, out.shape[-1])
         xf = x.astype(jnp.float32)
         if "smooth_scale" in p:
             xq = _qdq_e4m3(xf / p["smooth_scale"]) * p["input_scale"]

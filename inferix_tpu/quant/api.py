@@ -122,6 +122,63 @@ def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
     return walk(params)
 
 
+def magi_distill_quant_to_int8(params: Params) -> Params:
+    """Requantize a MAGI fp8 distill-quant checkpoint into W8A8 int8 serving
+    weights at load time.
+
+    v5e has no fp8 ALUs, so serving the e4m3 layout as-is dequantizes every
+    weight (e4m3 -> f32 convert over all 4.5B parameters) on EVERY forward —
+    measured ~5x the matmul bound on the 4.5B window forward (12.0 s vs a
+    ~2.4 s compute floor, exp/r2_results.jsonl). Per-channel int8 weights
+    feed the MXU's native int8 path instead (the same W8A8 recipe the Wan
+    serving path uses), with the reference's activation scaling folded into
+    the weights — exact up to the stored quantization's own rounding:
+
+      per-tensor  (act_scale, dit_module.py:434-460):
+          out = ((x / a) * a) @ (w_q * ws)            -> W_eff = w_q * ws
+      per-channel (smooth_scale + input_scale, :462-490):
+          out = (x / smooth) * input_scale @ (w_q * ws)
+                              -> W_eff = (input_scale / smooth)[:, None]
+                                         * w_q * ws
+
+    Dynamic per-token int8 activation quantization replaces div_clamp_to at
+    runtime. Non-quantized leaves (bf16 first/last blocks, embedders, norms)
+    pass through unchanged.
+    """
+    def requant(d):
+        ws = d["weight_scale"]
+        row = None
+        if "smooth_scale" in d:
+            row = (d["input_scale"].astype(jnp.float32)
+                   / d["smooth_scale"].astype(jnp.float32))
+
+        def one(w_q, ws_i, row_i):
+            w = w_q.astype(jnp.float32) * ws_i
+            if row_i is not None:
+                w = w * row_i[:, None]
+            return quantize_weight_int8(w, per_channel=True)
+
+        wq = d["w_q"]
+        if wq.ndim == 3:  # stacked middle layers [L, K, N]
+            if row is None:
+                w_i8, scale = jax.vmap(lambda w, s: one(w, s, None))(wq, ws)
+            else:
+                w_i8, scale = jax.vmap(one)(wq, ws, row)
+        else:
+            w_i8, scale = one(wq, ws, row)
+        return {"w_q": w_i8, "scale": scale}
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if "w_q" in tree and tree["w_q"].dtype == jnp.float8_e4m3fn \
+                    and "weight_scale" in tree:
+                return requant(tree)
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
 def memory_bytes(params: Params) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree.leaves(params))

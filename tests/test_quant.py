@@ -206,3 +206,61 @@ def test_quant_quality_delta_harness():
     # int8 tracks bf16: relative metric drift bounded (random weights are the
     # hardest case — real checkpoints track much tighter)
     assert deltas["dynamic"] < 0.5, deltas
+
+
+def test_magi_distill_quant_to_int8_parity():
+    """Load-time fp8->int8 requant tracks the fp8 dequant path closely
+    (both paths quantize the same underlying weights; difference is int8
+    rounding + dynamic act quant vs e4m3 act qdq)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inferix_tpu.models.magi.dit import magi_linear
+    from inferix_tpu.quant.api import magi_distill_quant_to_int8
+
+    rng = np.random.default_rng(0)
+    k, n = 128, 256
+
+    def fp8_leaf(stacked=None):
+        shape = (k, n) if stacked is None else (stacked, k, n)
+        w = rng.standard_normal(shape, np.float32) / np.sqrt(k)
+        ws = np.abs(w).max() / 448.0
+        return {
+            "w_q": jnp.asarray((w / ws).astype(jnp.float8_e4m3fn.dtype
+                               if hasattr(jnp.float8_e4m3fn, "dtype")
+                               else "float8_e4m3fn")),
+            "weight_scale": (jnp.float32(ws) if stacked is None
+                             else jnp.full((stacked,), ws, jnp.float32)),
+            "act_scale": jnp.full(shape[:-2] + (k,), 0.7, jnp.float32),
+        }
+
+    tree = {"a": fp8_leaf(), "stack": fp8_leaf(stacked=3),
+            "plain": {"w": jnp.ones((4, 4), jnp.bfloat16)}}
+    out = magi_distill_quant_to_int8(tree)
+    assert out["a"]["w_q"].dtype == jnp.int8
+    assert out["a"]["scale"].shape == (n,)
+    assert out["stack"]["w_q"].shape == (3, k, n)
+    assert out["stack"]["scale"].shape == (3, n)
+    assert out["plain"]["w"].dtype == jnp.bfloat16  # untouched
+
+    x = jnp.asarray(rng.standard_normal((16, k), np.float32), jnp.bfloat16)
+    y_fp8 = magi_linear(tree["a"], x).astype(jnp.float32)
+    y_i8 = magi_linear(out["a"], x).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(y_fp8 - y_i8) / jnp.linalg.norm(y_fp8))
+    assert rel < 0.03, rel
+
+    # per-channel smooth variant folds (input_scale / smooth) into weights
+    w = rng.standard_normal((k, n), np.float32) / np.sqrt(k)
+    ws = np.abs(w).max() / 448.0
+    sm = {
+        "w_q": jnp.asarray((w / ws).astype("float8_e4m3fn")),
+        "weight_scale": jnp.float32(ws),
+        "smooth_scale": jnp.asarray(rng.uniform(0.5, 2.0, (k,)), jnp.float32),
+        "input_scale": jnp.float32(0.9),
+    }
+    y_fp8 = magi_linear(sm, x).astype(jnp.float32)
+    y_i8 = magi_linear(magi_distill_quant_to_int8({"m": sm})["m"], x
+                       ).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(y_fp8 - y_i8) / jnp.linalg.norm(y_fp8))
+    assert rel < 0.03, rel
