@@ -1,9 +1,12 @@
 """Serving-capacity sweep: N concurrent streams with the rolling-window
 long-video configuration (local_attn 12 + sink 1) + int8 linears + int8 KV
-+ fast context. Measured: B=4 does NOT fit one 15.75 GB v5e (XLA OOM
-report: 8.22 G arguments = 4 x ~1.7 G window caches + int8 weights, plus
-9.20 G program scratch -> 17.42 G). B=3 is the capacity point this script
-records.
++ fast context.
+
+History: B>=3 OOM'd (17.4-17.5 G needed) until the ring write's scatter
+lowering was replaced with per-frame DUS (KVCacheSpec.granule) — the
+scatter cost ~1.7x the cache set in program scratch (9.2 G at B=4, now
+0.94 G). Post-fix B=4 runs: 3.418 total f/s (attention-bound, so B=2 is
+the aggregate-throughput point and B=4 the capacity point).
 
 Usage: python exp/r4_b4_window.py [batch]
 """

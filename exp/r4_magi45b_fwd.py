@@ -98,6 +98,9 @@ def stack(bs):
 
 patch_in = cfg.t_patch_size * cfg.patch_size ** 2 * cfg.in_channels
 patch_out = cfg.t_patch_size * cfg.patch_size ** 2 * cfg.out_channels
+_cpu0 = jax.devices("cpu")[0]
+_host = jax.default_device(_cpu0)  # build (and requantize) in host RAM
+_host.__enter__()
 params = {
     "x_embedder": lin(patch_in, cfg.hidden_size),
     "t_embedder": {"fc1": lin(256, cfg.cond_dim, bias=True, f32=True),
@@ -126,10 +129,14 @@ if WEIGHTS == "int8":
     # the TPU serving path: requantize the fp8 distill-quant layout to
     # per-channel W8A8 int8 at load (quant.api.magi_distill_quant_to_int8) —
     # v5e has no fp8 ALUs, and per-forward e4m3 weight dequant measured
-    # 12.0 s/forward vs the ~2.4 s matmul bound
+    # 12.0 s/forward vs the ~2.4 s matmul bound. The conversion runs in
+    # host RAM (it transiently dequantizes the middle blocks to f32,
+    # ~15 GB — an OOM if done on the chip).
     from inferix_tpu.quant.api import magi_distill_quant_to_int8
 
     params = magi_distill_quant_to_int8(params)
+_host.__exit__(None, None, None)
+params = jax.device_put(params, jax.devices()[0])  # one host->chip transfer
 
 rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        cfg_number=1, noise2clean_kvrange=(5, 4, 3, 2),

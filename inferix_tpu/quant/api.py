@@ -144,6 +144,12 @@ def magi_distill_quant_to_int8(params: Params) -> Params:
     Dynamic per-token int8 activation quantization replaces div_clamp_to at
     runtime. Non-quantized leaves (bf16 first/last blocks, embedders, norms)
     pass through unchanged.
+
+    Run this BEFORE placing weights on the accelerator (e.g. under
+    `jax.default_device(jax.devices("cpu")[0])`, as the checkpoint loader
+    does): the stacked-layer dequant materializes an f32 copy of the
+    middle-block weights (~15 GB for 4.5B), fine in host RAM, an OOM on a
+    16 GB chip.
     """
     def requant(d):
         ws = d["weight_scale"]

@@ -459,3 +459,34 @@ def test_magi_pipeline_runs_with_fp8_checkpoint():
     assert len(chunks) == 2
     for v in chunks.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_magi_pipeline_int8_requant_tracks_fp8():
+    """Load-time fp8->int8 requant (the v5e serving path): same walk, same
+    rng — chunk outputs stay close to the fp8 dequant path's."""
+    import dataclasses as _dc
+
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+    from inferix_tpu.quant.api import magi_distill_quant_to_int8
+
+    cfg = _dc.replace(tiny_magi_config(), num_layers=3)
+    sd = make_reference_sd(cfg, fp8_layers=(1,))
+    params = convert_magi_state_dict(sd, cfg, dtype=jnp.float32)
+    rt = MagiRuntimeConfig(num_steps=2, window_size=2, chunk_width=2,
+                           cfg_number=1)
+    cap = jnp.zeros((1, cfg.caption_max_length, cfg.caption_channels))
+    cmask = jnp.ones((1, cfg.caption_max_length))
+
+    outs = {}
+    for name, p in (("fp8", params),
+                    ("int8", magi_distill_quant_to_int8(params))):
+        pipe = MagiPipeline(cfg, rt, params=p, latent_h=8, latent_w=8,
+                            max_chunks=4)
+        chunks = dict(pipe.generate_chunks(cap, cmask, chunk_num=2,
+                                           rng=jax.random.key(4)))
+        outs[name] = np.concatenate(
+            [np.asarray(chunks[i]) for i in sorted(chunks)], axis=1)
+    err = (np.linalg.norm(outs["fp8"] - outs["int8"])
+           / max(np.linalg.norm(outs["fp8"]), 1e-9))
+    assert np.isfinite(outs["int8"]).all()
+    assert err < 0.05, err
