@@ -164,6 +164,37 @@ t_vals = np.array([0.9, 0.7, 0.4, 0.1])
 kv_ranges = np.stack([np.zeros(W_CHUNKS, np.int32),
                       np.arange(1, W_CHUNKS + 1, dtype=np.int32)], axis=1)
 
+if os.environ.get("MAGI_MEM_ONLY") == "1":
+    # chipless program-footprint analysis (no HBM touched): compare temp /
+    # code size across weights modes — a ballooned int8 temp would mean XLA
+    # remats under HBM pressure, explaining int8 measuring slower e2e
+    from inferix_tpu.utils.memory_analysis import abstractify
+
+    with jax.default_device(_cpu0):
+        cache0 = init_kv_cache(pipe.statics.spec)
+        n_chunks = len(t_vals)
+        t = jnp.broadcast_to(jnp.asarray(t_vals, jnp.float32)[None],
+                             (1, n_chunks))
+        caps = jnp.broadcast_to(cap[:, None],
+                                (1, n_chunks, *cap.shape[1:]))
+        masks = jnp.broadcast_to(cmask[:, None],
+                                 (1, n_chunks, cmask.shape[-1]))
+        kw = dict(x_window=x_window, t=t, captions=caps, caption_mask=masks,
+                  cache=cache0, slice_point=jnp.int32(0),
+                  kv_ranges=jnp.asarray(kv_ranges, jnp.int32))
+        aparams, akw = abstractify((pipe.params, kw))
+    compiled = pipe._fwd.lower(aparams, **akw).compile()
+    ma = compiled.memory_analysis()
+    print(json.dumps({
+        "exp": "magi45b_mem", "weights": WEIGHTS,
+        "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+        "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+        "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+        "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+        "code_mib": round(ma.generated_code_size_in_bytes / 2**20, 1),
+    }), flush=True)
+    sys.exit(0)
+
 cache = init_kv_cache(pipe.statics.spec)
 # warm/compile
 velocity, cache = pipe._forward_window(x_window, t_vals, cap, cmask, cache,

@@ -38,32 +38,33 @@ vae.params = jax.tree.map(
     vae.params)
 
 B, H, W, Z = 1, 60, 104, 16
-z = jax.random.normal(jax.random.key(1), (B, 1, H, W, Z), jnp.bfloat16)
+T = int(sys.argv[1]) if len(sys.argv) > 1 else 3  # latent frames per dispatch
+z = jax.random.normal(jax.random.key(1), (B, T, H, W, Z), jnp.bfloat16)
 
-# first-frame program (temporal caches empty)
+# first-block program (temporal caches empty)
 out, cache = vae.decode_chunk(z, None, first=True)
 _sync(out)
 # steady-state program
 out, cache = vae.decode_chunk(z, cache, first=False)
 _sync(out)
 
-n = 12
+n = 8
 t0 = time.perf_counter()
 for _ in range(n):
     out, cache = vae.decode_chunk(z, cache, first=False)
 _sync(out)
 dt = (time.perf_counter() - t0) / n
-pix_frames = out.shape[1]  # 4 pixel frames per steady-state latent frame
+pix_frames = out.shape[1]  # 4T pixel frames per steady-state chunk
 
 gen_s_per_block = 0.91          # rolling-window int8+fast-context (BASELINE)
-lat_frames_per_block = 3
-combined = (lat_frames_per_block * 4) / (
-    gen_s_per_block + lat_frames_per_block * dt)
+blocks_per_chunk = T / 3
+combined = pix_frames / (gen_s_per_block * blocks_per_chunk + dt)
 
 line = json.dumps({
     "exp": "vae_decode_480x832_bf16",
-    "ms_per_latent_frame": round(dt * 1e3, 1),
-    "pixel_frames_per_latent": int(pix_frames),
+    "latent_frames_per_dispatch": T,
+    "ms_per_chunk": round(dt * 1e3, 1),
+    "ms_per_latent_frame": round(dt * 1e3 / T, 1),
     "decode_pixel_frames_per_s": round(pix_frames / dt, 2),
     "combined_gen_plus_decode_pixel_fps": round(combined, 2),
     "finite": bool(np.isfinite(np.asarray(

@@ -231,20 +231,31 @@ def resample(p, x, ctx: _CacheCtx, mode: str):
 
     if mode == "upsample3d":
         name = ctx.slot()
-        if ctx.first:
-            # reference 'Rep' marker: first chunk passes through untouched,
-            # cache stays zeros (vae.py:108-112)
+        if ctx.first and t == 1:
+            # reference 'Rep' marker: the FIRST frame passes through
+            # untouched, cache stays zeros (vae.py:108-112)
             pass
         else:
-            cache = ctx.pull(name, (b, 2, h, w, c), x.dtype)
-            x_in = jnp.concatenate([cache, x], axis=1)
+            if ctx.first:
+                # first call with a multi-frame block: frame 0 is the 'Rep'
+                # passthrough; frames 1..t-1 run the cached-conv path seeded
+                # with the zeros the per-frame stream would have (bit-equal
+                # to feeding the frames one at a time)
+                head, tail = x[:, :1], x[:, 1:]
+                x_in = jnp.concatenate(
+                    [jnp.zeros((b, 2, h, w, c), x.dtype), tail], axis=1)
+            else:
+                head = None
+                cache = ctx.pull(name, (b, 2, h, w, c), x.dtype)
+                x_in = jnp.concatenate([cache, x], axis=1)
             ctx.push(name, x_in[:, -2:])
-            y = _conv3d(p["time_conv"], x_in, spatial_pad="none")  # [B,t,h,w,2C]
+            tt = x_in.shape[1] - 2
+            y = _conv3d(p["time_conv"], x_in, spatial_pad="none")  # [B,tt,h,w,2C]
             # interleave: channel groups (2, C) -> doubled frames
-            y = y.reshape(b, t, h, w, 2, c)
-            y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, t * 2, h, w, c)
-            x = y
-            t = t * 2
+            y = y.reshape(b, tt, h, w, 2, c)
+            y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, tt * 2, h, w, c)
+            x = y if head is None else jnp.concatenate([head, y], axis=1)
+            t = x.shape[1]
 
     if mode in ("upsample2d", "upsample3d"):
         # nearest-exact 2x then 3x3 conv to half channels
@@ -413,15 +424,23 @@ class CausalVAE:
 
     def decode_chunk(self, z_frame: jax.Array, cache: Optional[Cache],
                      first: bool) -> Tuple[jax.Array, Cache]:
-        """Decode ONE latent frame [B, 1, h, w, z] -> pixels [B, 1 or 4, H, W, 3]."""
+        """Decode T latent frames [B, T, h, w, z] -> pixels
+        [B, 4T or 4T-3, H, W, 3] (the stream's first frame expands to one
+        pixel frame, every other to four). Multi-frame chunks match feeding
+        frames one at a time (to conv-fusion reassociation noise, ~1e-7 f32)
+        and amortize the dispatch chain — generators hand the VAE whole
+        3-frame blocks."""
         return self._decode_first(self.params, z_frame, cache, first=first)
 
-    def decode(self, latents: jax.Array) -> jax.Array:
-        """latents: [B, T, h, w, z] -> video [B, 1+4(T-1), H, W, 3] in [-1, 1]."""
+    def decode(self, latents: jax.Array, chunk: int = 3) -> jax.Array:
+        """latents: [B, T, h, w, z] -> video [B, 1+4(T-1), H, W, 3] in [-1, 1].
+
+        Decodes `chunk` latent frames per dispatch (bit-equal to per-frame
+        streaming; multi-frame chunks amortize the conv dispatch chain)."""
         chunks = []
         cache: Optional[Cache] = None
-        for i in range(latents.shape[1]):
-            out, cache = self.decode_chunk(latents[:, i:i + 1], cache,
+        for i in range(0, latents.shape[1], chunk):
+            out, cache = self.decode_chunk(latents[:, i:i + chunk], cache,
                                            first=(i == 0))
             chunks.append(out)
         video = jnp.concatenate(chunks, axis=1)

@@ -186,16 +186,16 @@ class SelfForcingPipeline(AbstractInferencePipeline):
             if stream_callback is None:
                 return ok
             if mode == StreamingMode.TRUE_STREAMING and self._vae is not None:
-                frames = []
-                for i in range(block_latent.shape[1]):
-                    out, decode_state["cache"] = self._vae.decode_chunk(
-                        block_latent[:, i:i + 1], decode_state["cache"],
-                        first=decode_state["first"],
-                    )
-                    decode_state["first"] = False
-                    frames.append(out)
-                pixels = jnp.clip(jnp.concatenate(frames, axis=1), -1, 1)
-                stream_callback(pixels * 0.5 + 0.5)
+                # whole-block decode (T=3): matches per-frame streaming
+                # (resample seeds the first block's temporal-conv cache with
+                # the per-frame zeros; ~1e-7 conv-fusion noise) — one conv
+                # dispatch chain instead of three
+                out, decode_state["cache"] = self._vae.decode_chunk(
+                    block_latent, decode_state["cache"],
+                    first=decode_state["first"],
+                )
+                decode_state["first"] = False
+                stream_callback(jnp.clip(out, -1, 1) * 0.5 + 0.5)
             return ok
 
         latents = self.run_text_to_video(

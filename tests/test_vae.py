@@ -49,7 +49,9 @@ def test_decode_streaming_continuity(vae):
         o, cache = vae.decode_chunk(z[:, i:i + 1], cache, first=(i == 0))
         outs.append(np.asarray(o))
     streamed = np.concatenate(outs, axis=1)
-    np.testing.assert_allclose(np.clip(streamed, -1, 1), full, atol=1e-6)
+    # decode() now runs multi-frame chunks; per-frame vs chunked conv
+    # fusions reassociate at ~1e-7 (f32)
+    np.testing.assert_allclose(np.clip(streamed, -1, 1), full, atol=1e-5)
 
 
 def test_encode_uses_temporal_context(vae):
@@ -99,3 +101,35 @@ def test_causal_conv_chunked_matches_torch_full_sequence():
         pos += n
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_block_decode_matches_per_frame_streaming():
+    """T=3 block decode (what generators hand the VAE) is bit-equal to the
+    per-frame stream — including the FIRST block, where frame 0 is the 'Rep'
+    passthrough and frames 1-2 run the temporal conv seeded with the
+    per-frame path's zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+
+    cfg = VAEConfig(dim=16, z_dim=16, dim_mult=(1, 2, 2), num_res_blocks=1,
+                    temperal_downsample=(True, True))
+    vae = CausalVAE(cfg, key=jax.random.key(3))
+    z = jax.random.normal(jax.random.key(1), (1, 6, 8, 8, 16))
+
+    outs, cache = [], None
+    for i in range(6):
+        o, cache = vae.decode_chunk(z[:, i:i + 1], cache, first=(i == 0))
+        outs.append(o)
+    ref = jnp.concatenate(outs, axis=1)
+
+    outs, cache = [], None
+    for i in range(0, 6, 3):
+        o, cache = vae.decode_chunk(z[:, i:i + 3], cache, first=(i == 0))
+        outs.append(o)
+    blk = jnp.concatenate(outs, axis=1)
+
+    assert blk.shape == ref.shape == (1, 21, 32, 32, 3)
+    assert float(jnp.abs(ref - blk).max()) < 1e-5
+    assert float(jnp.abs(vae.decode(z) - jnp.clip(ref, -1, 1)).max()) < 1e-5
