@@ -41,6 +41,12 @@ cfg = MagiModelConfig()  # defaults ARE the 4.5B geometry
 H = W = 90               # 720/8 VAE latent
 # MAGI_WEIGHTS=fp8 (default: distill-quant e4m3 layout) | bf16 | int8
 WEIGHTS = os.environ.get("MAGI_WEIGHTS", "fp8")
+# MAGI_LAYERS=<n> shrinks the stack (diagnostics: isolates per-layer cost
+# from whole-model HBM pressure); default is the real 34
+if os.environ.get("MAGI_LAYERS"):
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, num_layers=int(os.environ["MAGI_LAYERS"]))
 if TINY:
     cfg = MagiModelConfig(
         hidden_size=128, ffn_hidden_size=256, num_layers=4,
@@ -217,7 +223,7 @@ chunk_s = steps_per_chunk * fwd_s
 pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
 line = json.dumps({
     "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
-    "weights": WEIGHTS, "kv_cache": "fp8_e4m3",
+    "weights": WEIGHTS, "kv_cache": "fp8_e4m3", "layers": cfg.num_layers,
     "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),
     "pixel_frames_per_s": round(pixel_frames_per_chunk / chunk_s, 3),
     "finite": bool(np.isfinite(np.asarray(
