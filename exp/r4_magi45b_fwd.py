@@ -215,8 +215,11 @@ for _ in range(n):
                                            cache, slice_point=0,
                                            kv_ranges=kv_ranges)
 _sync(velocity)
+t_vel = time.perf_counter() - t0
 _sync(cache.k)
 fwd_s = (time.perf_counter() - t0) / n
+print(f"# velocity-sync {t_vel/n:.3f} s/fwd, +cache.k sync "
+      f"{fwd_s:.3f} s/fwd", flush=True)
 
 steps_per_chunk = rt.num_steps // rt.window_size          # 16
 chunk_s = steps_per_chunk * fwd_s
