@@ -148,13 +148,17 @@ rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        cfg_number=1, noise2clean_kvrange=(5, 4, 3, 2),
                        clean_chunk_kvrange=1)
 W_CHUNKS = rt.window_size
-# fp8 (e4m3 scale-free) window cache: bf16 KV (6.32 G) + fp8 params
-# (11.39 G args total) + XLA's head-major cache layout copy exceeds the
-# 15.75 G chip; halving the cache is what fits the reference window
-# config [4 chunks x 12150 tokens] on ONE v5e. Cast-only dequant in-kernel.
-pipe = MagiPipeline(cfg, rt, params=params, latent_h=H, latent_w=W,
-                    max_chunks=W_CHUNKS, dtype=jnp.bfloat16,
-                    kv_dtype=jnp.float8_e4m3fn)
+# Quantized window cache (bf16 KV at 6.32 G doesn't fit next to the
+# weights). MAGI_KV=int8 (default): int8 + per-(token,head) scales — the
+# span kernel's column-scaling dequant runs at the bf16 kernel's rate.
+# MAGI_KV=fp8: scale-free e4m3, cast-only dequant — measured HALF the
+# attention rate (78 vs 157 TF/s, exp/r4_magi_attn.py).
+KV = os.environ.get("MAGI_KV", "int8")
+pipe = MagiPipeline(
+    cfg, rt, params=params, latent_h=H, latent_w=W,
+    max_chunks=W_CHUNKS, dtype=jnp.bfloat16,
+    kv_dtype=jnp.float8_e4m3fn if KV == "fp8" else None,
+    quantize_kv=(KV == "int8"))
 assert pipe.batch == 1, pipe.batch
 
 from inferix_tpu.kvcache.cache import init_kv_cache
@@ -192,13 +196,24 @@ if os.environ.get("MAGI_MEM_ONLY") == "1":
     compiled = pipe._fwd.lower(aparams, **akw).compile()
     ma = compiled.memory_analysis()
     print(json.dumps({
-        "exp": "magi45b_mem", "weights": WEIGHTS,
+        "exp": "magi45b_mem", "weights": WEIGHTS, "layers": cfg.num_layers,
         "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
         "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
         "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
         "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
         "code_mib": round(ma.generated_code_size_in_bytes / 2**20, 1),
     }), flush=True)
+    # big copies (cache layout conversions show up here)
+    import re
+
+    for ln_ in compiled.as_text().splitlines():
+        m = re.search(r"= \w*\[([0-9,]+)\][^ ]* copy\(", ln_)
+        if m:
+            n_el = 1
+            for d in m.group(1).split(","):
+                n_el *= int(d)
+            if n_el >= (1 << 28):
+                print("BIGCOPY:", ln_.strip()[:220], flush=True)
     sys.exit(0)
 
 cache = init_kv_cache(pipe.statics.spec)
@@ -226,7 +241,7 @@ chunk_s = steps_per_chunk * fwd_s
 pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
 line = json.dumps({
     "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
-    "weights": WEIGHTS, "kv_cache": "fp8_e4m3", "layers": cfg.num_layers,
+    "weights": WEIGHTS, "kv_cache": KV, "layers": cfg.num_layers,
     "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),
     "pixel_frames_per_s": round(pixel_frames_per_chunk / chunk_s, 3),
     "finite": bool(np.isfinite(np.asarray(

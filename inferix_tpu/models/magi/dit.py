@@ -134,11 +134,21 @@ class MagiStatics(NamedTuple):
 def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
                       latent_w: int, max_chunks: int,
                       dtype=jnp.bfloat16, mesh=None,
-                      sp_mode: str = "none", kv_dtype=None) -> MagiStatics:
+                      sp_mode: str = "none", kv_dtype=None,
+                      quantize_kv: bool = False) -> MagiStatics:
     """kv_dtype overrides the window cache's storage dtype (e.g.
     float8_e4m3fn: scale-free fp8, cast-only in-kernel dequant — halves the
     window cache, which is what lets the 4.5B reference window config
-    [4 chunks x 12150 tokens] fit one 15.75 GB v5e)."""
+    [4 chunks x 12150 tokens] fit one 15.75 GB v5e). quantize_kv=True
+    selects the int8 + per-(token, head)-scale cache instead: same halving,
+    but the span kernel's column-scaling dequant runs at the bf16 kernel's
+    rate, where the e4m3 cast-only dequant runs at half (157 vs 78 TF/s at
+    the 4.5B window shape, exp/r4_magi_attn.py) — the preferred serving
+    cache on v5e."""
+    if quantize_kv and sp_mode == "cso":
+        raise ValueError(
+            "cp_strategy='cso' requires a bf16 KV cache "
+            "(set quantize_kv=False with sp>1)")
     geo = MagiGeometry(latent_h, latent_w, cfg.chunk_width, cfg.patch_size)
     spec = KVCacheSpec(
         num_layers=cfg.num_layers,
@@ -147,6 +157,7 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
         num_kv_heads=cfg.num_query_groups,
         head_dim=cfg.kv_channels,
         dtype=kv_dtype if kv_dtype is not None else dtype,
+        quantized=quantize_kv,
     )
     if sp_mode not in ("none", "cso"):
         raise ValueError(f"MAGI sp_mode must be 'none' or 'cso', got "
@@ -394,8 +405,8 @@ def _magi_layer(
     cond: jax.Array,           # [B, n_chunks, cond_dim] fp32
     y: jax.Array,              # [B, n_chunks, cap_len, xattn_dim] (post proj+silu)
     caption_mask: jax.Array,   # [B, n_chunks, cap_len]
-    k_layer: jax.Array,        # [B, Smax, nkv, hd]
-    v_layer: jax.Array,
+    layer_cache: tuple,        # (k, v) [B, Smax, nkv, hd] or
+                               # (k, v, k_scale, v_scale) when quantized
     *,
     cfg: MagiModelConfig,
     spec: KVCacheSpec,
@@ -407,9 +418,9 @@ def _magi_layer(
     current_end: jax.Array,
     mesh=None,
     sp_mode: str = "none",
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, tuple]:
     """One MAGI transformer layer (reference TransformerLayer.forward,
-    dit_module.py:1243-1320). Returns (h_x, new_k_layer, new_v_layer)."""
+    dit_module.py:1243-1320). Returns (h_x, new_layer_cache)."""
     b = h_x.shape[0]
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_query_groups,
                    cfg.kv_channels)
@@ -428,8 +439,13 @@ def _magi_layer(
     k = apply_rope_magi(k, angles).astype(h_x.dtype)
     v = magi_linear(blk["v"], ln).reshape(b, -1, nkv, hd)
 
-    k_layer, v_layer = write_block(spec, k_layer, v_layer, k, v,
-                                   current_start)
+    new_cache = write_block(spec, layer_cache[0], layer_cache[1], k, v,
+                            current_start,
+                            *(layer_cache[2:] if spec.quantized else ()))
+    if spec.quantized:
+        k_layer, v_layer, ks_layer, vs_layer = new_cache
+    else:
+        k_layer, v_layer = new_cache
 
     if sp_mode == "cso":
         # in-forward CP: per-chunk shuffled-Ulysses pipeline (reference CSO
@@ -448,7 +464,18 @@ def _magi_layer(
         for ci in range(n_chunks):
             qi = q[:, ci * ct:(ci + 1) * ct]
             span = token_ranges[ci]
-            if use_pallas:
+            if use_pallas and spec.quantized:
+                # int8-KV span kernel: column-scaling dequant runs at the
+                # bf16 kernel's rate (157 vs 78 TF/s for the e4m3 cast-only
+                # cache at the 4.5B window shape, exp/r4_magi_attn.py)
+                from ...ops.flash_attention import flash_attention_gqa_quant
+
+                outs.append(flash_attention_gqa_quant(
+                    qi, k_layer, v_layer, ks_layer, vs_layer,
+                    kv_len=jnp.minimum(span[1], current_end),
+                    kv_start=span[0],
+                ))
+            elif use_pallas:
                 from ...ops.flash_attention import flash_attention_gqa
 
                 outs.append(flash_attention_gqa(
@@ -457,8 +484,15 @@ def _magi_layer(
                     kv_start=span[0],
                 ))
             else:
-                kc = jnp.repeat(k_layer, rep, axis=2)
-                vc = jnp.repeat(v_layer, rep, axis=2)
+                if spec.quantized:
+                    kd = (k_layer.astype(jnp.float32)
+                          * ks_layer[..., None]).astype(h_x.dtype)
+                    vd = (v_layer.astype(jnp.float32)
+                          * vs_layer[..., None]).astype(h_x.dtype)
+                else:
+                    kd, vd = k_layer, v_layer
+                kc = jnp.repeat(kd, rep, axis=2)
+                vc = jnp.repeat(vd, rep, axis=2)
                 idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
                 mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
                                                              current_end))
@@ -512,7 +546,7 @@ def _magi_layer(
                      jax.nn.gelu(magi_linear(blk["fc1"], mlp_in),
                                  approximate=False))
     h_x = bias_modulate_add(ff, residual, g_mlp, blk["mlp_post_norm"])
-    return h_x, k_layer, v_layer
+    return h_x, new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -583,40 +617,47 @@ def magi_forward(
     current_end = current_start + n_chunks * ct
     token_ranges = kv_ranges * ct  # [n_chunks, 2]
 
+    cache_fields = tuple(
+        f for f in (cache.k, cache.v, cache.k_scale, cache.v_scale)
+        if f is not None)
+
     def layer(carry, xs):
-        h_x, k_all, v_all = carry
+        h_x, fields = carry
         blk, lid = xs
-        k_layer = jax.lax.dynamic_index_in_dim(k_all, lid, 0, keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(v_all, lid, 0, keepdims=False)
-        h_x, k_layer, v_layer = _magi_layer(
-            blk, h_x, cond, y, caption_mask, k_layer, v_layer,
+        layer_cache = tuple(
+            jax.lax.dynamic_index_in_dim(f, lid, 0, keepdims=False)
+            for f in fields)
+        h_x, new_layer_cache = _magi_layer(
+            blk, h_x, cond, y, caption_mask, layer_cache,
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
             current_end=current_end, mesh=statics.mesh,
             sp_mode=statics.sp_mode,
         )
-        k_all = jax.lax.dynamic_update_index_in_dim(
-            k_all, k_layer.astype(k_all.dtype), lid, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(
-            v_all, v_layer.astype(v_all.dtype), lid, 0)
-        return (h_x, k_all, v_all), None
+        fields = tuple(
+            jax.lax.dynamic_update_index_in_dim(f, nf.astype(f.dtype),
+                                                lid, 0)
+            for f, nf in zip(fields, new_layer_cache))
+        return (h_x, fields), None
 
     if "blocks" in params:
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-        (h_x, new_k, new_v), _ = jax.lax.scan(
-            layer, (tokens, cache.k, cache.v), (params["blocks"], layer_ids)
+        (h_x, new_fields), _ = jax.lax.scan(
+            layer, (tokens, cache_fields), (params["blocks"], layer_ids)
         )
     else:
         # fp8 distill-quant layout: first/last layers bf16, middle stacked
-        (h_x, new_k, new_v), _ = layer(
-            (tokens, cache.k, cache.v),
+        (h_x, new_fields), _ = layer(
+            (tokens, cache_fields),
             (params["blocks_first"], jnp.int32(0)))
         mid_ids = jnp.arange(1, cfg.num_layers - 1, dtype=jnp.int32)
-        (h_x, new_k, new_v), _ = jax.lax.scan(
-            layer, (h_x, new_k, new_v), (params["blocks_mid"], mid_ids))
-        (h_x, new_k, new_v), _ = layer(
-            (h_x, new_k, new_v),
+        (h_x, new_fields), _ = jax.lax.scan(
+            layer, (h_x, new_fields), (params["blocks_mid"], mid_ids))
+        (h_x, new_fields), _ = layer(
+            (h_x, new_fields),
             (params["blocks_last"], jnp.int32(cfg.num_layers - 1)))
+    new_k, new_v = new_fields[0], new_fields[1]
+    new_scales = new_fields[2:] if spec.quantized else (None, None)
 
     # final layer norm (TransformerBlock post_process) + plain linear, fp32
     h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
@@ -624,6 +665,9 @@ def magi_forward(
     velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
     if cfg.x_rescale_factor != 1.0:
         velocity = velocity / cfg.x_rescale_factor
+    if spec.quantized:
+        return velocity, KVCache(k=new_k, v=new_v, k_scale=new_scales[0],
+                                 v_scale=new_scales[1])
     return velocity, KVCache(k=new_k, v=new_v)
 
 
@@ -657,6 +701,10 @@ def magi_forward_pp(
     from ...parallel.pipeline_parallel import pp_pipeline
 
     assert "blocks" in params, "pp path requires the uniform blocks layout"
+    if statics.spec.quantized:
+        raise NotImplementedError(
+            "quantized MAGI KV cache is not wired through the pp pipeline "
+            "(use quantize_kv=False with pp>1)")
     cfg, spec, geo = statics.cfg, statics.spec, statics.geo
     b = x_window.shape[0]
     n_chunks = t.shape[1]
@@ -696,8 +744,8 @@ def magi_forward_pp(
     def layer_fn(blk, state, x, mb_idx):
         k_row = jax.lax.dynamic_slice_in_dim(state["k"], mb_idx, 1, 0)
         v_row = jax.lax.dynamic_slice_in_dim(state["v"], mb_idx, 1, 0)
-        h_new, k_new, v_new = _magi_layer(
-            blk, x["h"], x["cond"], x["y"], x["cmask"], k_row, v_row,
+        h_new, (k_new, v_new) = _magi_layer(
+            blk, x["h"], x["cond"], x["y"], x["cmask"], (k_row, v_row),
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
             current_end=current_end,

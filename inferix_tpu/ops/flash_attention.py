@@ -335,7 +335,7 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 def _flash_kernel_quant(
-    kv_len_ref,
+    bounds_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref,
     o_ref, lse_ref,
     acc_ref, *scratch,
@@ -350,7 +350,9 @@ def _flash_kernel_quant(
     else:
         m_ref, l_ref = scratch
     ki = pl.program_id(2)
-    kv_len = kv_len_ref[pl.program_id(0) // num_heads]
+    batch = pl.program_id(0) // num_heads
+    kv_start = bounds_ref[batch, 0]
+    kv_len = bounds_ref[batch, 1]
 
     @pl.when(ki == 0)
     def _init():
@@ -403,19 +405,20 @@ def _flash_kernel_quant(
         )
         return s_ * ks_ref[0]
 
-    interior = block_start + kv_block <= kv_len
+    interior = (block_start >= kv_start) & (block_start + kv_block <= kv_len)
 
     @pl.when(interior)
     def _compute_interior():
         _update(_logits())
 
-    @pl.when(jnp.logical_not(interior) & (block_start < kv_len))
+    @pl.when(jnp.logical_not(interior) & (block_start < kv_len)
+             & (block_start + kv_block > kv_start))
     def _compute_boundary():
         s = _logits()
         col = block_start + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1
         )
-        _update(jnp.where(col < kv_len, s, NEG_INF))
+        _update(jnp.where((col >= kv_start) & (col < kv_len), s, NEG_INF))
 
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():
@@ -441,6 +444,7 @@ def flash_attention_prefix_quant(
     k_scale: jax.Array,    # [B, Skv, H] f32
     v_scale: jax.Array,    # [B, Skv, H] f32
     kv_len: jax.Array,
+    kv_start: jax.Array | int = 0,  # start of the valid span
     scale: Optional[float] = None,
     q_block: Optional[int] = None,
     kv_block: Optional[int] = None,
@@ -448,7 +452,8 @@ def flash_attention_prefix_quant(
     interpret: bool = False,
     softmax: str = "fixedm",
 ):
-    """int8-KV flash attention, bf16 PV with in-kernel dequant.
+    """int8-KV flash attention over the span [kv_start, kv_len), bf16 PV
+    with in-kernel dequant.
 
     softmax='fixedm' (default) is the max-free online softmax — exact for
     normalized-QK logits (see flash_attention_prefix); 'runmax' is classic.
@@ -483,27 +488,30 @@ def flash_attention_prefix_quant(
     sq_p, skv_p = qb.shape[1], kb.shape[1]
     n_q, n_kv = sq_p // q_block, skv_p // kv_block
 
-    # per-batch valid lengths (continuous batching: each stream has its own
+    # per-batch valid spans (continuous batching: each stream has its own
     # live prefix — a scalar kv_len would attend every stream over stream 0's
-    # context)
-    kv_len_arr = jnp.broadcast_to(
-        jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)
-    )
+    # context); bounds [B, 2] = [kv_start, kv_len)
+    start_v = jnp.broadcast_to(
+        jnp.asarray(kv_start, jnp.int32).reshape(-1), (b,))
+    len_v = jnp.broadcast_to(
+        jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,))
+    bounds = jnp.stack([start_v, len_v], axis=1)
 
-    def q_map(bhi, qi, ki, kv_len_ref):
+    def q_map(bhi, qi, ki, bounds_ref):
         return (bhi, qi, 0)
 
-    def kv_map(bhi, qi, ki, kv_len_ref):
+    def _clamp(ki, bounds_ref, bb):
+        first_valid = bounds_ref[bb, 0] // kv_block
         last_valid = jnp.maximum(
-            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
+            (bounds_ref[bb, 1] + kv_block - 1) // kv_block - 1, first_valid
         )
-        return (bhi, jnp.minimum(ki, last_valid), 0)
+        return jnp.clip(ki, first_valid, last_valid)
 
-    def scale_map(bhi, qi, ki, kv_len_ref):
-        last_valid = jnp.maximum(
-            (kv_len_ref[bhi // h] + kv_block - 1) // kv_block - 1, 0
-        )
-        return (bhi, 0, jnp.minimum(ki, last_valid))
+    def kv_map(bhi, qi, ki, bounds_ref):
+        return (bhi, _clamp(ki, bounds_ref, bhi // h), 0)
+
+    def scale_map(bhi, qi, ki, bounds_ref):
+        return (bhi, 0, _clamp(ki, bounds_ref, bhi // h))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -548,7 +556,7 @@ def flash_attention_prefix_quant(
             bytes_accessed=qb.size * 2 + kb.size + vb.size,
             transcendentals=b * h * sq_p * skv_p,
         ),
-    )(kv_len_arr, qb, kb, vb, ksb, vsb)
+    )(bounds, qb, kb, vb, ksb, vsb)
 
     out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     if return_lse:
@@ -820,6 +828,40 @@ def flash_attention_gqa(
         lse = lse.reshape(b, hkv, rep, sq).reshape(b, hq, sq)
         return out, lse
     return out
+
+
+def flash_attention_gqa_quant(
+    q: jax.Array,          # [B, Sq, Hq, D] bf16/f32
+    k_q: jax.Array,        # [B, Skv, Hkv, D] int8
+    v_q: jax.Array,
+    k_scale: jax.Array,    # [B, Skv, Hkv] f32
+    v_scale: jax.Array,
+    kv_len: jax.Array,
+    kv_start: jax.Array | int = 0,
+    scale: Optional[float] = None,
+    **kwargs,
+):
+    """GQA fold (see flash_attention_gqa) over the int8-KV span kernel.
+
+    This is the MAGI window-attention serving path: int8 KV dequantizes via
+    logit/probability column scaling at bf16-kernel speed (157 vs 78 TF/s
+    for the e4m3 cast-only cache at the 4.5B window shape,
+    exp/r4_magi_attn.py)."""
+    b, sq, hq, d = q.shape
+    hkv = k_q.shape[2]
+    assert hq % hkv == 0, (hq, hkv)
+    rep = hq // hkv
+    if rep == 1:
+        return flash_attention_prefix_quant(
+            q, k_q, v_q, k_scale, v_scale, kv_len, kv_start, scale, **kwargs)
+    if kwargs.get("return_lse"):
+        raise NotImplementedError("return_lse under the GQA quant fold")
+    qg = q.reshape(b, sq, hkv, rep, d).transpose(0, 3, 1, 2, 4)
+    qg = qg.reshape(b, rep * sq, hkv, d)
+    out = flash_attention_prefix_quant(
+        qg, k_q, v_q, k_scale, v_scale, kv_len, kv_start, scale, **kwargs)
+    out = out.reshape(b, rep, sq, hkv, d).transpose(0, 2, 3, 1, 4)
+    return out.reshape(b, sq, hq, d)
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,7 @@ class MagiPipeline:
         profiler: Optional[InferixProfiler] = None,
         mesh=None,
         kv_dtype=None,
+        quantize_kv: bool = False,
     ):
         self.cfg = model_cfg
         self.rt = runtime
@@ -91,6 +92,7 @@ class MagiPipeline:
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
             mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
+            quantize_kv=quantize_kv,
         )
         if self.statics.sp_mode == "cso":
             from ..core.monitoring import print_rank_0

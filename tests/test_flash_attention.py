@@ -250,3 +250,55 @@ def test_flash_quant_v2_parity():
                                       jnp.arange(skv) < L)
         np.testing.assert_allclose(np.asarray(got[i:i+1]), np.asarray(want),
                                    rtol=0.02, atol=0.02)
+
+
+def test_flash_quant_span_parity():
+    """int8-KV kernel with a nonzero kv_start span (the MAGI chunk-causal
+    path) vs dequantized XLA oracle."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant
+
+    rng = np.random.default_rng(6)
+    b, sq, skv, h, d = 1, 16, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    for start, end in ((128, 300), (200, 512), (0, 512), (260, 300)):
+        idx = jnp.arange(skv)
+        want, _ = attention_reference(q, k_deq, v_deq,
+                                      (idx >= start) & (idx < end))
+        got = flash_attention_prefix_quant(
+            q, k_q, v_q, k_s, v_s, jnp.int32(end), jnp.int32(start),
+            interpret=True, q_block=16, kv_block=128,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-3, atol=5e-3, err_msg=f"{start}:{end}")
+
+
+def test_flash_gqa_quant_span():
+    """GQA fold over the int8-KV span kernel vs repeated-heads oracle."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_gqa_quant
+
+    rng = np.random.default_rng(7)
+    b, sq, skv, hq, hkv, d = 1, 16, 384, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    rep = hq // hkv
+    k_deq = jnp.repeat(k_q.astype(jnp.float32) * k_s[..., None], rep, axis=2)
+    v_deq = jnp.repeat(v_q.astype(jnp.float32) * v_s[..., None], rep, axis=2)
+    idx = jnp.arange(skv)
+    want, _ = attention_reference(q, k_deq, v_deq, (idx >= 128) & (idx < 300))
+    got = flash_attention_gqa_quant(
+        q, k_q, v_q, k_s, v_s, jnp.int32(300), jnp.int32(128),
+        interpret=True, q_block=16, kv_block=128,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)

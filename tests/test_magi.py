@@ -192,3 +192,28 @@ def test_magi_media_preprocessing():
     frames = np.zeros((3 * pl + 1, 16, 16, 3), np.float32)
     lat = encode_prefix_latents(vae, frames, chunk_width=2)
     assert lat.shape[1] % 2 == 0 and lat.shape[1] >= 4
+
+
+def test_magi_int8_kv_cache_tracks_bf16():
+    """quantize_kv=True (int8 + per-(token,head) scales window cache — the
+    v5e serving cache) walks the same chunks as the bf16 cache within
+    KV-quantization tolerance."""
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cfg_number=1)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    outs = {}
+    for name, q in (("bf16", False), ("int8", True)):
+        pipe = MagiPipeline(mcfg, rt, latent_h=8, latent_w=8, max_chunks=6,
+                            dtype=jnp.float32, quantize_kv=q)
+        chunks = dict(pipe.generate_chunks(cap, cmask, chunk_num=3,
+                                           rng=jax.random.key(7)))
+        outs[name] = np.concatenate(
+            [np.asarray(chunks[i]) for i in sorted(chunks)], axis=1)
+    assert np.isfinite(outs["int8"]).all()
+    err = (np.linalg.norm(outs["bf16"] - outs["int8"])
+           / max(np.linalg.norm(outs["bf16"]), 1e-9))
+    assert err < 0.05, err
