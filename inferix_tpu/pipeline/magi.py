@@ -51,6 +51,10 @@ class MagiRuntimeConfig:
     # (reference cp_strategy none/ulysses/cso, dit_module.py:1087-1195;
     # here "cso" = per-chunk shuffled-Ulysses island, the TPU CSO analog)
     cp_strategy: str = "none"
+    # int8 + per-(token,head)-scale window cache: half the HBM of bf16 at
+    # the bf16 kernel's attention rate (the fp8 e4m3 cache runs at half
+    # rate on v5e — BASELINE.md). The 4.5B serving config on one chip.
+    quantize_kv: bool = False
 
 
 class MagiPipeline:
@@ -92,7 +96,7 @@ class MagiPipeline:
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
             mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
-            quantize_kv=quantize_kv,
+            quantize_kv=quantize_kv or runtime.quantize_kv,
         )
         if self.statics.sp_mode == "cso":
             from ..core.monitoring import print_rank_0
