@@ -145,3 +145,49 @@ def test_fp8_kv_cache_end_to_end():
     assert np.isfinite(fp8).all()
     rel = np.abs(fp8 - base).max() / (np.abs(base).max() + 1e-8)
     assert rel < 0.15, f"fp8 KV cache drift {rel:.3f}"
+
+
+def test_ring_granule_dus_matches_scatter():
+    """The frame-granule DUS lowering (KVCacheSpec.granule — the fix for
+    the ring scatter's whole-cache layout copies) writes exactly what the
+    scatter fallback writes, for scalar and per-slot starts, wrap and
+    straddle included; non-granule-aligned lengths fall back to scatter."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inferix_tpu.kvcache.cache import KVCacheSpec, _write_one
+
+    g = 8  # granule (frame_seq)
+    spec_dus = KVCacheSpec(num_layers=1, batch=2, max_tokens=6 * g,
+                           num_kv_heads=2, head_dim=4, sink_tokens=g,
+                           ring=True, granule=g)
+    spec_sc = dataclasses.replace(spec_dus, granule=0)
+
+    cache0 = jnp.zeros((2, 6 * g, 2, 4), jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def block(n):
+        return jnp.asarray(rng.standard_normal((2, n, 2, 4)), jnp.float32)
+
+    # scalar starts: pre-wrap, straddling max_tokens, deep in the ring
+    for start in (0, 4 * g, 5 * g, 9 * g, 13 * g):
+        new = block(3 * g)
+        a = _write_one(spec_dus, cache0, new, jnp.int32(start))
+        b = _write_one(spec_sc, cache0, new, jnp.int32(start))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # per-slot starts (continuous batching)
+    starts = jnp.asarray([2 * g, 11 * g], jnp.int32)
+    new = block(2 * g)
+    a = _write_one(spec_dus, cache0, new, starts)
+    b = _write_one(spec_sc, cache0, new, starts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-granule-multiple length -> both take the scatter path
+    new = block(g + 3)
+    a = _write_one(spec_dus, cache0, new, jnp.int32(7 * g))
+    b = _write_one(spec_sc, cache0, new, jnp.int32(7 * g))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
