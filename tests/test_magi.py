@@ -217,3 +217,15 @@ def test_magi_int8_kv_cache_tracks_bf16():
     err = (np.linalg.norm(outs["bf16"] - outs["int8"])
            / max(np.linalg.norm(outs["bf16"]), 1e-9))
     assert err < 0.05, err
+
+
+def test_magi_quantized_kv_gates():
+    """int8 window cache is incompatible with the CSO island and the pp
+    pipeline — both are gated with loud errors, not silent fallbacks."""
+    import pytest
+
+    from inferix_tpu.models.magi.dit import make_magi_statics
+
+    with pytest.raises(ValueError, match="bf16 KV cache"):
+        make_magi_statics(tiny_magi_config(), 1, 8, 8, 4,
+                          sp_mode="cso", quantize_kv=True)
