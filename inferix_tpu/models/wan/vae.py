@@ -396,6 +396,12 @@ class CausalVAE:
                 "conv1": _conv_init(ck1, 1, 1, 1, cfg.z_dim * 2, cfg.z_dim * 2),
                 "conv2": _conv_init(ck2, 1, 1, 1, cfg.z_dim, cfg.z_dim),
             }
+        if dtype != jnp.float32:
+            # honor the requested compute dtype (bf16 decode is the serving
+            # config: same conv rates at half the HBM/param traffic)
+            params = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if getattr(a, "dtype", None) == jnp.float32 else a, params)
         self.params = params
         self._decode_first = jax.jit(self._decode_chunk_impl,
                                      static_argnames=("first",))
