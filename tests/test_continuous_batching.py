@@ -135,3 +135,49 @@ def test_continuous_batching_last_step_context_mode():
     assert b.streams["a"].finished and b.streams["b"].finished
     outs = b.retire("a").outputs
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_mid_run_admission_isolated_ring_window_int8():
+    """The full long-video serving combination: rolling-window ring cache
+    (granule DUS writes at per-slot positions) + int8 KV + fast-context —
+    an admitted stream still matches its isolated run exactly."""
+    cfg = tiny_test_config()
+    cfg.runtime.batch_size = 2
+    cfg.runtime.context_mode = "last_step"
+    cfg.model.local_attn_size = 2
+    cfg.model.sink_size = 1
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    cfg.quant.kv_cache_dtype = "int8"
+    cfg.quant.exclude = ("self_attn", "cross_attn", "ffn", "text_embedding",
+                        "head", "patch_embedding", "time_")
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+
+    def make():
+        gen = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        b = ContinuousBatcher(gen)
+        m = cfg.model
+        xattn = gen.encode_text_context(
+            jnp.zeros((2, m.text_len, m.text_dim)))
+        b.set_conditioning(xattn)
+        return b
+
+    # isolated run of "x" long enough to wrap the 3-frame (sink+2) window
+    b1 = make()
+    b1.admit("x", num_frames=5, seed=7)
+    for _ in range(5):
+        b1.step()
+    solo = np.concatenate([np.asarray(o) for o in b1.streams["x"].outputs],
+                          axis=1)
+
+    # same stream admitted while "y" is already mid-flight at another slot
+    b2 = make()
+    b2.admit("y", num_frames=7, seed=9)
+    b2.step()
+    b2.step()
+    b2.admit("x", num_frames=5, seed=7)
+    for _ in range(5):
+        b2.step()
+    mixed = np.concatenate([np.asarray(o) for o in b2.streams["x"].outputs],
+                           axis=1)
+    np.testing.assert_allclose(mixed, solo, rtol=2e-4, atol=2e-4)
