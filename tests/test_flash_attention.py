@@ -271,12 +271,14 @@ def test_flash_quant_span_parity():
         idx = jnp.arange(skv)
         want, _ = attention_reference(q, k_deq, v_deq,
                                       (idx >= start) & (idx < end))
-        got = flash_attention_prefix_quant(
-            q, k_q, v_q, k_s, v_s, jnp.int32(end), jnp.int32(start),
-            interpret=True, q_block=16, kv_block=128,
-        )
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=5e-3, atol=5e-3, err_msg=f"{start}:{end}")
+        for sm in ("fixedm", "runmax"):
+            got = flash_attention_prefix_quant(
+                q, k_q, v_q, k_s, v_s, jnp.int32(end), jnp.int32(start),
+                interpret=True, q_block=16, kv_block=128, softmax=sm,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3,
+                err_msg=f"{start}:{end}:{sm}")
 
 
 def test_flash_gqa_quant_span():
