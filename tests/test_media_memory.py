@@ -76,3 +76,36 @@ def test_memory_manager_budget_lru():
         assert resident == ["a"]
     # values survive the round trip
     np.testing.assert_array_equal(np.asarray(mgr.get("big")), np.asarray(big))
+
+
+def test_streaming_backend_factory_all_names():
+    """Every factory name resolves: memory/file always construct; the
+    optional-dependency backends (gradio/webrtc/rtmp) either construct or
+    fail with a clear unavailability error — never an unknown-name error."""
+    import numpy as np
+    import pytest
+
+    from inferix_tpu.core.media.streaming_backend import (
+        create_streaming_backend, latents_to_uint8)
+
+    mem = create_streaming_backend("memory")
+    mem.connect()
+    mem.stream_batch(np.zeros((2, 4, 4, 3), np.uint8))
+    assert mem.frames_streamed == 2
+    mem.disconnect()
+
+    for name in ("gradio", "webrtc", "rtmp"):
+        try:
+            b = create_streaming_backend(name)
+        except (ImportError, RuntimeError) as e:
+            assert name in str(e).lower() or "not found" in str(e).lower() \
+                or "unavailable" in str(e).lower(), (name, e)
+        else:
+            assert hasattr(b, "connect") and hasattr(b, "stream_batch")
+
+    with pytest.raises(ValueError, match="unknown streaming backend"):
+        create_streaming_backend("nope")
+
+    u8 = latents_to_uint8(np.full((1, 2, 4, 4, 3), 0.5, np.float32))
+    assert u8.dtype == np.uint8 and u8.shape == (2, 4, 4, 3)
+    assert int(u8[0, 0, 0, 0]) in (127, 128)
