@@ -145,10 +145,6 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
     rate, where the e4m3 cast-only dequant runs at half (157 vs 78 TF/s at
     the 4.5B window shape, exp/r4_magi_attn.py) — the preferred serving
     cache on v5e."""
-    if quantize_kv and sp_mode == "cso":
-        raise ValueError(
-            "cp_strategy='cso' requires a bf16 KV cache "
-            "(set quantize_kv=False with sp>1)")
     geo = MagiGeometry(latent_h, latent_w, cfg.chunk_width, cfg.patch_size)
     spec = KVCacheSpec(
         num_layers=cfg.num_layers,
@@ -439,65 +435,77 @@ def _magi_layer(
     k = apply_rope_magi(k, angles).astype(h_x.dtype)
     v = magi_linear(blk["v"], ln).reshape(b, -1, nkv, hd)
 
-    new_cache = write_block(spec, layer_cache[0], layer_cache[1], k, v,
-                            current_start,
-                            *(layer_cache[2:] if spec.quantized else ()))
-    if spec.quantized:
-        k_layer, v_layer, ks_layer, vs_layer = new_cache
+    if layer_cache is None:
+        # prefix-free path (3-CFG uncond forward): each batch row is a lone
+        # chunk attending only to its own live KV — no cache read or write
+        # (reference generate_kv_range_for_uncondition, dit_model.py:91-100)
+        new_cache = None
+        core = cache_attention(q, jnp.repeat(k, rep, axis=2),
+                               jnp.repeat(v, rep, axis=2))
     else:
-        k_layer, v_layer = new_cache
+        new_cache = write_block(spec, layer_cache[0], layer_cache[1], k, v,
+                                current_start,
+                                *(layer_cache[2:] if spec.quantized else ()))
+        if spec.quantized:
+            k_layer, v_layer, ks_layer, vs_layer = new_cache
+        else:
+            k_layer, v_layer = new_cache
 
-    if sp_mode == "cso":
-        # in-forward CP: per-chunk shuffled-Ulysses pipeline (reference CSO
-        # strategy) — the chunk loop with its a2a chains lives inside a
-        # shard_map island; everything around stays GSPMD-sharded
-        from ...parallel.distributed_attention import cso_chunk_attention
+        if sp_mode == "cso":
+            # in-forward CP: per-chunk shuffled-Ulysses pipeline (reference
+            # CSO strategy) — the chunk loop with its a2a chains lives inside
+            # a shard_map island; everything around stays GSPMD-sharded
+            from ...parallel.distributed_attention import cso_chunk_attention
 
-        qc = q.reshape(b, n_chunks, ct, nh, hd)
-        core = cso_chunk_attention(
-            mesh, qc, k_layer, v_layer, token_ranges,
-            jnp.asarray(current_end, jnp.int32),
-        ).reshape(b, n_chunks * ct, nh, hd)
-    else:
-        use_pallas = jax.default_backend() == "tpu"
-        outs = []
-        for ci in range(n_chunks):
-            qi = q[:, ci * ct:(ci + 1) * ct]
-            span = token_ranges[ci]
-            if use_pallas and spec.quantized:
-                # int8-KV span kernel: column-scaling dequant runs at the
-                # bf16 kernel's rate (157 vs 78 TF/s for the e4m3 cast-only
-                # cache at the 4.5B window shape, exp/r4_magi_attn.py)
-                from ...ops.flash_attention import flash_attention_gqa_quant
+            qc = q.reshape(b, n_chunks, ct, nh, hd)
+            core = cso_chunk_attention(
+                mesh, qc, k_layer, v_layer, token_ranges,
+                jnp.asarray(current_end, jnp.int32),
+                k_scales=ks_layer if spec.quantized else None,
+                v_scales=vs_layer if spec.quantized else None,
+            ).reshape(b, n_chunks * ct, nh, hd)
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+            outs = []
+            for ci in range(n_chunks):
+                qi = q[:, ci * ct:(ci + 1) * ct]
+                span = token_ranges[ci]
+                if use_pallas and spec.quantized:
+                    # int8-KV span kernel: column-scaling dequant runs at the
+                    # bf16 kernel's rate (157 vs 78 TF/s for the e4m3
+                    # cast-only cache at the 4.5B window shape,
+                    # exp/r4_magi_attn.py)
+                    from ...ops.flash_attention import (
+                        flash_attention_gqa_quant)
 
-                outs.append(flash_attention_gqa_quant(
-                    qi, k_layer, v_layer, ks_layer, vs_layer,
-                    kv_len=jnp.minimum(span[1], current_end),
-                    kv_start=span[0],
-                ))
-            elif use_pallas:
-                from ...ops.flash_attention import flash_attention_gqa
+                    outs.append(flash_attention_gqa_quant(
+                        qi, k_layer, v_layer, ks_layer, vs_layer,
+                        kv_len=jnp.minimum(span[1], current_end),
+                        kv_start=span[0],
+                    ))
+                elif use_pallas:
+                    from ...ops.flash_attention import flash_attention_gqa
 
-                outs.append(flash_attention_gqa(
-                    qi, k_layer, v_layer,
-                    kv_len=jnp.minimum(span[1], current_end),
-                    kv_start=span[0],
-                ))
-            else:
-                if spec.quantized:
-                    kd = (k_layer.astype(jnp.float32)
-                          * ks_layer[..., None]).astype(h_x.dtype)
-                    vd = (v_layer.astype(jnp.float32)
-                          * vs_layer[..., None]).astype(h_x.dtype)
+                    outs.append(flash_attention_gqa(
+                        qi, k_layer, v_layer,
+                        kv_len=jnp.minimum(span[1], current_end),
+                        kv_start=span[0],
+                    ))
                 else:
-                    kd, vd = k_layer, v_layer
-                kc = jnp.repeat(kd, rep, axis=2)
-                vc = jnp.repeat(vd, rep, axis=2)
-                idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
-                mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
-                                                             current_end))
-                outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
-        core = jnp.concatenate(outs, axis=1)           # [B, S, nh, hd]
+                    if spec.quantized:
+                        kd = (k_layer.astype(jnp.float32)
+                              * ks_layer[..., None]).astype(h_x.dtype)
+                        vd = (v_layer.astype(jnp.float32)
+                              * vs_layer[..., None]).astype(h_x.dtype)
+                    else:
+                        kd, vd = k_layer, v_layer
+                    kc = jnp.repeat(kd, rep, axis=2)
+                    vc = jnp.repeat(vd, rep, axis=2)
+                    idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
+                    mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
+                                                                 current_end))
+                    outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
+            core = jnp.concatenate(outs, axis=1)       # [B, S, nh, hd]
 
     # --- cross attention (parallel branch, same ln input) ---
     qx = magi_linear(blk["qx"], ln).reshape(b, -1, nh, hd)
@@ -563,6 +571,82 @@ def _timestep_embedding_256(t: jax.Array) -> jax.Array:
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+def _embed_window_inputs(
+    params: Params,
+    statics: MagiStatics,
+    x_window: jax.Array,
+    t: jax.Array,
+    captions: jax.Array,
+    slice_point: jax.Array,
+    caption_dropout: Optional[jax.Array],
+    distill_dt_factor: Optional[float],
+):
+    """Shared embedding front-end: patch tokens, AdaLN condition vector
+    (t-embed + per-row null-caption adaln token), projected captions, and
+    the window's rope angles. caption_dropout [B] bool selects the adaln
+    single-token per row (reference `caption_drop_single_token`,
+    dit_module.py:141-148: null_caption_embedding[-1] when dropped/uncond,
+    [-2] when conditional)."""
+    cfg, spec, geo = statics.cfg, statics.spec, statics.geo
+    b, n_chunks = t.shape
+    ct = geo.chunk_tokens
+
+    tokens = magi_linear(params["x_embedder"],
+                         _patchify(cfg, geo, x_window))
+    temb = _timestep_embedding_256(t)
+    te = params["t_embedder"]
+    cvec = magi_linear(te["fc2"], jax.nn.silu(magi_linear(te["fc1"], temb)))
+    if distill_dt_factor is not None:
+        dt = jnp.full_like(t, float(distill_dt_factor))
+        demb = _timestep_embedding_256(dt)
+        cvec = cvec + magi_linear(te["fc2"],
+                                  jax.nn.silu(magi_linear(te["fc1"], demb)))
+    ye = params["y_embedder"]
+    null_cond = ye["null_caption_embedding"][-2].astype(jnp.float32)
+    null_drop = ye["null_caption_embedding"][-1].astype(jnp.float32)
+    if caption_dropout is None:
+        tok = jnp.broadcast_to(null_cond[None], (b, null_cond.shape[0]))
+    else:
+        tok = jnp.where(caption_dropout[:, None], null_drop[None],
+                        null_cond[None])
+    y_adaln = magi_linear(ye["y_proj_adaln"], tok)          # [B, cond_dim]
+    cond = (cvec + y_adaln[:, None, :]).astype(jnp.float32)
+    y = jax.nn.silu(magi_linear(ye["y_proj_xattn"],
+                                captions.astype(tokens.dtype)))
+
+    # learned rope over the full temporal extent; take the window's tail.
+    # max_pos bounds the table like the reference's T_total
+    max_t = (spec.max_tokens // geo.frame_seq)
+    full_angles = magi_rope_angles(params["rope_bands"], max_t, geo.grid_h,
+                                   geo.grid_w)
+    start_tok = slice_point * ct
+    angles = jax.lax.dynamic_slice_in_dim(
+        full_angles, start_tok, n_chunks * ct, 0)
+    return tokens, cond, y, angles
+
+
+def sync_cache_rows(spec: KVCacheSpec, cache: KVCache, start: jax.Array,
+                    length: int, src_row: int = 1, dst_row: int = 0
+                    ) -> KVCache:
+    """Copy the token span [start, start+length) of batch row `src_row` into
+    `dst_row` for every layer/field. Reference 3-CFG cache semantics: only
+    the cond_pre (no-text) forward persists KV (`forward_3cfg`,
+    dit_model.py:412-434 update_kv_cache False/True) — on TPU both rows of
+    the batched forward write their own KV for in-window attention, then the
+    cond row's span is overwritten with the uncond-text row's so every later
+    window attends the reference's cache content."""
+    def _sync(f):
+        if f is None:
+            return None
+        src = jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_index_in_dim(f, src_row, 1, keepdims=True),
+            start, length, 2)
+        return jax.lax.dynamic_update_slice(
+            f, src.astype(f.dtype),
+            (0, dst_row) + (start,) * 1 + (0,) * (f.ndim - 3))
+    return KVCache(*(_sync(f) for f in cache))
+
+
 def magi_forward(
     params: Params,
     statics: MagiStatics,
@@ -576,42 +660,26 @@ def magi_forward(
     kv_ranges: jax.Array,    # [n_chunks, 2] int32 chunk-range [start, end)/chunk
     max_chunks: Optional[int] = None,
     distill_dt_factor: Optional[float] = None,
+    caption_dropout: Optional[jax.Array] = None,  # [B] bool
+    sync_kv_rows: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """One window forward. All window chunks' KV is written into the cache at
     their logical positions; chunk i attends to token span
     [kv_ranges[i,0]*chunk_tokens, kv_ranges[i,1]*chunk_tokens). Returns
-    (velocity [B, n_chunks*cw, H, W, out], updated cache)."""
+    (velocity [B, n_chunks*cw, H, W, out], updated cache).
+
+    sync_kv_rows=True (3-CFG batched cond+text / cond_pre forward): after the
+    layer stack, row 1's freshly written span overwrites row 0's — see
+    `sync_cache_rows`."""
     cfg, spec, geo = statics.cfg, statics.spec, statics.geo
     b = x_window.shape[0]
     n_chunks = t.shape[1]
     cw, ct = geo.chunk_width, geo.chunk_tokens
     eps = cfg.layernorm_epsilon
 
-    tokens = magi_linear(params["x_embedder"],
-                         _patchify(cfg, geo, x_window))
-    temb = _timestep_embedding_256(t)
-    te = params["t_embedder"]
-    cvec = magi_linear(te["fc2"], jax.nn.silu(magi_linear(te["fc1"], temb)))
-    if distill_dt_factor is not None:
-        dt = jnp.full_like(t, float(distill_dt_factor))
-        demb = _timestep_embedding_256(dt)
-        cvec = cvec + magi_linear(te["fc2"],
-                                  jax.nn.silu(magi_linear(te["fc1"], demb)))
-    ye = params["y_embedder"]
-    null_tok = ye["null_caption_embedding"][-2].astype(jnp.float32)
-    y_adaln = magi_linear(ye["y_proj_adaln"], null_tok[None])[0]
-    cond = (cvec + y_adaln[None, None, :]).astype(jnp.float32)
-    y = jax.nn.silu(magi_linear(ye["y_proj_xattn"],
-                                captions.astype(tokens.dtype)))
-
-    # learned rope over the full temporal extent; take the window's tail.
-    # max_pos bounds the table like the reference's T_total
-    max_t = (spec.max_tokens // geo.frame_seq)
-    full_angles = magi_rope_angles(params["rope_bands"], max_t, geo.grid_h,
-                                   geo.grid_w)
-    start_tok = slice_point * ct
-    angles = jax.lax.dynamic_slice_in_dim(
-        full_angles, start_tok, n_chunks * ct, 0)
+    tokens, cond, y, angles = _embed_window_inputs(
+        params, statics, x_window, t, captions, slice_point,
+        caption_dropout, distill_dt_factor)
 
     current_start = slice_point * ct
     current_end = current_start + n_chunks * ct
@@ -666,9 +734,60 @@ def magi_forward(
     if cfg.x_rescale_factor != 1.0:
         velocity = velocity / cfg.x_rescale_factor
     if spec.quantized:
-        return velocity, KVCache(k=new_k, v=new_v, k_scale=new_scales[0],
-                                 v_scale=new_scales[1])
-    return velocity, KVCache(k=new_k, v=new_v)
+        new_cache = KVCache(k=new_k, v=new_v, k_scale=new_scales[0],
+                            v_scale=new_scales[1])
+    else:
+        new_cache = KVCache(k=new_k, v=new_v)
+    if sync_kv_rows:
+        assert b == 2, "sync_kv_rows is the 3-CFG batched-forward contract"
+        new_cache = sync_cache_rows(spec, new_cache, current_start,
+                                    n_chunks * ct)
+    return velocity, new_cache
+
+
+def magi_forward_uncond(
+    params: Params,
+    statics: MagiStatics,
+    x_chunks: jax.Array,      # [n_den, chunk_width, H, W, C] per-chunk rows
+    t: jax.Array,             # [n_den, 1]
+    captions: jax.Array,      # [n_den, 1, cap_len, cap_dim] (null caption)
+    caption_mask: jax.Array,  # [n_den, 1, cap_len]
+) -> jax.Array:
+    """The 3-CFG third forward (reference forward_3cfg UnconditionGuard,
+    dit_model.py:446-492): every denoising chunk becomes its own batch row,
+    attends ONLY to itself (generate_kv_range_for_uncondition — no prefix
+    KV, no cache read or write), rope restarts at position 0
+    (slice_point=0), and the caption is dropped (adaln null token -1).
+    Returns velocity [n_den, chunk_width, H, W, out]."""
+    cfg, spec, geo = statics.cfg, statics.spec, statics.geo
+    b = x_chunks.shape[0]
+    cw, ct = geo.chunk_width, geo.chunk_tokens
+    eps = cfg.layernorm_epsilon
+
+    tokens, cond, y, angles = _embed_window_inputs(
+        params, statics, x_chunks, t, captions, jnp.int32(0),
+        jnp.ones((b,), bool), None)
+
+    def layer(h_x, blk):
+        h_x, _ = _magi_layer(
+            blk, h_x, cond, y, caption_mask, None,
+            cfg=cfg, spec=spec, n_chunks=1, ct=ct, angles=angles,
+            token_ranges=None, current_start=None, current_end=None,
+        )
+        return h_x, None
+
+    if "blocks" in params:
+        h_x, _ = jax.lax.scan(layer, tokens, params["blocks"])
+    else:
+        h_x, _ = layer(tokens, params["blocks_first"])
+        h_x, _ = jax.lax.scan(layer, h_x, params["blocks_mid"])
+        h_x, _ = layer(h_x, params["blocks_last"])
+    h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
+    out = magi_linear(params["final_linear"], h_out)
+    velocity = _unpatchify(cfg, geo, out, cw)
+    if cfg.x_rescale_factor != 1.0:
+        velocity = velocity / cfg.x_rescale_factor
+    return velocity
 
 
 def magi_forward_pp(
@@ -682,6 +801,8 @@ def magi_forward_pp(
     cache: KVCache,
     slice_point: jax.Array,
     kv_ranges: jax.Array,
+    caption_dropout: Optional[jax.Array] = None,
+    sync_kv_rows: bool = False,
     *,
     mesh,
 ) -> Tuple[jax.Array, KVCache]:
@@ -711,24 +832,9 @@ def magi_forward_pp(
     cw, ct = geo.chunk_width, geo.chunk_tokens
     eps = cfg.layernorm_epsilon
 
-    tokens = magi_linear(params["x_embedder"],
-                         _patchify(cfg, geo, x_window))
-    temb = _timestep_embedding_256(t)
-    te = params["t_embedder"]
-    cvec = magi_linear(te["fc2"], jax.nn.silu(magi_linear(te["fc1"], temb)))
-    ye = params["y_embedder"]
-    null_tok = ye["null_caption_embedding"][-2].astype(jnp.float32)
-    y_adaln = magi_linear(ye["y_proj_adaln"], null_tok[None])[0]
-    cond = (cvec + y_adaln[None, None, :]).astype(jnp.float32)
-    y = jax.nn.silu(magi_linear(ye["y_proj_xattn"],
-                                captions.astype(tokens.dtype)))
-
-    max_t = (spec.max_tokens // geo.frame_seq)
-    full_angles = magi_rope_angles(params["rope_bands"], max_t, geo.grid_h,
-                                   geo.grid_w)
-    start_tok = slice_point * ct
-    angles = jax.lax.dynamic_slice_in_dim(
-        full_angles, start_tok, n_chunks * ct, 0)
+    tokens, cond, y, angles = _embed_window_inputs(
+        params, statics, x_window, t, captions, slice_point,
+        caption_dropout, None)
     current_start = slice_point * ct
     current_end = current_start + n_chunks * ct
     token_ranges = kv_ranges * ct
@@ -769,4 +875,9 @@ def magi_forward_pp(
     velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
     if cfg.x_rescale_factor != 1.0:
         velocity = velocity / cfg.x_rescale_factor
-    return velocity, KVCache(k=new_state["k"], v=new_state["v"])
+    new_cache = KVCache(k=new_state["k"], v=new_state["v"])
+    if sync_kv_rows:
+        assert b == 2, "sync_kv_rows is the 3-CFG batched-forward contract"
+        new_cache = sync_cache_rows(spec, new_cache, current_start,
+                                    n_chunks * ct)
+    return velocity, new_cache

@@ -180,14 +180,27 @@ def ring_pass_q_cache_attention(
 # CSO: per-chunk shuffled Ulysses pipeline (MAGI multi-range denoising)
 # ---------------------------------------------------------------------------
 
-def _cso_local_span_attn(qg, k, v, span_start, span_end):
+def _cso_local_span_attn(qg, k, v, span_start, span_end,
+                         k_scales=None, v_scales=None):
     """Local per-chunk attention over the kv span [span_start, span_end) of
-    the head-sharded cache. qg: [B, ct, Hq_loc, D]; k/v: [B, Smax, Hkv_loc, D]."""
+    the head-sharded cache. qg: [B, ct, Hq_loc, D]; k/v: [B, Smax, Hkv_loc, D].
+    With k_scales/v_scales ([B, Smax, Hkv_loc] f32) the cache is int8 and the
+    span kernel dequantizes in-kernel (the 24B serving plan needs sp-sharded
+    windows AND the halved-HBM cache simultaneously)."""
     if jax.default_backend() == "tpu":
+        if k_scales is not None:
+            from ..ops.flash_attention import flash_attention_gqa_quant
+
+            return flash_attention_gqa_quant(
+                qg, k, v, k_scales, v_scales, kv_len=span_end,
+                kv_start=span_start)
         from ..ops.flash_attention import flash_attention_gqa
 
         return flash_attention_gqa(qg, k, v, kv_len=span_end,
                                    kv_start=span_start)
+    if k_scales is not None:
+        k = (k.astype(jnp.float32) * k_scales[..., None]).astype(qg.dtype)
+        v = (v.astype(jnp.float32) * v_scales[..., None]).astype(qg.dtype)
     rep = qg.shape[2] // k.shape[2]
     kf = jnp.repeat(k.astype(qg.dtype), rep, axis=2)
     vf = jnp.repeat(v.astype(qg.dtype), rep, axis=2)
@@ -204,6 +217,8 @@ def cso_chunk_attention(
     v: jax.Array,
     token_ranges: jax.Array,  # [n_chunks, 2] int32 token span per chunk
     current_end: jax.Array,   # scalar int32 clamp (live window end)
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, Hkv] f32 (int8 cache)
+    v_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Context-shuffle-overlap attention: the TPU redesign of the reference's
     CSO CP strategy (`inferix/distributed/parallelism/context_parallel.py:258-306`
@@ -234,7 +249,9 @@ def cso_chunk_attention(
     assert q.shape[2] % sp == 0, (
         f"sp {sp} must divide chunk tokens {q.shape[2]}")
 
-    def body(q_, k_, v_, ranges_, cur_end_):
+    quantized = k_scales is not None
+
+    def body(q_, k_, v_, ranges_, cur_end_, ks_, vs_):
         outs = []
         for ci in range(n_chunks):
             qi = q_[:, ci]                       # [B, ct/sp, Hq, D]
@@ -242,23 +259,36 @@ def cso_chunk_attention(
                                     tiled=True)  # [B, ct, Hq/sp, D]
             span = ranges_[ci]
             out = _cso_local_span_attn(
-                qg, k_, v_, span[0], jnp.minimum(span[1], cur_end_[0]))
+                qg, k_, v_, span[0], jnp.minimum(span[1], cur_end_[0]),
+                k_scales=ks_, v_scales=vs_)
             outs.append(jax.lax.all_to_all(out, "sp", split_axis=1,
                                            concat_axis=2, tiled=True))
         return jnp.stack(outs, axis=1)           # [B, n_chunks, ct/sp, Hq, D]
 
+    if not quantized:
+        # shard_map can't take None leaves: bind zero-size placeholders
+        k_scales = jnp.zeros((q.shape[0], 0, k.shape[2]), jnp.float32)
+        v_scales = k_scales
+        body_fn = (lambda q_, k_, v_, r_, c_, ks_, vs_:
+                   body(q_, k_, v_, r_, c_, None, None))
+    else:
+        body_fn = body
+
     return jax.shard_map(
-        body, mesh=mesh,
+        body_fn, mesh=mesh,
         in_specs=(
             P("dp", None, "sp", None, None),     # q: chunk tokens over sp
             P("dp", None, "sp", None),           # cache: kv heads over sp
             P("dp", None, "sp", None),
             P(None, None),                       # token ranges (replicated)
             P(None),                             # current_end (replicated)
+            P("dp", None, "sp"),                 # scales: kv heads over sp
+            P("dp", None, "sp"),
         ),
         out_specs=P("dp", None, "sp", None, None),
         check_vma=False,
-    )(q, k, v, token_ranges, jnp.reshape(current_end, (1,)))
+    )(q, k, v, token_ranges, jnp.reshape(current_end, (1,)),
+      k_scales, v_scales)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from ..models.magi.dit import (
     Params,
     init_magi_params,
     magi_forward,
+    magi_forward_uncond,
     make_magi_statics,
 )
 from ..models.magi.scheduler import ChunkSchedule, MagiScheduleConfig
@@ -128,25 +129,59 @@ class MagiPipeline:
             fwd_impl = functools.partial(magi_forward_pp, mesh=mesh)
         else:
             fwd_impl = magi_forward
+        # cfg>=2: the batched (cond_pre_and_text row 0 / cond_pre row 1)
+        # forward persists ONLY row 1's KV — sync_cache_rows reproduces the
+        # reference's update_kv_cache False/True split (dit_model.py:412-434)
         self._fwd = jax.jit(
             functools.partial(fwd_impl, statics=self.statics,
-                              rope_tables=self.rope_tables),
+                              rope_tables=self.rope_tables,
+                              sync_kv_rows=runtime.cfg_number >= 2),
             static_argnames=(),
             donate_argnames=("cache",),
         )
 
+        def _uncond_combine(params, x_den, t_den, caps, masks,
+                            v_text, v_pre, prev_s, text_s):
+            """3rd CFG forward (prefix-free per-chunk uncond) + the 3-term
+            per-chunk combination (dit_model.py:495-536)."""
+            v_unc = magi_forward_uncond(params, self.statics, x_den, t_den,
+                                        caps, masks)
+            w_u = (1.0 - prev_s).reshape(-1, 1, 1, 1, 1)
+            w_p = (prev_s - text_s).reshape(-1, 1, 1, 1, 1)
+            w_t = text_s.reshape(-1, 1, 1, 1, 1)
+            out = (w_u * v_unc.astype(jnp.float32)
+                   + w_p * v_pre.astype(jnp.float32)
+                   + w_t * v_text.astype(jnp.float32))
+            return out.astype(v_unc.dtype)
+
+        self._fwd_uncond_combine = jax.jit(_uncond_combine)
+
     # -- CFG ----------------------------------------------------------------
 
-    def _cfg_scales(self, t_val: float) -> Tuple[float, float]:
-        """Per-t-range (prev_chunk_scale, text_scale) lookup
-        (reference forward_3cfg range buckets)."""
-        rng = self.rt.cfg_t_range
-        idx = 0
-        for i in range(len(rng) - 1, -1, -1):
-            if t_val >= rng[i]:
-                idx = i
-                break
-        return (self.rt.prev_chunk_scales[idx], self.rt.text_scales[idx])
+    def _cfg_scales(self, t_vals: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-chunk (prev_chunk_scale, text_scale) searchsorted t-buckets
+        (reference get_cfg_scale, dit_model.py:495-498)."""
+        rng = np.asarray(self.rt.cfg_t_range, np.float64)
+        idx = np.searchsorted(rng - 1e-7, np.asarray(t_vals, np.float64)) - 1
+        assert idx.min() >= 0 and idx.max() < len(self.rt.prev_chunk_scales)
+        prev = np.asarray(self.rt.prev_chunk_scales, np.float32)[idx]
+        text = np.asarray(self.rt.text_scales, np.float32)[idx]
+        return prev, text
+
+    def _null_caption(self, cap_len: int) -> Tuple[jax.Array, jax.Array]:
+        """(null caption [1, cap_len, cap_dim], mask [1, cap_len]) — the
+        learned null_caption_embedding table with the reference's 50-token
+        uncond mask (video_generate.py:68-81 _process_null_embeddings)."""
+        table = self.params["y_embedder"]["null_caption_embedding"]
+        assert cap_len <= table.shape[0], (
+            f"caption length {cap_len} exceeds null table {table.shape[0]}")
+        null = table[None, :cap_len].astype(jnp.float32)
+        n_valid = min(50, cap_len)
+        mask = jnp.concatenate([
+            jnp.ones((1, n_valid), jnp.float32),
+            jnp.zeros((1, cap_len - n_valid), jnp.float32)], axis=1)
+        return null, mask
 
     # -- generation ---------------------------------------------------------
 
@@ -197,24 +232,28 @@ class MagiPipeline:
 
         cache = init_kv_cache(self.statics.spec)
 
-        # caption: conditional half = real caption, uncond half = zeros
-        if self.batch == 2:
-            cap = jnp.concatenate(
-                [caption_emb, jnp.zeros_like(caption_emb)], axis=0
-            )
-            cmask = jnp.concatenate([caption_mask, caption_mask], axis=0)
-        else:
-            cap, cmask = caption_emb, caption_mask
+        # captions (reference extract_feature_for_inference,
+        # video_generate.py:106-117): conditional half = real caption per
+        # denoising chunk, uncond half = the learned null_caption_embedding
+        # with its 50-token mask; clean chunks get the null caption in BOTH
+        # halves (forward_velocity:618-623)
+        cap_len = caption_emb.shape[1]
+        null_cap, null_mask = self._null_caption(cap_len)
 
-        # prefix feature extraction at clean_t fills the cache
+        # prefix feature extraction at clean_t fills the cache — the
+        # reference extracts "clean feature without y embedding" using the
+        # null half's caption (extract_prefix_video_feature:400-404); the
+        # velocity output is discarded, so the 3rd CFG forward is skipped
         if chunk_offset > 0:
             for ci in range(chunk_offset):
                 cache = self._forward_window(
                     x[:, ci * cw:(ci + 1) * cw],
                     np.array([rt.clean_t]),
-                    cap, cmask,
+                    caption_emb, caption_mask,
                     cache, slice_point=ci,
                     kv_ranges=np.array([[0, ci + 1]], np.int32),
+                    chunk_is_clean=[True],
+                    skip_prev_cfg=True,
                 )[1]
 
         for step in range(sched.total_forward_steps):
@@ -230,8 +269,10 @@ class MagiPipeline:
 
             x_window = x[:, w_start * cw: c_end * cw]
             velocity, cache = self._forward_window(
-                x_window, t_vals, cap, cmask, cache,
+                x_window, t_vals, caption_emb, caption_mask, cache,
                 slice_point=w_start, kv_ranges=kv_ranges,
+                chunk_is_clean=[extra_clean] + [False] * (n_chunks - 1)
+                if extra_clean else [False] * n_chunks,
             )
 
             # Euler integrate over the denoising chunks only
@@ -251,40 +292,117 @@ class MagiPipeline:
                 clean = x[:1, done * cw:(done + 1) * cw]
                 yield done - chunk_offset, clean
 
-    def _forward_window(self, x_window, t_vals, cap, cmask, cache,
-                        slice_point, kv_ranges):
-        """One (optionally CFG) window forward. Returns (velocity, cache)."""
+    def _forward_window(self, x_window, t_vals, caption_emb, caption_mask,
+                        cache, slice_point, kv_ranges,
+                        chunk_is_clean: Optional[List[bool]] = None,
+                        skip_prev_cfg: bool = False):
+        """One (optionally CFG) window forward. Returns (velocity, cache).
+
+        cfg_number == 3 is the reference forward_3cfg + forward_dispatcher
+        (`dit_model.py:399-536`): row 0 = cond_pre_and_text, row 1 =
+        cond_pre (null caption, adaln dropout token, the row whose KV
+        persists), a third prefix-free per-chunk uncond forward, and the
+        per-chunk 3-term combination with searchsorted t-bucket scales.
+        skip_prev_cfg skips the 3rd forward when only the cache write is
+        needed (prefix feature extraction discards the velocity)."""
         rt = self.rt
         n_chunks = len(t_vals)
+        if chunk_is_clean is None:
+            chunk_is_clean = [False] * n_chunks
         t = jnp.broadcast_to(
             jnp.asarray(t_vals, jnp.float32)[None], (self.batch, n_chunks)
         )
-        caps = jnp.broadcast_to(
-            cap[:, None], (self.batch, n_chunks, *cap.shape[1:])
-        )
-        masks = jnp.broadcast_to(
-            cmask[:, None], (self.batch, n_chunks, cmask.shape[-1])
-        )
+        cap_len = caption_emb.shape[1]
+        null_cap, null_mask = self._null_caption(cap_len)
+
+        # per-chunk captions: [B, n_chunks, cap_len, dim]
+        cond_caps = jnp.stack(
+            [null_cap[0] if clean else caption_emb[0].astype(jnp.float32)
+             for clean in chunk_is_clean], axis=0)[None]
+        cond_masks = jnp.stack(
+            [null_mask[0] if clean else caption_mask[0].astype(jnp.float32)
+             for clean in chunk_is_clean], axis=0)[None]
+        if self.batch == 2:
+            uncond_caps = jnp.broadcast_to(
+                null_cap[:, None], (1, n_chunks, *null_cap.shape[1:]))
+            uncond_masks = jnp.broadcast_to(
+                null_mask[:, None], (1, n_chunks, cap_len))
+            caps = jnp.concatenate([cond_caps, uncond_caps], axis=0)
+            masks = jnp.concatenate([cond_masks, uncond_masks], axis=0)
+            dropout = jnp.asarray([False, True])
+        else:
+            caps, masks = cond_caps, cond_masks
+            dropout = jnp.asarray([False])
         velocity, cache = self._fwd(
             self.params,
             x_window=x_window,
             t=t,
-            captions=caps,
+            captions=caps.astype(self.dtype),
             caption_mask=masks,
             cache=cache,
             slice_point=jnp.int32(slice_point),
             kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
+            caption_dropout=dropout,
         )
-        if rt.cfg_number >= 2:
-            # cond/uncond halves -> per-chunk text-scale combination (the
-            # 3-cfg structure collapses to 2 forward halves here because the
-            # uncond caption IS the zero caption; prev-chunk CFG uses the
-            # denoising chunk's t bucket)
-            v_cond, v_uncond = velocity[:1], velocity[1:]
-            _, text_scale = self._cfg_scales(float(np.min(t_vals)))
-            velocity = v_uncond + (1.0 + text_scale) * (v_cond - v_uncond)
-            velocity = jnp.concatenate([velocity, velocity], axis=0)
+        if rt.cfg_number == 3 and not skip_prev_cfg:
+            velocity = self._apply_3cfg(
+                x_window, t_vals, velocity, null_cap, null_mask,
+                chunk_is_clean)
+        elif rt.cfg_number == 2:
+            # 2-forward text-only CFG (TPU extension — the reference
+            # dispatcher implements only 1 and 3): per-chunk text scales
+            # on the cond/uncond halves
+            n_clean = int(np.sum(chunk_is_clean))
+            t_den = np.asarray(t_vals)[n_clean:]
+            _, text_s = self._cfg_scales(t_den)
+            geo = self.statics.geo
+            cw = geo.chunk_width
+            v = velocity.reshape(velocity.shape[0], n_chunks, cw,
+                                 *velocity.shape[2:])
+            v_cond, v_unc = v[:1], v[1:]
+            w = jnp.concatenate([
+                jnp.zeros((n_clean,), jnp.float32),
+                jnp.asarray(text_s, jnp.float32)]).reshape(1, -1, 1, 1, 1, 1)
+            comb = v_unc + (1.0 + w) * (v_cond - v_unc)
+            velocity = jnp.broadcast_to(comb, v.shape).reshape(
+                velocity.shape)
         return velocity, cache
+
+    def _apply_3cfg(self, x_window, t_vals, velocity, null_cap, null_mask,
+                    chunk_is_clean):
+        """Reference 3-CFG combination over the denoising chunks."""
+        geo = self.statics.geo
+        cw = geo.chunk_width
+        n_chunks = len(t_vals)
+        n_clean = int(np.sum(chunk_is_clean))
+        n_den = n_chunks - n_clean
+        t_den = np.asarray(t_vals)[n_clean:]
+        prev_s, text_s = self._cfg_scales(t_den)
+
+        # per-chunk rows for the prefix-free uncond forward
+        x_den = x_window[0, n_clean * cw:]
+        x_den = x_den.reshape(n_den, cw, *x_den.shape[1:])
+        t_u = jnp.asarray(t_den, jnp.float32).reshape(n_den, 1)
+        caps_u = jnp.broadcast_to(
+            null_cap[:, None], (n_den, 1, *null_cap.shape[1:])
+        ).astype(self.dtype)
+        masks_u = jnp.broadcast_to(null_mask[:, None],
+                                   (n_den, 1, null_mask.shape[-1]))
+
+        def chunks_of(row):
+            d = row[n_clean * cw:]
+            return d.reshape(n_den, cw, *d.shape[1:])
+
+        comb = self._fwd_uncond_combine(
+            self.params, x_den, t_u, caps_u, masks_u,
+            chunks_of(velocity[0]), chunks_of(velocity[1]),
+            jnp.asarray(prev_s), jnp.asarray(text_s))
+        comb = comb.reshape(1, n_den * cw, *comb.shape[2:])
+        # splice the combined denoising span back; clean prefix part is
+        # discarded by the caller (velocity[:, cw:] under fwd_extra)
+        out = jnp.concatenate(
+            [velocity[:1, : n_clean * cw].astype(comb.dtype), comb], axis=1)
+        return jnp.broadcast_to(out, velocity.shape)
 
 
 class MagiVideoPipeline(MagiPipeline):
@@ -358,3 +476,19 @@ def magi_config_from_json(path: str):
 
     return (build(MagiModelConfig, d.get("model")),
             build(MagiRuntimeConfig, d.get("runtime")))
+
+
+def magi_text_embeddings(prompt: str, embedder=None, params=None,
+                         tokenizer=None, model_max_length: int = 120):
+    """Prompt -> (caption_emb [1, L, 4096], caption_mask [1, L]) through the
+    MAGI t5-v1_1-xxl tower with training-stage caption cleaning (reference
+    `get_txt_embeddings`, `pipeline/magi/prompt_process.py:184-212` +
+    `magi/t5/t5_model.py:129-159`). Pass an existing `MagiT5Embedder` or the
+    pieces to build one."""
+    from ..models.text.umt5 import MagiT5Embedder
+
+    if embedder is None:
+        embedder = MagiT5Embedder(params=params, tokenizer=tokenizer,
+                                  model_max_length=model_max_length)
+    embs, mask = embedder.get_text_embeddings([prompt])
+    return embs, mask

@@ -426,3 +426,127 @@ def convert_magi_state_dict(sd: Dict[str, Any], cfg,
     else:
         params["blocks"] = stack(blocks)
     return params
+
+
+# ---------------------------------------------------------------------------
+# MAGI ViT-VAE checkpoint conversion (learnable pos embeds + rotary)
+# ---------------------------------------------------------------------------
+
+def vitvae_config_from_ddconfig(dd: Dict[str, Any], **overrides):
+    """Reference checkpoint `config.json` ddconfig -> ViTVAEConfig
+    (`inferix/models/magi/vae/vae_model.py:224-246` ViTVAE ddconfig keys)."""
+    from ..models.magi.vae import ViTVAEConfig
+
+    keymap = dict(
+        video_size="video_size", video_length="video_length",
+        patch_size="patch_size", patch_length="patch_length",
+        in_chans="in_chans", z_chans="z_chans", double_z="double_z",
+        embed_dim="embed_dim", depth="depth", num_heads="num_heads",
+        mlp_ratio="mlp_ratio", qkv_bias="qkv_bias",
+        with_cls_token="with_cls_token", ln_in_attn="ln_in_attn",
+        use_rope="use_rope", use_final_proj="use_final_proj",
+        norm_code="norm_code",
+    )
+    kwargs = {ours: dd[theirs] for theirs, ours in keymap.items()
+              if theirs in dd}
+    kwargs.update(overrides)
+    return ViTVAEConfig(**kwargs)
+
+
+def convert_magi_vae_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference MAGI `ViTVAE` state dict -> our param pytree.
+
+    Faithful to `inferix/models/magi/vae/vae_module.py`: learnable
+    `pos_embed` [1, N+cls, D] and `cls_token` load verbatim (rotary tables
+    are analytic — `freq_bands` has no parameters); Conv3d patch embedding
+    [D, C, pl, ps, ps] reshapes to our (C, pl, ph, pw)-ordered patch matmul;
+    the decoder's 3x3x3 `last_layer` Conv3d [O, I, kd, kh, kw] transposes to
+    channels-last DHWIO."""
+    def t2j(x, dt=jnp.float32):
+        return jnp.asarray(_to_np(x)).astype(dt)
+
+    def lin_t(name, bias=True):
+        p = {"w": t2j(sd[f"{name}.weight"]).T}
+        if bias and f"{name}.bias" in sd:
+            p["b"] = t2j(sd[f"{name}.bias"])
+        return p
+
+    def ln_t(name):
+        return {"w": t2j(sd[f"{name}.weight"]), "b": t2j(sd[f"{name}.bias"])}
+
+    def block_t(prefix):
+        p = {
+            "qkv": lin_t(f"{prefix}.attn.qkv"),
+            "proj": lin_t(f"{prefix}.attn.proj"),
+            "norm2": ln_t(f"{prefix}.norm2"),
+            "fc1": lin_t(f"{prefix}.mlp.fc1"),
+            "fc2": lin_t(f"{prefix}.mlp.fc2"),
+        }
+        if not cfg.ln_in_attn:
+            p["norm1"] = ln_t(f"{prefix}.norm1")
+        return p
+
+    def tower(side, first, last):
+        blocks = [block_t(f"{side}.blocks.{i}") for i in range(cfg.depth)]
+        t = {
+            **first,
+            "pos_embed": t2j(sd[f"{side}.pos_embed"])[0],
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+            "norm": ln_t(f"{side}.norm"),
+            **last,
+        }
+        if cfg.with_cls_token:
+            t["cls_token"] = t2j(sd[f"{side}.cls_token"]).reshape(-1)
+        return t
+
+    d = cfg.embed_dim
+    pw = _to_np(sd["encoder.patch_embed.proj.weight"])   # [D, C, pl, ps, ps]
+    enc_patch = {"w": jnp.asarray(pw.reshape(d, -1).T, jnp.float32),
+                 "b": t2j(sd["encoder.patch_embed.proj.bias"])}
+    enc = tower("encoder", {"patch": enc_patch},
+                {"last": lin_t("encoder.last_layer")})
+
+    cw = _to_np(sd["decoder.last_layer.weight"])         # [O, I, kd, kh, kw]
+    dec_last = {"last_conv": {
+        "w": jnp.asarray(cw.transpose(2, 3, 4, 1, 0), jnp.float32),
+        "b": t2j(sd["decoder.last_layer.bias"])}}
+    if cfg.use_final_proj:
+        dec_last["final_proj"] = lin_t("decoder.final_proj")
+        dec_last["final_norm"] = ln_t("decoder.final_norm")
+    dec = tower("decoder", {"proj_in": lin_t("decoder.proj_in")}, dec_last)
+    return {"encoder": enc, "decoder": dec}
+
+
+def load_magi_vae(path: str, **config_overrides):
+    """MAGI VAE checkpoint directory (diffusers layout: config.json +
+    weights) -> ViTVAE with real weights."""
+    import json
+    import os
+
+    from ..models.magi.vae import ViTVAE
+
+    with open(os.path.join(path, "config.json")) as f:
+        conf = json.load(f)
+    dd = conf.get("ddconfig", conf)
+    cfg = vitvae_config_from_ddconfig(dd, **config_overrides)
+    sd = None
+    for name in ("diffusion_pytorch_model.safetensors",
+                 "model.safetensors"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            from safetensors import safe_open
+
+            sd = {}
+            with safe_open(p, framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+            break
+    if sd is None:
+        for name in ("diffusion_pytorch_model.bin", "pytorch_model.bin"):
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                sd = load_torch_state_dict(p)
+                break
+    if sd is None:
+        raise FileNotFoundError(f"no weights found under {path}")
+    return ViTVAE(cfg, params=convert_magi_vae_state_dict(sd, cfg))

