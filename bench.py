@@ -125,7 +125,64 @@ def run_window_config(qparams) -> float:
     return n * fpb / (time.perf_counter() - t0)
 
 
+LAST_RESULT_PATH = "/root/repo/.bench_last.json"
+
+
+def _backend_alive(timeout_s: float = 600.0) -> bool:
+    """Probe the TPU backend in a SUBPROCESS with a hard timeout — axon
+    backend init can hang indefinitely when the relay tunnel dies
+    (round-2 postmortem: BENCH_r02 was empty because one init hang killed
+    the whole record), and an in-process hang cannot be interrupted."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/root/repo/.jax_cache')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+        "print(np.asarray(jax.device_get((x @ x)[0, 0])))\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_stale_or_die(reason: str) -> None:
+    """Tunnel is down: degrade to the last warm-cache measurement with a
+    stale marker instead of an empty record."""
+    import os
+    import sys
+
+    if os.path.exists(LAST_RESULT_PATH):
+        with open(LAST_RESULT_PATH) as f:
+            rec = json.load(f)
+        rec["stale"] = True
+        rec["stale_reason"] = reason
+        print(json.dumps(rec))
+        return
+    print(f"bench: TPU backend unavailable and no cached result "
+          f"({reason})", flush=True)
+    sys.exit(1)
+
+
 def main() -> None:
+    # backend liveness gate with retry/backoff BEFORE any in-process
+    # jax.devices() call (which would hang unrecoverably on a dead tunnel)
+    for attempt, wait_s in enumerate((0, 60, 180)):
+        if wait_s:
+            time.sleep(wait_s)
+        if _backend_alive():
+            break
+        print(f"bench: backend probe {attempt + 1} failed", flush=True)
+    else:
+        _emit_stale_or_die("axon backend init unavailable after 3 probes")
+        return
+
     from inferix_tpu.core.config import EngineConfig
     from inferix_tpu.models.wan.causal_dit import init_params
     from inferix_tpu.quant.api import quantize_params
@@ -182,7 +239,7 @@ def main() -> None:
     # state (warm past the window fill, then time sustained blocks)
     window_fps = run_window_config(qparams)
 
-    print(json.dumps({
+    record = {
         "metric": "frames_per_s_per_chip_self_forcing_1p3b_w8a8",
         "value": round(int8_fps, 3),
         "unit": "frames/s/chip",
@@ -195,7 +252,13 @@ def main() -> None:
         "int8_fast_context_frames_per_s": round(fast_fps, 3),
         "fast_context_time_to_first_block_s": round(fast_ttfb, 3),
         "int8_rolling_window_sustained_frames_per_s": round(window_fps, 3),
-    }))
+    }
+    try:
+        with open(LAST_RESULT_PATH, "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
