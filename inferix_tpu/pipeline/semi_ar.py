@@ -96,6 +96,18 @@ class SemiARGenerator:
             sp_mode=sp_mode,
             kv_dtype=kv_dtype,
         )
+        if (mesh is not None and mesh.shape.get("pp", 1) > 1
+                and sp_mode == "none" and r.batch_size == 1):
+            from ..core.monitoring import print_rank_0
+
+            print_rank_0(
+                "[pp] WARNING: Wan pp with batch_size=1 is a CAPACITY axis "
+                "only — one microbatch leaves (pp-1)/pp of every stage "
+                "idle (denoise steps, blocks, and in-block tokens are all "
+                "sequentially coupled, so there is no other microbatch "
+                "source). Use tp/sp for single-stream speed; pp pays off "
+                "for Wan only with batch_size>=2 concurrent streams. "
+                "(STATUS.md 'What pp buys, per model')")
         if sp_mode != "none":
             from ..core.monitoring import print_rank_0
             from ..parallel.distributed_attention import sp_comm_bytes_per_layer
