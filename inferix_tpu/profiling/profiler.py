@@ -255,23 +255,170 @@ def aggregate_reports(paths: List[str]) -> Dict[str, Any]:
     return agg
 
 
+def _fmt(v: Any) -> str:
+    if v is None:
+        return "—"
+    if isinstance(v, float):
+        return f"{v:,.3g}" if abs(v) < 1000 else f"{v:,.0f}"
+    return str(v)
+
+
+def _svg_line(points: List[float], xs: Optional[List[float]] = None,
+              width: int = 640, height: int = 120, unit: str = "",
+              labels: Optional[List[str]] = None) -> str:
+    """Single-series line: 2px stroke, >=8px hover targets with native
+    <title> tooltips, recessive grid, text in ink tokens (no legend — the
+    section heading names the one series)."""
+    if len(points) < 2:
+        return ""
+    xs = xs if xs is not None else list(range(len(points)))
+    lo, hi = min(points), max(points)
+    span = (hi - lo) or 1.0
+    x0, x1 = min(xs), max(xs)
+    xspan = (x1 - x0) or 1.0
+    pad, ph = 6, height - 12
+    px = [pad + (x - x0) / xspan * (width - 2 * pad) for x in xs]
+    py = [6 + (1 - (p - lo) / span) * (ph - 12) for p in points]
+    path = " ".join(f"{'M' if i == 0 else 'L'}{x:.1f},{y:.1f}"
+                    for i, (x, y) in enumerate(zip(px, py)))
+    dots = "".join(
+        f'<circle cx="{x:.1f}" cy="{y:.1f}" r="8" fill="transparent">'
+        f"<title>{labels[i] if labels else ''}"
+        f"{points[i]:,.1f}{unit}</title></circle>"
+        f'<circle cx="{x:.1f}" cy="{y:.1f}" r="2.5" class="mk"/>'
+        for i, (x, y) in enumerate(zip(px, py)))
+    grid = "".join(
+        f'<line x1="{pad}" y1="{6 + f * (ph - 12):.1f}" x2="{width - pad}"'
+        f' y2="{6 + f * (ph - 12):.1f}" class="grid"/>'
+        for f in (0.0, 0.5, 1.0))
+    return (f'<svg viewBox="0 0 {width} {height}" role="img">{grid}'
+            f'<path d="{path}" class="ln" fill="none"/>{dots}'
+            f'<text x="{pad}" y="{height - 1}" class="ax">{_fmt(lo)}{unit}'
+            f' – {_fmt(hi)}{unit}</text></svg>')
+
+
+def _bar_list(items: List[tuple], unit: str = "ms") -> str:
+    """Horizontal single-hue magnitude bars with direct labels (text ink),
+    4px rounded data ends, 2px row gap."""
+    if not items:
+        return ""
+    top = max(v for _, v in items) or 1.0
+    rows = []
+    for name, v in sorted(items, key=lambda kv: -kv[1]):
+        w = max(0.5, v / top * 100)
+        rows.append(
+            f'<div class="br"><span class="bn">{name}</span>'
+            f'<span class="bt"><span class="bf" style="width:{w:.1f}%">'
+            f"</span></span>"
+            f'<span class="bv">{v:,.1f} {unit}</span></div>')
+    return '<div class="bars">' + "".join(rows) + "</div>"
+
+
 def _render_html(data: Dict[str, Any]) -> str:
+    """Full HTML report (reference `profiling/reporter.py:11-1268` feature
+    set: summary tiles, stage timing with share-of-total bars, block/
+    diffusion/streaming/memory analyses, recommendations, first-block
+    delay). Self-contained — inline CSS/SVG, no external assets; light and
+    dark render from the same single-hue palette."""
     s = data["summary"]
-    rows = "".join(
-        f"<tr><td>{k}</td><td>{json.dumps(v)}</td></tr>"
-        for k, v in s.items()
-    )
+    total_ms = (s.get("total_s") or 0) * 1000
+
+    tiles = "".join(
+        f'<div class="tile"><div class="tv">{_fmt(v)}</div>'
+        f'<div class="tl">{label}</div></div>'
+        for label, v in (
+            ("frames / s", s.get("frames_per_s")),
+            ("time to first block (s)", s.get("time_to_first_block_s")),
+            ("avg block (ms)", s.get("avg_block_ms")),
+            ("p50 block (ms)", s.get("p50_block_ms")),
+            ("avg step (ms)", s.get("avg_step_ms")),
+            ("frames", s.get("frames")),
+            ("total (s)", s.get("total_s")),
+            ("peak mem (GiB)",
+             (s.get("peak_memory_bytes") or 0) / 2**30 or None),
+        ))
+
+    stage_items = list((s.get("stages_ms") or {}).items())
+    stage_rows = "".join(
+        f"<tr><td>{k}</td><td>{v:,.1f}</td>"
+        f"<td>{(v / total_ms * 100) if total_ms else 0:,.1f}%</td></tr>"
+        for k, v in sorted(stage_items, key=lambda kv: -kv[1]))
+
+    blocks = data.get("blocks", [])
     block_rows = "".join(
         f"<tr><td>{b['block']}</td><td>{b['frames']}</td>"
-        f"<td>{b['time_ms']:.1f}</td></tr>"
-        for b in data["blocks"]
-    )
+        f"<td>{b['time_ms']:,.1f}</td></tr>" for b in blocks)
+    block_chart = _svg_line(
+        [b["time_ms"] for b in blocks], unit=" ms",
+        labels=[f"block {b['block']}: " for b in blocks]) if blocks else ""
+
+    steps = data.get("diffusion_steps", [])
+    step_rows = "".join(
+        f"<tr><td>{d['step']}</td><td>{d['timestep']:,.4g}</td>"
+        f"<td>{d['time_ms']:,.1f}</td></tr>" for d in steps[:200])
+    mem = data.get("memory", [])
+    mem_chart = _svg_line(
+        [m["bytes_in_use"] / 2**30 for m in mem],
+        xs=[m["t"] for m in mem], unit=" GiB",
+        labels=[f"t={m['t']:,.1f}s: " for m in mem]) if len(mem) > 1 else ""
+    stream_rows = "".join(
+        f"<tr><td>{st['frames']}</td><td>{st['latency_ms']:,.1f}</td></tr>"
+        for st in data.get("streaming", []))
+    recs = "".join(f"<li>{r}</li>" for r in s.get("recommendations", []))
+    events = "".join(
+        f"<tr><td>{e.get('name')}</td><td>{json.dumps({k: v for k, v in e.items() if k != 'name'})}</td></tr>"
+        for e in data.get("events", [])[:100])
+    tags = json.dumps(s.get("tags") or {})
+
+    def section(title, body):
+        return f"<h2>{title}</h2>{body}" if body else ""
+
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>inferix_tpu profile: {s.get('session')}</title>
-<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
-td,th{{border:1px solid #ccc;padding:4px 10px}}</style></head><body>
+<style>
+:root {{ --surface:#fcfcfb; --ink:#0b0b0b; --ink2:#52514e; --hue:#2a78d6;
+         --grid:#e5e4e0; --track:#efeeea; }}
+@media (prefers-color-scheme: dark) {{
+  :root {{ --surface:#1a1a19; --ink:#ffffff; --ink2:#c3c2b7; --hue:#3987e5;
+           --grid:#34332f; --track:#262522; }} }}
+body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2em auto;
+        max-width: 760px; background: var(--surface); color: var(--ink); }}
+h1 {{ font-size: 1.3em }} h2 {{ font-size: 1.05em; margin-top: 1.6em }}
+table {{ border-collapse: collapse; width: 100% }}
+td, th {{ border-bottom: 1px solid var(--grid); padding: 4px 10px;
+          text-align: left; font-variant-numeric: tabular-nums }}
+th {{ color: var(--ink2); font-weight: 600 }}
+.tiles {{ display: flex; flex-wrap: wrap; gap: 10px }}
+.tile {{ min-width: 130px; padding: 10px 14px; border: 1px solid var(--grid);
+         border-radius: 8px }}
+.tv {{ font-size: 1.4em; font-weight: 650; font-variant-numeric: tabular-nums }}
+.tl {{ color: var(--ink2); font-size: .85em }}
+.bars {{ display: grid; gap: 2px }}
+.br {{ display: grid; grid-template-columns: 180px 1fr 90px; gap: 8px;
+       align-items: center }}
+.bn {{ color: var(--ink2); overflow: hidden; text-overflow: ellipsis;
+       white-space: nowrap }}
+.bt {{ background: var(--track); border-radius: 4px; height: 14px }}
+.bf {{ background: var(--hue); border-radius: 4px; height: 14px;
+       display: block }}
+.bv {{ text-align: right; font-variant-numeric: tabular-nums }}
+svg {{ width: 100%; height: auto; margin-top: 6px }}
+.ln {{ stroke: var(--hue); stroke-width: 2 }}
+.mk {{ fill: var(--hue) }}
+.grid {{ stroke: var(--grid); stroke-width: 1 }}
+.ax {{ fill: var(--ink2); font-size: 11px }}
+.muted {{ color: var(--ink2) }}
+</style></head><body>
 <h1>Profile: {s.get('session')}</h1>
-<h2>Summary</h2><table>{rows}</table>
-<h2>Blocks</h2><table><tr><th>block</th><th>frames</th><th>ms</th></tr>
-{block_rows}</table>
+<p class="muted">tags: {tags}</p>
+<div class="tiles">{tiles}</div>
+{section("Recommendations", f"<ul>{recs}</ul>" if recs else "")}
+{section("Stage timing", _bar_list(stage_items) +
+         f"<table><tr><th>stage</th><th>ms</th><th>share</th></tr>{stage_rows}</table>" if stage_items else "")}
+{section("Block latency", block_chart +
+         f"<table><tr><th>block</th><th>frames</th><th>ms</th></tr>{block_rows}</table>" if blocks else "")}
+{section("Diffusion steps", f"<table><tr><th>step</th><th>t</th><th>ms</th></tr>{step_rows}</table>" if steps else "")}
+{section("Device memory (bytes in use)", mem_chart)}
+{section("Streaming", f"<table><tr><th>frames</th><th>latency ms</th></tr>{stream_rows}</table>" if stream_rows else "")}
+{section("Events", f"<table><tr><th>event</th><th>data</th></tr>{events}</table>" if events else "")}
 </body></html>"""

@@ -259,3 +259,41 @@ def test_streaming_with_fast_context_mode():
         ["prompt"], num_segments=2, offload_segments=True)
     assert segments[0].shape[1] == 4 and segments[1].shape[1] == 3
     assert all(np.isfinite(np.asarray(s)).all() for s in segments)
+
+
+def test_profiler_html_report_full_sections(tmp_path):
+    """HTML report carries the reference reporter's analyses (stage share
+    bars, block-latency chart with hover tooltips, diffusion steps,
+    streaming, events, recommendations) — not just a summary table
+    (reference `profiling/reporter.py:11-1268`)."""
+    import re
+    import time
+    import xml.dom.minidom
+
+    from inferix_tpu.profiling.profiler import InferixProfiler, ProfilingConfig
+
+    prof = InferixProfiler(ProfilingConfig(output_dir=str(tmp_path),
+                                           report_format="html"))
+    prof.start_session("full", model="tiny")
+    with prof.stage("diffusion"):
+        time.sleep(0.001)
+    for b in range(4):
+        for s in range(3):
+            prof.record_diffusion_step(s, 1.0 - 0.3 * s, 3, 10.0 + s)
+        prof.record_block_computation(b, 3, 50.0 + 40.0 * b)  # >2.5x spread
+    prof.record_streaming(3, 25.0)
+    prof.add_event("swap", bytes=1024)
+    prof.end_session()
+    (path,) = prof.save_report()
+    html = open(path).read()
+    for section in ("Stage timing", "Block latency", "Diffusion steps",
+                    "Streaming", "Events", "Recommendations", "tiles"):
+        assert section in html, section
+    # charts: well-formed inline SVG with native <title> hover targets
+    svgs = re.findall(r"<svg.*?</svg>", html, re.S)
+    assert svgs
+    for s in svgs:
+        xml.dom.minidom.parseString(s)
+    assert "<title>" in html
+    # stage bars carry direct value labels
+    assert re.search(r'class="bv">[\d,.]+ ms', html)
