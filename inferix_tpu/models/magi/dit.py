@@ -597,7 +597,10 @@ def _embed_window_inputs(
     te = params["t_embedder"]
     cvec = magi_linear(te["fc2"], jax.nn.silu(magi_linear(te["fc1"], temb)))
     if distill_dt_factor is not None:
-        dt = jnp.full_like(t, float(distill_dt_factor))
+        # distilled checkpoints add t_embedder(distill_dt) to the condition
+        # (dit_model.py:175-185: dt = num_steps/4*2, or 4/interval*2 for the
+        # 12-step shortcut schedule)
+        dt = jnp.full_like(t, distill_dt_factor)
         demb = _timestep_embedding_256(dt)
         cvec = cvec + magi_linear(te["fc2"],
                                   jax.nn.silu(magi_linear(te["fc1"], demb)))
@@ -803,6 +806,7 @@ def magi_forward_pp(
     kv_ranges: jax.Array,
     caption_dropout: Optional[jax.Array] = None,
     sync_kv_rows: bool = False,
+    distill_dt_factor: Optional[float] = None,
     *,
     mesh,
 ) -> Tuple[jax.Array, KVCache]:
@@ -834,7 +838,7 @@ def magi_forward_pp(
 
     tokens, cond, y, angles = _embed_window_inputs(
         params, statics, x_window, t, captions, slice_point,
-        caption_dropout, None)
+        caption_dropout, distill_dt_factor)
     current_start = slice_point * ct
     current_end = current_start + n_chunks * ct
     token_ranges = kv_ranges * ct

@@ -101,6 +101,9 @@ class ChunkSchedule:
         self.steps_per_stage = cfg.num_steps // cfg.window_size
         self.t_total = init_t(cfg.num_steps, cfg.t_schedule, cfg.t_shift,
                               cfg.shortcut_mode)
+        # per-substep distill interval (reference init_interval ->
+        # time_interval[denoise_idx], video_generate.py:68-76,651)
+        self.interval = init_interval(cfg.num_steps, cfg.shortcut_mode)
         (self.clip_start, self.clip_end,
          self.t_start, self.t_end) = generate_sequences(
             cfg.chunk_num, cfg.window_size, cfg.chunk_offset)

@@ -48,6 +48,18 @@ class MagiRuntimeConfig:
     clean_chunk_kvrange: int = -1
     clean_t: float = 0.9999
     seed: int = 1234
+    t_schedule: str = "sd3"
+    t_shift: float = 3.0
+    # distilled checkpoints (reference engine_config.distill +
+    # shortcut_mode, 4.5B_distill_config.json): the condition vector gains
+    # a distill-dt embedding, and when the oldest denoising chunk is
+    # nearly clean (t > threshold) its velocity is re-mixed with a
+    # prefix-free re-forward of the same chunk
+    # (forward_dispatcher distill_nearly_clean_chunk, dit_model.py:543-576)
+    distill: bool = False
+    shortcut_mode: str = ""
+    distill_nearly_clean_chunk_threshold: float = 0.3
+    distill_prev_chunks_scale: float = 0.7  # reference env prev_chunks_scale
     # in-forward CP over the window when a mesh with sp>1 is supplied
     # (reference cp_strategy none/ulysses/cso, dit_module.py:1087-1195;
     # here "cso" = per-chunk shuffled-Ulysses island, the TPU CSO analog)
@@ -211,6 +223,9 @@ class MagiPipeline:
             window_size=rt.window_size,
             num_steps=rt.num_steps,
             chunk_offset=chunk_offset,
+            t_schedule=rt.t_schedule,
+            t_shift=rt.t_shift,
+            shortcut_mode=rt.shortcut_mode,
             noise2clean_kvrange=rt.noise2clean_kvrange,
             clean_chunk_kvrange=rt.clean_chunk_kvrange,
             clean_t=rt.clean_t,
@@ -254,6 +269,7 @@ class MagiPipeline:
                     kv_ranges=np.array([[0, ci + 1]], np.int32),
                     chunk_is_clean=[True],
                     skip_prev_cfg=True,
+                    distill_interval=float(sched.interval[0]),
                 )[1]
 
         for step in range(sched.total_forward_steps):
@@ -268,11 +284,13 @@ class MagiPipeline:
             kv_ranges = sched.kv_ranges(step, include_clean=extra_clean)
 
             x_window = x[:, w_start * cw: c_end * cw]
+            _, denoise_idx = sched.stage_of(step)
             velocity, cache = self._forward_window(
                 x_window, t_vals, caption_emb, caption_mask, cache,
                 slice_point=w_start, kv_ranges=kv_ranges,
                 chunk_is_clean=[extra_clean] + [False] * (n_chunks - 1)
                 if extra_clean else [False] * n_chunks,
+                distill_interval=float(sched.interval[denoise_idx]),
             )
 
             # Euler integrate over the denoising chunks only
@@ -292,10 +310,22 @@ class MagiPipeline:
                 clean = x[:1, done * cw:(done + 1) * cw]
                 yield done - chunk_offset, clean
 
+    def _distill_dt_factor(self, distill_interval: Optional[float]
+                           ) -> Optional[float]:
+        """Reference distill-dt (dit_model.py:175-185)."""
+        rt = self.rt
+        if not rt.distill:
+            return None
+        if rt.num_steps == 12:
+            assert distill_interval is not None
+            return 4.0 / float(distill_interval) * 2.0
+        return rt.num_steps / 4.0 * 2.0
+
     def _forward_window(self, x_window, t_vals, caption_emb, caption_mask,
                         cache, slice_point, kv_ranges,
                         chunk_is_clean: Optional[List[bool]] = None,
-                        skip_prev_cfg: bool = False):
+                        skip_prev_cfg: bool = False,
+                        distill_interval: Optional[float] = None):
         """One (optionally CFG) window forward. Returns (velocity, cache).
 
         cfg_number == 3 is the reference forward_3cfg + forward_dispatcher
@@ -306,9 +336,42 @@ class MagiPipeline:
         skip_prev_cfg skips the 3rd forward when only the cache write is
         needed (prefix feature extraction discards the velocity)."""
         rt = self.rt
+        geo = self.statics.geo
+        cw, ct = geo.chunk_width, geo.chunk_tokens
         n_chunks = len(t_vals)
         if chunk_is_clean is None:
             chunk_is_clean = [False] * n_chunks
+        n_clean0 = int(np.sum(chunk_is_clean))
+        ddt = self._distill_dt_factor(distill_interval)
+
+        # distilled nearly-clean-chunk trick (reference forward_dispatcher
+        # cfg_number==1, dit_model.py:543-576): when the oldest denoising
+        # chunk is nearly clean (t > threshold), append a COPY of it as an
+        # extra chunk that attends only to itself (prefix-free), and mix:
+        # prev_scale * with-prefix + (1-prev_scale) * prefix-free. The extra
+        # chunk occupies the NEXT absolute chunk slot (rope + cache span);
+        # its cache write is overwritten when that chunk enters a window.
+        nearly_clean = False
+        if (rt.cfg_number == 1 and rt.distill and not skip_prev_cfg
+                and n_chunks > n_clean0):
+            t_first = float(np.asarray(t_vals)[n_clean0])
+            extra_slot_end = (int(slice_point) + n_chunks + 1) * ct
+            fits = extra_slot_end <= self.statics.spec.max_tokens
+            nearly_clean = (
+                t_first > rt.distill_nearly_clean_chunk_threshold and fits)
+        if nearly_clean:
+            first = slice(n_clean0 * cw, (n_clean0 + 1) * cw)
+            x_window = jnp.concatenate([x_window, x_window[:, first]],
+                                       axis=1)
+            t_vals = np.concatenate([np.asarray(t_vals, np.float64),
+                                     [float(np.asarray(t_vals)[n_clean0])]])
+            kv_ranges = np.concatenate(
+                [np.asarray(kv_ranges, np.int32),
+                 [[int(slice_point) + n_chunks,
+                   int(slice_point) + n_chunks + 1]]], axis=0)
+            chunk_is_clean = list(chunk_is_clean) + [False]
+            n_chunks += 1
+
         t = jnp.broadcast_to(
             jnp.asarray(t_vals, jnp.float32)[None], (self.batch, n_chunks)
         )
@@ -343,7 +406,23 @@ class MagiPipeline:
             slice_point=jnp.int32(slice_point),
             kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
             caption_dropout=dropout,
+            distill_dt_factor=ddt,
         )
+        if nearly_clean:
+            # mix the nearly-clean chunk's with-prefix and prefix-free
+            # velocities, drop the extra chunk (dit_model.py:566-576)
+            s = rt.distill_prev_chunks_scale
+            first = slice(n_clean0 * cw, (n_clean0 + 1) * cw)
+            v_first = velocity[:, first].astype(jnp.float32)
+            v_extra = velocity[:, (n_chunks - 1) * cw:].astype(jnp.float32)
+            mixed = (s * v_first + (1.0 - s) * v_extra).astype(velocity.dtype)
+            velocity = jnp.concatenate(
+                [velocity[:, : n_clean0 * cw], mixed,
+                 velocity[:, (n_clean0 + 1) * cw: (n_chunks - 1) * cw]],
+                axis=1)
+            n_chunks -= 1
+            t_vals = t_vals[:-1]
+            chunk_is_clean = chunk_is_clean[:-1]
         if rt.cfg_number == 3 and not skip_prev_cfg:
             velocity = self._apply_3cfg(
                 x_window, t_vals, velocity, null_cap, null_mask,

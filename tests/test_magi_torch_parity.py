@@ -145,7 +145,8 @@ class MagiOracle:
                          bias=True)
 
     def forward(self, x_window, t, captions, cmask, slice_point, kv_ranges,
-                caption_dropout=None, update_cache=True):
+                caption_dropout=None, update_cache=True,
+                distill_dt_factor=None):
         """caption_dropout: [B] bool — adaln null token -1 vs -2 per row
         (reference caption_drop_single_token). update_cache=False runs the
         forward without persisting KV (reference update_kv_cache=False in
@@ -170,6 +171,9 @@ class MagiOracle:
         h = xw.float() @ wemb.float()
 
         cvec = self.t_embed(t.flatten()).reshape(b, n_chunks, -1)
+        if distill_dt_factor is not None:
+            ddt = torch.full_like(t.flatten(), float(distill_dt_factor))
+            cvec = cvec + self.t_embed(ddt).reshape(b, n_chunks, -1)
         if caption_dropout is None:
             caption_dropout = torch.zeros(b, dtype=torch.bool)
         null_toks = torch.stack(
@@ -573,6 +577,87 @@ def test_magi_3cfg_dispatcher_matches_torch_oracle():
         oracle, rt, torch.from_numpy(x2), t2, torch.from_numpy(cap[0]),
         torch.from_numpy(cmask[0]), 1, [True, False, False], kvr2)
     np.testing.assert_allclose(np.asarray(vel2[:1, cw:]), want2.numpy(),
+                               rtol=2e-3, atol=2e-3, err_msg="window 2")
+
+
+def test_magi_distill_dispatcher_matches_torch_oracle():
+    """Distilled dispatcher (reference dit_model.py:537-596): the
+    distill-dt embedding added to the condition vector AND the
+    nearly-clean-chunk trick — when the oldest denoising chunk's t exceeds
+    the threshold, a prefix-free copy is appended (own kv span at the next
+    chunk slot) and the outputs mixed prev_scale/(1-prev_scale)."""
+    from inferix_tpu.kvcache.cache import init_kv_cache
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    cfg = tiny_magi_config()
+    latent_h = latent_w = 8
+    max_chunks = 4
+    sd = make_reference_sd(cfg)
+    params = convert_magi_state_dict(sd, cfg, dtype=jnp.float32)
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2,
+                           chunk_width=cfg.chunk_width, cfg_number=1,
+                           distill=True,
+                           distill_nearly_clean_chunk_threshold=0.3,
+                           distill_prev_chunks_scale=0.7)
+    pipe = MagiPipeline(cfg, rt, params=params, latent_h=latent_h,
+                        latent_w=latent_w, max_chunks=max_chunks,
+                        dtype=jnp.float32)
+    assert pipe.batch == 1
+    oracle = MagiOracle(sd, cfg, max_chunks, latent_h, latent_w)
+    ddt = rt.num_steps / 4.0 * 2.0  # num_steps != 12 branch
+
+    rng = np.random.default_rng(13)
+    cap = rng.standard_normal((1, cfg.caption_max_length,
+                               cfg.caption_channels)).astype(np.float32)
+    cmask = np.ones((1, cfg.caption_max_length), np.float32)
+    cw = cfg.chunk_width
+    cache = init_kv_cache(pipe.statics.spec)
+
+    # window 1: chunks 0-1, oldest chunk t=0.7 > threshold 0.3 -> the
+    # nearly-clean trick fires (extra chunk at slot 2, prefix-free)
+    x1 = rng.standard_normal((1, 2 * cw, latent_h, latent_w,
+                              cfg.in_channels)).astype(np.float32)
+    t1 = np.asarray([0.7, 0.1])
+    kvr1 = np.asarray([[0, 1], [0, 2]], np.int32)
+    vel1, cache = pipe._forward_window(
+        x1, t1, jnp.asarray(cap), jnp.asarray(cmask), cache,
+        slice_point=0, kv_ranges=kvr1, chunk_is_clean=[False, False],
+        distill_interval=1.0)
+    assert vel1.shape[1] == 2 * cw  # extra chunk dropped from the output
+
+    x1t = torch.from_numpy(x1)
+    x_ext = torch.cat([x1t, x1t[:, :cw]], dim=1)
+    t_ext = torch.tensor([[0.7, 0.1, 0.7]], dtype=torch.float32)
+    kvr_ext = torch.from_numpy(
+        np.asarray([[0, 1], [0, 2], [2, 3]], np.int32))
+    caps = torch.from_numpy(cap)[:, None].expand(1, 3, -1, -1)
+    masks = torch.from_numpy(cmask)[:, None].expand(1, 3, -1)
+    out = oracle.forward(x_ext, t_ext, caps, masks, 0, kvr_ext,
+                         caption_dropout=torch.tensor([False]),
+                         distill_dt_factor=ddt)
+    want_first = 0.7 * out[:, :cw] + 0.3 * out[:, 2 * cw:]
+    want1 = torch.cat([want_first, out[:, cw:2 * cw]], dim=1)
+    np.testing.assert_allclose(np.asarray(vel1), want1.numpy(),
+                               rtol=2e-3, atol=2e-3, err_msg="window 1")
+
+    # window 2: chunks 1-2 below the threshold (no trick) — validates the
+    # cache written by window 1, including that the extra chunk's slot-2
+    # write is safely OVERWRITTEN by chunk 2's real KV here
+    x2 = rng.standard_normal((1, 2 * cw, latent_h, latent_w,
+                              cfg.in_channels)).astype(np.float32)
+    t2 = np.asarray([0.25, 0.05])
+    kvr2 = np.asarray([[0, 2], [0, 3]], np.int32)
+    vel2, cache = pipe._forward_window(
+        x2, t2, jnp.asarray(cap), jnp.asarray(cmask), cache,
+        slice_point=1, kv_ranges=kvr2, chunk_is_clean=[False, False],
+        distill_interval=1.0)
+    caps2 = torch.from_numpy(cap)[:, None].expand(1, 2, -1, -1)
+    masks2 = torch.from_numpy(cmask)[:, None].expand(1, 2, -1)
+    want2 = oracle.forward(
+        torch.from_numpy(x2), torch.tensor([[0.25, 0.05]]), caps2, masks2,
+        1, torch.from_numpy(kvr2),
+        caption_dropout=torch.tensor([False]), distill_dt_factor=ddt)
+    np.testing.assert_allclose(np.asarray(vel2), want2.numpy(),
                                rtol=2e-3, atol=2e-3, err_msg="window 2")
 
 
