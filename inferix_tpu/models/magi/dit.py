@@ -76,6 +76,12 @@ class MagiModelConfig:
     chunk_width: int = 6
     rope_max_seq_len: int = 1024
     x_rescale_factor: float = 1.0
+    # 24B config (`example/magi/configs/24B/*.json`): SwiGLU MLP
+    # (fc1 -> 2*ffn, silu_and_mul) and 16-channel VAE latents duplicated to
+    # the model's 32 input channels / first 16 output channels kept
+    # (dit_model.py:270-272,353-355)
+    gated_linear_unit: bool = False
+    half_channel_vae: bool = False
 
     @property
     def cond_dim(self) -> int:
@@ -84,6 +90,11 @@ class MagiModelConfig:
     @property
     def xattn_dim(self) -> int:
         return int(self.hidden_size * self.xattn_cond_hidden_ratio)
+
+    @property
+    def latent_channels(self) -> int:
+        """Channels of the latents the pipeline manipulates (the VAE's z)."""
+        return 16 if self.half_channel_vae else self.in_channels
 
 
 def tiny_magi_config() -> MagiModelConfig:
@@ -269,7 +280,9 @@ def init_magi_block(key, cfg: MagiModelConfig, dtype) -> Params:
         "self_post_norm": _ln_params(h, jnp.float32),
         "mlp_post_norm": _ln_params(h, jnp.float32),
         "mlp_ln": _ln_params(h, dtype),
-        "fc1": _lin(ks[7], h, cfg.ffn_hidden_size, dtype, bias=False),
+        "fc1": _lin(ks[7], h,
+                    (2 if cfg.gated_linear_unit else 1) * cfg.ffn_hidden_size,
+                    dtype, bias=False),
         "fc2": _lin(ks[8], cfg.ffn_hidden_size, h, dtype, bias=False),
     }
 
@@ -393,6 +406,18 @@ def _unpatchify(cfg: MagiModelConfig, geo: MagiGeometry, x: jax.Array,
     x = x.reshape(b, t, geo.grid_h, geo.grid_w, p, p, cfg.out_channels)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)
     return x.reshape(b, t, geo.latent_h, geo.latent_w, cfg.out_channels)
+
+
+def _postprocess_velocity(cfg: MagiModelConfig, geo: MagiGeometry,
+                          out: jax.Array, t: int) -> jax.Array:
+    """forward_post_process (dit_model.py:341-359): unpatchify, keep the
+    first 16 channels for half-channel VAE, undo x_rescale."""
+    velocity = _unpatchify(cfg, geo, out, t)
+    if cfg.half_channel_vae:
+        velocity = velocity[..., :16]
+    if cfg.x_rescale_factor != 1.0:
+        velocity = velocity / cfg.x_rescale_factor
+    return velocity
 
 
 def _magi_layer(
@@ -550,9 +575,16 @@ def _magi_layer(
 
     residual = h_x
     mlp_in = _ln(blk["mlp_ln"], h_x, eps).astype(h_x.dtype)
-    ff = magi_linear(blk["fc2"],
-                     jax.nn.gelu(magi_linear(blk["fc1"], mlp_in),
-                                 approximate=False))
+    ff_in = magi_linear(blk["fc1"], mlp_in)
+    if cfg.gated_linear_unit:
+        # 24B SwiGLU (CustomMLP + flashinfer silu_and_mul,
+        # dit_module.py:528-553): fc1 -> 2*ffn, silu(gate) * up
+        d = cfg.ffn_hidden_size
+        act = (jax.nn.silu(ff_in[..., :d].astype(jnp.float32))
+               .astype(ff_in.dtype) * ff_in[..., d:])
+    else:
+        act = jax.nn.gelu(ff_in, approximate=False)
+    ff = magi_linear(blk["fc2"], act)
     h_x = bias_modulate_add(ff, residual, g_mlp, blk["mlp_post_norm"])
     return h_x, new_cache
 
@@ -591,6 +623,14 @@ def _embed_window_inputs(
     b, n_chunks = t.shape
     ct = geo.chunk_tokens
 
+    # input pre-process (forward_pre_process, dit_model.py:269-272):
+    # x_rescale on the way IN (undone on the way out), and half-channel
+    # latents duplicated up to the model's in_channels
+    if cfg.x_rescale_factor != 1.0:
+        x_window = x_window * cfg.x_rescale_factor
+    if cfg.half_channel_vae:
+        assert x_window.shape[-1] == 16
+        x_window = jnp.concatenate([x_window, x_window], axis=-1)
     tokens = magi_linear(params["x_embedder"],
                          _patchify(cfg, geo, x_window))
     temb = _timestep_embedding_256(t)
@@ -733,9 +773,7 @@ def magi_forward(
     # final layer norm (TransformerBlock post_process) + plain linear, fp32
     h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
     out = magi_linear(params["final_linear"], h_out)
-    velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
-    if cfg.x_rescale_factor != 1.0:
-        velocity = velocity / cfg.x_rescale_factor
+    velocity = _postprocess_velocity(cfg, geo, out, n_chunks * cw)
     if spec.quantized:
         new_cache = KVCache(k=new_k, v=new_v, k_scale=new_scales[0],
                             v_scale=new_scales[1])
@@ -787,10 +825,7 @@ def magi_forward_uncond(
         h_x, _ = layer(h_x, params["blocks_last"])
     h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
     out = magi_linear(params["final_linear"], h_out)
-    velocity = _unpatchify(cfg, geo, out, cw)
-    if cfg.x_rescale_factor != 1.0:
-        velocity = velocity / cfg.x_rescale_factor
-    return velocity
+    return _postprocess_velocity(cfg, geo, out, cw)
 
 
 def magi_forward_pp(
@@ -876,9 +911,7 @@ def magi_forward_pp(
 
     h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
     out = magi_linear(params["final_linear"], h_out)
-    velocity = _unpatchify(cfg, geo, out, n_chunks * cw)
-    if cfg.x_rescale_factor != 1.0:
-        velocity = velocity / cfg.x_rescale_factor
+    velocity = _postprocess_velocity(cfg, geo, out, n_chunks * cw)
     new_cache = KVCache(k=new_state["k"], v=new_state["v"])
     if sync_kv_rows:
         assert b == 2, "sync_kv_rows is the 3-CFG batched-forward contract"

@@ -236,7 +236,7 @@ class MagiPipeline:
         rng, nkey = jax.random.split(rng)
         x = jax.random.normal(
             nkey, (1, chunk_num * cw, geo.latent_h, geo.latent_w,
-                   cfg.in_channels)
+                   cfg.latent_channels)
         ).astype(self.dtype)
         # cond/uncond halves share noise (reference x.chunk(2) symmetry)
         x = jnp.broadcast_to(x, (self.batch, *x.shape[1:]))

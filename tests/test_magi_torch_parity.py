@@ -161,6 +161,11 @@ class MagiOracle:
         rep = nh // nkv
         eps = cfg.layernorm_epsilon
 
+        # input pre-process (dit_model.py:269-272)
+        if cfg.x_rescale_factor != 1.0:
+            x_window = x_window * cfg.x_rescale_factor
+        if cfg.half_channel_vae:
+            x_window = torch.cat([x_window, x_window], dim=-1)
         # patchify (ph, pw, c feature order) + conv-as-matmul
         xw = x_window.reshape(b, frames, gh, p, gw, p, cfg.in_channels)
         xw = xw.permute(0, 1, 2, 4, 3, 5, 6).reshape(
@@ -264,10 +269,14 @@ class MagiOracle:
             h = bma(h1, residual, g_msa, f"{pre}.self_attn_post_norm")
             residual = h
             mlp_in = self._ln(f"{pre}.mlp.layer_norm", h)
-            ff = self._lin(
-                f"{pre}.mlp.linear_fc2",
-                torch.nn.functional.gelu(
-                    self._lin(f"{pre}.mlp.linear_fc1", mlp_in)))
+            ff_in = self._lin(f"{pre}.mlp.linear_fc1", mlp_in)
+            if cfg.gated_linear_unit:
+                d = cfg.ffn_hidden_size
+                act = torch.nn.functional.silu(ff_in[..., :d]) \
+                    * ff_in[..., d:]
+            else:
+                act = torch.nn.functional.gelu(ff_in)
+            ff = self._lin(f"{pre}.mlp.linear_fc2", act)
             h = bma(ff, residual, g_mlp, f"{pre}.mlp_post_norm")
 
         h = self._ln("videodit_blocks.final_layernorm", h)
@@ -275,6 +284,11 @@ class MagiOracle:
         out = out.reshape(b, frames, gh, gw, p, p, cfg.out_channels)
         out = out.permute(0, 1, 2, 4, 3, 5, 6).reshape(
             b, frames, gh * p, gw * p, cfg.out_channels)
+        # output post-process (dit_model.py:353-358)
+        if cfg.half_channel_vae:
+            out = out[..., :16]
+        if cfg.x_rescale_factor != 1.0:
+            out = out / cfg.x_rescale_factor
         return out
 
 
@@ -345,7 +359,8 @@ def make_reference_sd(cfg: MagiModelConfig, fp8_layers=()):
             lin(f"{att}.linear_qkv.k", h, kv_dim)
             lin(f"{att}.linear_qkv.v", h, kv_dim)
             lin(f"{att}.linear_proj", 2 * q_dim, h)
-            lin(f"{pre}.mlp.linear_fc1", h, cfg.ffn_hidden_size)
+            lin(f"{pre}.mlp.linear_fc1", h,
+                (2 if cfg.gated_linear_unit else 1) * cfg.ffn_hidden_size)
             lin(f"{pre}.mlp.linear_fc2", cfg.ffn_hidden_size, h)
         ln(f"{att}.q_layernorm", hd)
         ln(f"{att}.q_layernorm_xattn", hd)
@@ -366,10 +381,10 @@ def make_reference_sd(cfg: MagiModelConfig, fp8_layers=()):
 # tests
 # ---------------------------------------------------------------------------
 
-def _run_pair(fp8_layers=(), tol=2e-3):
+def _run_pair(fp8_layers=(), tol=2e-3, cfg=None):
     import dataclasses as _dc
 
-    cfg = tiny_magi_config()
+    cfg = cfg if cfg is not None else tiny_magi_config()
     if fp8_layers:
         # need >= 3 layers so a MIDDLE layer can be quantized (reference
         # exempts first and last)
@@ -391,7 +406,7 @@ def _run_pair(fp8_layers=(), tol=2e-3):
 
     # window 1: chunks 0-1 at mixed t
     x1 = rng.standard_normal((1, 2 * cfg.chunk_width, latent_h, latent_w,
-                              cfg.in_channels)).astype(np.float32)
+                              cfg.latent_channels)).astype(np.float32)
     t1 = np.asarray([[0.3, 0.8]], np.float32)
     kvr1 = np.asarray([[0, 1], [0, 2]], np.int32)
     want1 = oracle.forward(torch.from_numpy(x1), torch.from_numpy(t1),
@@ -406,7 +421,7 @@ def _run_pair(fp8_layers=(), tol=2e-3):
 
     # window 2: chunks 2-3, attending the cached prefix (tests cache parity)
     x2 = rng.standard_normal((1, 2 * cfg.chunk_width, latent_h, latent_w,
-                              cfg.in_channels)).astype(np.float32)
+                              cfg.latent_channels)).astype(np.float32)
     t2 = np.asarray([[0.1, 0.6]], np.float32)
     kvr2 = np.asarray([[0, 3], [1, 4]], np.int32)
     want2 = oracle.forward(torch.from_numpy(x2), torch.from_numpy(t2),
@@ -422,6 +437,21 @@ def _run_pair(fp8_layers=(), tol=2e-3):
 
 def test_magi_forward_matches_torch_oracle():
     _run_pair()
+
+
+def test_magi_24b_variant_matches_torch_oracle():
+    """The 24B config's architecture switches (24B_base_config.json):
+    gated_linear_unit (SwiGLU MLP, fc1 -> 2*ffn + silu_and_mul),
+    half_channel_vae (16-ch latents duplicated to 32 model channels, first
+    16 output channels kept), and x_rescale_factor=0.1 applied on the way
+    IN and undone on the way OUT."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(tiny_magi_config(), gated_linear_unit=True,
+                      half_channel_vae=True, in_channels=32,
+                      out_channels=32, x_rescale_factor=0.1)
+    assert cfg.latent_channels == 16
+    _run_pair(cfg=cfg)
 
 
 def test_magi_fp8_distill_quant_matches_torch_oracle():
