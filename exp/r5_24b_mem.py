@@ -1,0 +1,180 @@
+"""MAGI 24B multi-chip serving plan: per-chip HBM across (tp, sp, pp).
+
+Two analyses (VERDICT round-2 next #6):
+
+1. --arith (chipless, runs anywhere): exact parameter/KV-cache/activation
+   byte arithmetic per sharding combo.
+2. --aot (needs the TPU AOT compiler through the axon tunnel): compiles a
+   PER-CHIP SLICE of the model — Megatron-style tensor sharding divides
+   heads/kv-heads/ffn by tp while activations keep the full hidden dim, CSO
+   divides window tokens and kv heads by sp, pp divides layers — and reads
+   `compiled.memory_analysis()` for the real temp/argument residency.
+
+Geometry: 24B_base_config.json — 48L h=6144 ffn=16384 SwiGLU, 48 heads /
+8 kv groups, 720x1280 -> latent 90x160, chunk 6 frames = 21600 tokens,
+window 4 chunks = 86400 tokens, cfg batch 2.
+"""
+import argparse
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+HBM_GIB = 15.75
+
+
+def gib(x):
+    return x / 2**30
+
+
+def model_cfg(tp=1, sp=1, pp=1):
+    from inferix_tpu.models.magi.dit import MagiModelConfig
+
+    assert 48 % tp == 0 and 8 % tp == 0 and 48 % pp == 0
+    return MagiModelConfig(
+        num_layers=48 // pp, hidden_size=6144,
+        ffn_hidden_size=16384 // tp,
+        num_attention_heads=48 // tp,
+        num_query_groups=max(8 // (tp * sp), 1),
+        kv_channels=128, patch_size=2, in_channels=32, out_channels=32,
+        caption_channels=4096, caption_max_length=800, chunk_width=6,
+        gated_linear_unit=True, half_channel_vae=True, x_rescale_factor=0.1,
+        rope_max_seq_len=4096,
+    )
+
+
+def param_bytes(cfg, wbytes=1):
+    """int8 W8A8 weights (wbytes=1) + fp32 per-channel scales."""
+    h, ffn = cfg.hidden_size, cfg.ffn_hidden_size
+    q = cfg.num_attention_heads * cfg.kv_channels
+    kv = cfg.num_query_groups * cfg.kv_channels
+    fc1 = (2 if cfg.gated_linear_unit else 1) * ffn
+    per_layer_w = (h * q * 2            # q, qx
+                   + h * kv * 2         # k, v
+                   + cfg.xattn_dim * 2 * kv   # kv_xattn
+                   + 2 * q * h          # proj
+                   + h * fc1 + ffn * h)  # mlp
+    per_layer_scales = (q * 2 + kv * 2 + 2 * kv + h + fc1 + h) * 4
+    per_layer_other = (cfg.cond_dim * 2 * h * 4        # ada_proj fp32
+                       + h * 12)                        # norms bf16-ish
+    embed = (cfg.t_patch_size * cfg.patch_size**2 * cfg.in_channels * h
+             + 256 * cfg.cond_dim * 4 + cfg.cond_dim**2 * 4
+             + cfg.caption_channels * (cfg.xattn_dim + cfg.cond_dim)
+             + cfg.caption_max_length * cfg.caption_channels
+             + h * (cfg.t_patch_size * cfg.patch_size**2
+                    * cfg.out_channels)) * 2
+    return (cfg.num_layers * (per_layer_w * wbytes + per_layer_scales
+                              + per_layer_other) + embed)
+
+
+def cache_bytes(cfg, max_chunks, ct, batch=2, kv_itemsize=1, scales=True):
+    """int8 window cache + per-(token, head) fp32 scales."""
+    tok = max_chunks * ct
+    kvdim = cfg.num_query_groups * cfg.kv_channels
+    per = cfg.num_layers * batch * tok * kvdim * kv_itemsize * 2
+    if scales:
+        per += cfg.num_layers * batch * tok * cfg.num_query_groups * 4 * 2
+    return per
+
+
+def arith():
+    full_ct = 6 * (90 // 2) * (160 // 2)     # 21600 tokens/chunk
+    window = 4
+    rows = []
+    for tp, sp, pp in [(1, 1, 1), (2, 1, 1), (4, 1, 1), (8, 1, 1),
+                       (1, 2, 1), (2, 2, 1), (4, 2, 1),
+                       (4, 1, 2), (2, 2, 2), (4, 2, 2)]:
+        cfg = model_cfg(tp=tp, sp=sp, pp=pp)
+        ct = full_ct // sp  # CSO shards each chunk's tokens over sp
+        p = param_bytes(cfg)
+        # serving window cache: noise2clean kvrange caps live prefix at 5
+        # chunks + the 4-chunk window -> 9 chunk slots (cfg batch 2)
+        c = cache_bytes(cfg, max_chunks=9, ct=full_ct // sp
+                        if sp > 1 else full_ct, batch=2)
+        # activations: dominant live set ~ tokens x max(h, fc1) bf16 x a
+        # small fusion factor measured ~3x on the 4.5B AOT runs
+        tokens = window * ct * 2            # cfg batch 2
+        act = tokens * max(cfg.hidden_size,
+                           (2 if cfg.gated_linear_unit else 1)
+                           * cfg.ffn_hidden_size) * 2 * 3
+        total = p + c + act
+        rows.append(dict(tp=tp, sp=sp, pp=pp, params_gib=round(gib(p), 2),
+                         cache_gib=round(gib(c), 2),
+                         act_est_gib=round(gib(act), 2),
+                         total_gib=round(gib(total), 2),
+                         fits=total <= (HBM_GIB - 0.5) * 2**30))
+    return rows
+
+
+def aot():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import functools
+
+    import jax.numpy as jnp
+
+    from inferix_tpu.kvcache.cache import init_kv_cache
+    from inferix_tpu.models.magi.dit import (
+        magi_forward, make_magi_statics, init_magi_params)
+    from inferix_tpu.utils.memory_analysis import abstractify, analyze_program
+    from inferix_tpu.quant.api import magi_distill_quant_to_int8
+
+    results = []
+    for tp, sp, pp in [(4, 1, 1), (1, 2, 1), (4, 1, 2), (2, 2, 2),
+                       (4, 2, 2)]:
+        cfg = model_cfg(tp=tp, sp=sp, pp=pp)
+        # per-chip latent slice: sp shards each chunk's HW tokens
+        lat_h, lat_w = 90, 160 // sp
+        statics = make_magi_statics(cfg, 2, lat_h, lat_w, 9,
+                                    jnp.bfloat16, quantize_kv=True)
+        geo = statics.geo
+        n_chunks = 4
+        # abstract params in the int8 layout (shapes only — init tiny then
+        # abstractify is too slow at 24B scale; construct ShapeDtypeStructs
+        # via a tiny init + shape math is complex, so init for real on host)
+        params = init_magi_params(jax.random.key(0), cfg, jnp.bfloat16)
+        params = magi_distill_quant_to_int8(params)
+        cache = init_kv_cache(statics.spec)
+        args = dict(
+            x_window=jnp.zeros((2, n_chunks * 6, lat_h, lat_w, 16),
+                               jnp.bfloat16),
+            t=jnp.zeros((2, n_chunks), jnp.float32),
+            captions=jnp.zeros((2, n_chunks, 800, 4096), jnp.bfloat16),
+            caption_mask=jnp.ones((2, n_chunks, 800), jnp.float32),
+            cache=cache,
+            slice_point=jnp.int32(5),
+            kv_ranges=jnp.zeros((n_chunks, 2), jnp.int32),
+            caption_dropout=jnp.zeros((2,), bool),
+        )
+        fn = jax.jit(functools.partial(
+            magi_forward, statics=statics, rope_tables=None,
+            sync_kv_rows=True), donate_argnames=("cache",))
+        try:
+            m = analyze_program(fn, **{k: abstractify(v)
+                                       for k, v in args.items()})
+            used = m["temp_gib"] + m["argument_gib"] + 0.26 \
+                + (m["output_gib"] - m["alias_gib"])
+            results.append(dict(tp=tp, sp=sp, pp=pp, **{
+                k: round(v, 2) for k, v in m.items()},
+                used_gib=round(used, 2), fits=used <= HBM_GIB))
+        except Exception as e:
+            msg = str(e)
+            results.append(dict(tp=tp, sp=sp, pp=pp,
+                                error=msg[:400],
+                                fits="Ran out of memory" not in msg))
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--aot", action="store_true")
+    args = ap.parse_args()
+    if args.aot:
+        out = aot()
+    else:
+        out = arith()
+    for r in out:
+        print(json.dumps(r))

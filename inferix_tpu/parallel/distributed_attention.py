@@ -239,12 +239,20 @@ def cso_chunk_attention(
     (every device gets the FULL chunk for Hq/sp heads), local GQA span
     attention over the device's Hkv/sp cache heads, and the reverse
     all-to-all restores the shuffle layout.
+
+    COMPOSES with tensor parallelism (the 24B serving plan's tp=4 x sp=2):
+    q enters head-sharded over tp (GSPMD output of the head-sharded QKV
+    matmuls) and token-sharded over sp; the island's sp all-to-all further
+    splits the LOCAL (already tp-sharded) heads, so the effective head
+    sharding inside is the combined (tp, sp) axis — the cache's kv heads
+    are laid out the same way (P(..., ("tp", "sp"), ...)). The body is
+    identical; tp only changes the specs.
     """
     sp = mesh.shape["sp"]
+    tp = mesh.shape.get("tp", 1)
     n_chunks = q.shape[1]
-    assert mesh.shape.get("tp", 1) == 1, "MAGI CSO shards heads over sp only"
-    assert q.shape[3] % sp == 0 and k.shape[2] % sp == 0, (
-        f"sp {sp} must divide q heads {q.shape[3]} and kv heads "
+    assert q.shape[3] % (sp * tp) == 0 and k.shape[2] % (sp * tp) == 0, (
+        f"tp*sp {tp}x{sp} must divide q heads {q.shape[3]} and kv heads "
         f"{k.shape[2]}")
     assert q.shape[2] % sp == 0, (
         f"sp {sp} must divide chunk tokens {q.shape[2]}")
@@ -277,15 +285,16 @@ def cso_chunk_attention(
     return jax.shard_map(
         body_fn, mesh=mesh,
         in_specs=(
-            P("dp", None, "sp", None, None),     # q: chunk tokens over sp
-            P("dp", None, "sp", None),           # cache: kv heads over sp
-            P("dp", None, "sp", None),
+            # q: chunk tokens over sp, heads over tp (GSPMD matmul output)
+            P("dp", None, "sp", "tp", None),
+            P("dp", None, ("tp", "sp"), None),   # cache: kv heads (tp, sp)
+            P("dp", None, ("tp", "sp"), None),
             P(None, None),                       # token ranges (replicated)
             P(None),                             # current_end (replicated)
-            P("dp", None, "sp"),                 # scales: kv heads over sp
-            P("dp", None, "sp"),
+            P("dp", None, ("tp", "sp")),         # scales: kv heads (tp, sp)
+            P("dp", None, ("tp", "sp")),
         ),
-        out_specs=P("dp", None, "sp", None, None),
+        out_specs=P("dp", None, "sp", "tp", None),
         check_vma=False,
     )(q, k, v, token_ranges, jnp.reshape(current_end, (1,)),
       k_scales, v_scales)

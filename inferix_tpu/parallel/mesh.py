@@ -120,3 +120,56 @@ def to_named(tree, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     shardings = to_named(param_pspecs(params), mesh)
     return jax.device_put(params, shardings)
+
+
+def magi_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec tree for the MAGI VideoDiT parameter pytree.
+
+    Megatron-style tensor layout over `tp` (the 24B serving plan: int8
+    weights tp-sharded — params_gib/chip = total/tp):
+      q/qx/k/v and kv_xattn: output dim over tp (head-sharded; kv_xattn's
+        out dim is group-major [g, k|v, hd] so tp shards kv groups)
+      proj: input dim over tp (group-major interleave)
+      fc1: output dim over tp; fc2: input dim over tp
+      (gated fc1 is [gate|up] concatenated — GSPMD keeps the logical
+       silu_and_mul slice correct under any sharding; a gate/up-separate
+       layout is a perf TODO, not a correctness issue)
+    Stacked containers ("blocks", "blocks_mid") carry a leading layer axis
+    sharded over pp; the fp8-split edge layers ("blocks_first"/"_last")
+    have no layer axis. int8/fp8 quant leaves: w_q like w, per-out-channel
+    scales over tp.
+    """
+    def spec_for(path: str, leaf) -> P:
+        nd = leaf.ndim
+        stacked = "/blocks/" in path or "/blocks_mid/" in path
+        lead = ["pp"] if stacked else []
+        body = None
+        if path.endswith("/w") or path.endswith("/w_q"):
+            if any(f"/{n}/" in path for n in ("q", "qx", "k", "v",
+                                              "kv_xattn", "fc1")):
+                body = [None, "tp"]
+            elif any(f"/{n}/" in path for n in ("proj", "fc2")):
+                body = ["tp", None]
+        elif path.endswith("/scale") or path.endswith("/weight_scale"):
+            if any(f"/{n}/" in path for n in ("q", "qx", "k", "v",
+                                              "kv_xattn", "fc1")):
+                body = ["tp"] if nd - len(lead) == 1 else None
+        if body is not None and len(lead) + len(body) == nd:
+            return P(*(lead + body))
+        return P(*(lead + [None] * (nd - len(lead))))
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        return spec_for(path, tree)
+
+    return walk(params)
+
+
+def magi_kv_cache_pspec(quantized_field: bool = False) -> P:
+    """MAGI window cache [L, B, S, Hkv, D]: kv heads over the COMBINED
+    (tp, sp) axis (matching the CSO island's effective head sharding);
+    scales [L, B, S, Hkv] likewise."""
+    if quantized_field:
+        return P(None, "dp", None, ("tp", "sp"))
+    return P(None, "dp", None, ("tp", "sp"), None)

@@ -100,11 +100,9 @@ class MagiPipeline:
         if (mesh is not None and mesh.shape.get("sp", 1) > 1
                 and runtime.cp_strategy == "cso"
                 and mesh.shape.get("pp", 1) == 1):
-            if mesh.shape.get("tp", 1) > 1:
-                raise ValueError(
-                    "MAGI cp_strategy='cso' shards heads over sp only — "
-                    "use tp=1 in the mesh (got tp="
-                    f"{mesh.shape['tp']})")
+            # composes with tp>1: heads shard over the combined (tp, sp)
+            # axis inside the island, linears shard over tp via GSPMD
+            # (magi_param_pspecs) — the 24B tp=4 x sp=2 serving layout
             sp_mode = "cso"
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
@@ -131,6 +129,24 @@ class MagiPipeline:
         self.params = params if params is not None else init_magi_params(
             jax.random.key(runtime.seed), model_cfg, dtype
         )
+        # apply GSPMD shardings when a >1-device mesh is supplied: tensor
+        # layout over tp (magi_param_pspecs), window-cache kv heads over the
+        # combined (tp, sp) axis matching the CSO island
+        self._cache_sharding = None
+        if mesh is not None and mesh.devices.size > 1 \
+                and mesh.shape.get("pp", 1) == 1:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.mesh import (
+                magi_kv_cache_pspec,
+                magi_param_pspecs,
+                to_named,
+            )
+
+            self.params = jax.device_put(
+                self.params, to_named(magi_param_pspecs(self.params), mesh))
+            self._cache_sharding = lambda quant_field: NamedSharding(
+                mesh, magi_kv_cache_pspec(quant_field))
         # pp>1: run the layer stack through the microbatched GPipe pipeline
         # (cond/uncond halves stream through the stages — the reference's
         # work-queue PP overlap, video_generate.py:723-756)
@@ -246,6 +262,9 @@ class MagiPipeline:
             x = x.at[:, : chunk_offset * cw].set(pref.astype(x.dtype))
 
         cache = init_kv_cache(self.statics.spec)
+        if self._cache_sharding is not None:
+            cache = jax.device_put(cache, jax.tree.map(
+                lambda f: self._cache_sharding(f.ndim == 4), cache))
 
         # captions (reference extract_feature_for_inference,
         # video_generate.py:106-117): conditional half = real caption per

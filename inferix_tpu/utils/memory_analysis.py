@@ -25,8 +25,9 @@ def abstractify(tree: Any) -> Any:
                                        jnp.asarray(a).dtype), tree)
 
 
-def analyze_program(jitted, *args, abstract: bool = True) -> Dict[str, float]:
-    """Compile `jitted(*args)` and return its HBM budget in GiB.
+def analyze_program(jitted, *args, abstract: bool = True,
+                    **kwargs) -> Dict[str, float]:
+    """Compile `jitted(*args, **kwargs)` and return its HBM budget in GiB.
 
     args may be concrete host arrays or ShapeDtypeStructs; with
     abstract=True (default) they are abstractified first so nothing is
@@ -37,7 +38,8 @@ def analyze_program(jitted, *args, abstract: bool = True) -> Dict[str, float]:
     """
     if abstract:
         args = abstractify(args)
-    compiled = jitted.lower(*args).compile()
+        kwargs = abstractify(kwargs)
+    compiled = jitted.lower(*args, **kwargs).compile()
     ma = compiled.memory_analysis()
     return {
         "temp_gib": ma.temp_size_in_bytes / 2**30,

@@ -147,3 +147,41 @@ def test_magi_cso_matches_single_device():
     assert len(got) == len(base)
     for a, g in zip(base, got):
         np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
+
+
+def test_magi_cso_composes_with_tp():
+    """The 24B serving layout: tp-sharded linears (magi_param_pspecs) with
+    the CSO island sharding heads over the combined (tp, sp) axis — a
+    tp=2 x sp=2 mesh walk equals the single-device walk."""
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    import dataclasses as _dc
+
+    # tp*sp = 4 must divide the kv groups (the real 24B has 8 = tp4 x sp2)
+    mcfg = _dc.replace(tiny_magi_config(), num_attention_heads=4,
+                       num_query_groups=4)
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                             max_chunks=6, dtype=jnp.float32)
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    rt_cso = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                               cp_strategy="cso")
+    mesh = make_mesh(ParallelConfig(dp=1, sp=2, tp=2, pp=1))
+    pipe = MagiPipeline(mcfg, rt_cso, params=params, latent_h=8,
+                        latent_w=8, max_chunks=6, dtype=jnp.float32,
+                        mesh=mesh)
+    assert pipe.statics.sp_mode == "cso"
+    got = [np.asarray(lat) for _, lat in
+           pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    assert len(got) == len(base)
+    for a, g in zip(base, got):
+        np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
