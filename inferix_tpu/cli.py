@@ -43,7 +43,17 @@ def _common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (no real weights; smoke runs)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize "
+                        "ignores JAX_PLATFORMS; this flag is the override)")
     return p
+
+
+def _maybe_force_cpu(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def _build_config(args):
@@ -82,6 +92,7 @@ def _save(video, path: str) -> None:
 
 def main_self_forcing(argv: Optional[List[str]] = None) -> int:
     args = _common_parser("Self-Forcing semi-AR text-to-video").parse_args(argv)
+    _maybe_force_cpu(args)
     import jax.numpy as jnp
 
     from .pipeline.self_forcing import SelfForcingPipeline
@@ -107,6 +118,7 @@ def main_causvid(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--rollouts", type=int, default=3)
     p.add_argument("--overlap-frames", type=int, default=3)
     args = p.parse_args(argv)
+    _maybe_force_cpu(args)
     import jax.numpy as jnp
 
     from .pipeline.causvid import CausVidPipeline
@@ -126,39 +138,86 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--chunks", type=int, default=4)
     p.add_argument("--num-steps", type=int, default=8)
     p.add_argument("--window-size", type=int, default=4)
+    # the common --config is the MAGI json here (examples/configs/magi_*)
+    p.add_argument("--load", help="DiT checkpoint: sharded-safetensors dir "
+                   "or .pt (reference MAGI layout)")
+    p.add_argument("--vae", help="MAGI ViT-VAE checkpoint dir "
+                   "(config.json + weights); enables pixel decode")
+    p.add_argument("--t5", help="t5-v1_1-xxl dir (HF layout); encodes "
+                   "--prompt instead of the zero caption")
+    p.add_argument("--int8", action="store_true",
+                   help="requantize a distill-quant (fp8) checkpoint to "
+                   "W8A8 int8 at load (the v5e serving path)")
     p.add_argument("--image", help="I2V: condition on this image")
     p.add_argument("--video", help="V2V: condition on this video's tail")
     p.add_argument("--aspect-policy", default="fit",
                    choices=("fit", "crop", "pad"))
     p.add_argument("--fps", type=int, default=16)
     args = p.parse_args(argv)
+    _maybe_force_cpu(args)
     import jax
     import jax.numpy as jnp
 
     from .models.magi.dit import MagiModelConfig, tiny_magi_config
     from .pipeline.magi import MagiPipeline, MagiRuntimeConfig
 
-    mcfg = tiny_magi_config() if args.tiny else MagiModelConfig()
-    rt = MagiRuntimeConfig(num_steps=args.num_steps,
-                           window_size=args.window_size, seed=args.seed,
-                           chunk_width=2 if args.tiny else 6)
+    if args.config:
+        from .pipeline.magi import magi_config_from_json
+
+        mcfg, rt = magi_config_from_json(args.config)
+        rt.num_steps = args.num_steps or rt.num_steps
+        rt.seed = args.seed
+    else:
+        mcfg = tiny_magi_config() if args.tiny else MagiModelConfig()
+        rt = MagiRuntimeConfig(num_steps=args.num_steps,
+                               window_size=args.window_size, seed=args.seed,
+                               chunk_width=2 if args.tiny else 6)
+
+    params = None
+    if args.load:
+        import os
+
+        from .utils.checkpoint import (
+            convert_magi_state_dict,
+            load_sharded_safetensors,
+            load_torch_state_dict,
+        )
+
+        sd = (load_sharded_safetensors(args.load)
+              if os.path.isdir(args.load)
+              else load_torch_state_dict(args.load))
+        params = convert_magi_state_dict(sd, mcfg)
+        if args.int8:
+            from .quant.api import magi_distill_quant_to_int8
+
+            params = magi_distill_quant_to_int8(params)
+
     lat = 8 if args.tiny else 90
-    pipe = MagiPipeline(mcfg, rt, latent_h=lat, latent_w=lat,
+    pipe = MagiPipeline(mcfg, rt, params=params, latent_h=lat, latent_w=lat,
                         max_chunks=args.chunks + 2,
                         dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+
+    vae = None
+    if args.vae:
+        from .utils.checkpoint import load_magi_vae
+
+        vae = load_magi_vae(args.vae)
     prefix = None
     if args.image or args.video:
         # I2V/V2V prefix conditioning (reference run_magi.py modes 2/3)
-        import dataclasses as _dc
-
-        from .models.magi.vae import ViTVAE, ViTVAEConfig, tiny_vitvae_config
         from .pipeline.magi_media import (encode_prefix_latents, load_media,
                                           process_image, process_prefix_video)
 
-        vcfg = tiny_vitvae_config() if args.tiny else ViTVAEConfig()
-        # the VAE's latent channels must match the DiT's input channels
-        vcfg = _dc.replace(vcfg, z_chans=mcfg.in_channels)
-        vae = ViTVAE(vcfg)
+        if vae is None:
+            import dataclasses as _dc
+
+            from .models.magi.vae import (ViTVAE, ViTVAEConfig,
+                                          tiny_vitvae_config)
+
+            vcfg = tiny_vitvae_config() if args.tiny else ViTVAEConfig()
+            # the VAE's latent channels must match the DiT's latents
+            vcfg = _dc.replace(vcfg, z_chans=mcfg.latent_channels)
+            vae = ViTVAE(vcfg)
         h = w = lat * vae.cfg.patch_size
         if args.image:
             frames = process_image(load_media(args.image)[0], h, w,
@@ -168,12 +227,56 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
                                           h, w, aspect_policy=args.aspect_policy)
         prefix = encode_prefix_latents(vae, frames, chunk_width=rt.chunk_width
                                        ).astype(pipe.dtype)
-    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
-    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    if args.t5 and args.prompt:
+        from transformers import AutoTokenizer
+
+        from .models.text.umt5 import MagiT5Embedder, t5_v1_1_xxl_config
+        from .pipeline.magi import magi_text_embeddings
+        from .utils.checkpoint import load_sharded_safetensors
+
+        t5_params = None  # tokenizer-only dirs fall back to random towers
+        try:
+            from .models.text.umt5 import convert_t5_encoder_state_dict
+            from .utils.checkpoint import load_torch_state_dict
+            import glob
+            import os
+
+            bins = sorted(glob.glob(os.path.join(args.t5, "*.bin")) +
+                          glob.glob(os.path.join(args.t5, "*.safetensors")))
+            if bins:
+                sd = {}
+                for b in bins:
+                    sd.update(load_torch_state_dict(b)
+                              if b.endswith(".bin") else
+                              load_sharded_safetensors(os.path.dirname(b)))
+                t5_params = convert_t5_encoder_state_dict(
+                    sd, t5_v1_1_xxl_config())
+        except Exception as e:
+            print(f"[t5] weight load failed ({e}); using random tower")
+        emb = MagiT5Embedder(params=t5_params,
+                             tokenizer=AutoTokenizer.from_pretrained(args.t5))
+        cap, cmask = magi_text_embeddings(args.prompt, embedder=emb)
+        cap = cap.astype(jnp.float32)
+        # pad the 120-token embedding to the model's caption_max_length
+        pad = mcfg.caption_max_length - cap.shape[1]
+        if pad > 0:
+            cap = jnp.pad(cap, ((0, 0), (0, pad), (0, 0)))
+            cmask = jnp.pad(cmask, ((0, 0), (0, pad)))
+    else:
+        cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+        cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    pixels = []
     for idx, chunk in pipe.generate_chunks(cap, cmask, chunk_num=args.chunks,
                                            prefix_latents=prefix):
         print(f"chunk {idx}: {tuple(chunk.shape)} "
               f"finite={bool(jnp.isfinite(chunk).all())}")
+        if vae is not None and args.output:
+            pixels.append(vae.decode(chunk))
+    if pixels and args.output:
+        _save(jnp.concatenate(pixels, axis=1)[0], args.output)
+        print(f"saved {args.output}")
     return 0
 
 
@@ -186,6 +289,7 @@ def main_stream(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
+    _maybe_force_cpu(args)
     import jax.numpy as jnp
 
     from .core.interactive import InteractiveSession
@@ -252,6 +356,7 @@ def main_vde(argv: Optional[List[str]] = None) -> int:
                         "instead of drift")
     p.add_argument("--output", type=str, default=None, help="JSON out path")
     args = p.parse_args(argv)
+    _maybe_force_cpu(args)
 
     from .core.media.video_utils import load_video
     from .eval.flow_metrics import register_flow_metrics

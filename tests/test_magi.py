@@ -257,3 +257,13 @@ def test_magi_cso_quantized_kv_matches_unsharded():
     # the cache re-quantization and amplifies over the 4-step walk
     for a, g in zip(base, got):
         np.testing.assert_allclose(g, a, rtol=2e-3, atol=2e-3)
+
+
+def test_magi_cli_smoke(tmp_path, monkeypatch):
+    """inferix-tpu-magi end-to-end on the tiny config (chunks generated and
+    reported finite); the --cpu/--tiny path is the documented smoke run."""
+    from inferix_tpu.cli import main_magi
+
+    rc = main_magi(["--tiny", "--cpu", "--chunks", "2", "--num-steps", "2",
+                    "--window-size", "2", "--output", ""])
+    assert rc == 0
