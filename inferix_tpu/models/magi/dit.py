@@ -166,9 +166,9 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
         dtype=kv_dtype if kv_dtype is not None else dtype,
         quantized=quantize_kv,
     )
-    if sp_mode not in ("none", "cso"):
-        raise ValueError(f"MAGI sp_mode must be 'none' or 'cso', got "
-                         f"{sp_mode!r}")
+    if sp_mode not in ("none", "cso", "ulysses"):
+        raise ValueError(f"MAGI sp_mode must be 'none', 'cso' or "
+                         f"'ulysses', got {sp_mode!r}")
     if sp_mode != "none" and (mesh is None or mesh.shape.get("sp", 1) <= 1):
         # an explicit CSO request without an sp>1 mesh is a misconfiguration,
         # not a fallback case — fail loudly (MagiPipeline gates before calling)
@@ -476,10 +476,12 @@ def _magi_layer(
         else:
             k_layer, v_layer = new_cache
 
-        if sp_mode == "cso":
-            # in-forward CP: per-chunk shuffled-Ulysses pipeline (reference
-            # CSO strategy) — the chunk loop with its a2a chains lives inside
-            # a shard_map island; everything around stays GSPMD-sharded
+        if sp_mode in ("cso", "ulysses"):
+            # in-forward CP (reference cp-strategy dispatch ulysses/cso,
+            # dit_module.py:1087-1195): "cso" pipelines per-chunk
+            # a2a->attend->a2a chains, "ulysses" moves the whole window in
+            # one a2a pair; both live in a shard_map island while
+            # everything around stays GSPMD-sharded
             from ...parallel.distributed_attention import cso_chunk_attention
 
             qc = q.reshape(b, n_chunks, ct, nh, hd)
@@ -488,6 +490,7 @@ def _magi_layer(
                 jnp.asarray(current_end, jnp.int32),
                 k_scales=ks_layer if spec.quantized else None,
                 v_scales=vs_layer if spec.quantized else None,
+                whole_window=sp_mode == "ulysses",
             ).reshape(b, n_chunks * ct, nh, hd)
         else:
             use_pallas = jax.default_backend() == "tpu"

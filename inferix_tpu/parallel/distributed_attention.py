@@ -219,6 +219,7 @@ def cso_chunk_attention(
     current_end: jax.Array,   # scalar int32 clamp (live window end)
     k_scales: Optional[jax.Array] = None,  # [B, Smax, Hkv] f32 (int8 cache)
     v_scales: Optional[jax.Array] = None,
+    whole_window: bool = False,
 ) -> jax.Array:
     """Context-shuffle-overlap attention: the TPU redesign of the reference's
     CSO CP strategy (`inferix/distributed/parallelism/context_parallel.py:258-306`
@@ -260,6 +261,23 @@ def cso_chunk_attention(
     quantized = k_scales is not None
 
     def body(q_, k_, v_, ranges_, cur_end_, ks_, vs_):
+        if whole_window:
+            # plain Ulysses (reference cp_ulysses, the engine default):
+            # ONE a2a moves the whole window — fewer, larger collectives
+            # than CSO's per-chunk chains; attention is per-chunk either
+            # way (chunks attend different kv spans)
+            qg = jax.lax.all_to_all(q_, "sp", split_axis=3, concat_axis=2,
+                                    tiled=True)  # [B, nc, ct, Hq/sp, D]
+            outs = [
+                _cso_local_span_attn(
+                    qg[:, ci], k_, v_, ranges_[ci][0],
+                    jnp.minimum(ranges_[ci][1], cur_end_[0]),
+                    k_scales=ks_, v_scales=vs_)
+                for ci in range(n_chunks)
+            ]
+            out = jnp.stack(outs, axis=1)        # [B, nc, ct, Hq/sp, D]
+            return jax.lax.all_to_all(out, "sp", split_axis=2,
+                                      concat_axis=3, tiled=True)
         outs = []
         for ci in range(n_chunks):
             qi = q_[:, ci]                       # [B, ct/sp, Hq, D]

@@ -98,18 +98,18 @@ class MagiPipeline:
         self.batch = 2 if (runtime.cfg_number >= 2 or pp_on) else 1
         sp_mode = "none"
         if (mesh is not None and mesh.shape.get("sp", 1) > 1
-                and runtime.cp_strategy == "cso"
+                and runtime.cp_strategy in ("cso", "ulysses")
                 and mesh.shape.get("pp", 1) == 1):
             # composes with tp>1: heads shard over the combined (tp, sp)
             # axis inside the island, linears shard over tp via GSPMD
             # (magi_param_pspecs) — the 24B tp=4 x sp=2 serving layout
-            sp_mode = "cso"
+            sp_mode = runtime.cp_strategy
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
             mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
             quantize_kv=quantize_kv or runtime.quantize_kv,
         )
-        if self.statics.sp_mode == "cso":
+        if self.statics.sp_mode in ("cso", "ulysses"):
             from ..core.monitoring import print_rank_0
             from ..parallel.distributed_attention import sp_comm_bytes_per_layer
 

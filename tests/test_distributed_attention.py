@@ -185,3 +185,34 @@ def test_magi_cso_composes_with_tp():
     assert len(got) == len(base)
     for a, g in zip(base, got):
         np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
+
+
+def test_magi_ulysses_matches_single_device():
+    """cp_strategy='ulysses' (the reference engine default): one a2a pair
+    per layer moves the whole window; equality vs the single-device walk."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                             max_chunks=6, dtype=jnp.float32)
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    rt_u = _dc.replace(rt, cp_strategy="ulysses")
+    mesh = make_mesh(ParallelConfig(dp=1, sp=2, tp=1, pp=1))
+    pipe = MagiPipeline(mcfg, rt_u, params=params, latent_h=8, latent_w=8,
+                        max_chunks=6, dtype=jnp.float32, mesh=mesh)
+    assert pipe.statics.sp_mode == "ulysses"
+    got = [np.asarray(lat) for _, lat in
+           pipe.generate_chunks(cap, cmask, chunk_num=3)]
+    for a, g in zip(base, got):
+        np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
