@@ -136,7 +136,8 @@ def main_causvid(argv: Optional[List[str]] = None) -> int:
 def main_magi(argv: Optional[List[str]] = None) -> int:
     p = _common_parser("MAGI-1 chunked generation")
     p.add_argument("--chunks", type=int, default=4)
-    p.add_argument("--num-steps", type=int, default=8)
+    p.add_argument("--num-steps", type=int, default=None,
+                   help="default: the config's value, else 8")
     p.add_argument("--window-size", type=int, default=4)
     # the common --config is the MAGI json here (examples/configs/magi_*)
     p.add_argument("--load", help="DiT checkpoint: sharded-safetensors dir "
@@ -165,11 +166,12 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
         from .pipeline.magi import magi_config_from_json
 
         mcfg, rt = magi_config_from_json(args.config)
-        rt.num_steps = args.num_steps or rt.num_steps
+        if args.num_steps is not None:
+            rt.num_steps = args.num_steps
         rt.seed = args.seed
     else:
         mcfg = tiny_magi_config() if args.tiny else MagiModelConfig()
-        rt = MagiRuntimeConfig(num_steps=args.num_steps,
+        rt = MagiRuntimeConfig(num_steps=args.num_steps or 8,
                                window_size=args.window_size, seed=args.seed,
                                chunk_width=2 if args.tiny else 6)
 
@@ -242,14 +244,14 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
             import glob
             import os
 
-            bins = sorted(glob.glob(os.path.join(args.t5, "*.bin")) +
-                          glob.glob(os.path.join(args.t5, "*.safetensors")))
-            if bins:
-                sd = {}
-                for b in bins:
-                    sd.update(load_torch_state_dict(b)
-                              if b.endswith(".bin") else
-                              load_sharded_safetensors(os.path.dirname(b)))
+            bins = sorted(glob.glob(os.path.join(args.t5, "*.bin")))
+            sts = glob.glob(os.path.join(args.t5, "*.safetensors"))
+            sd = {}
+            for b in bins:
+                sd.update(load_torch_state_dict(b))
+            if sts:
+                sd.update(load_sharded_safetensors(args.t5))
+            if sd:
                 t5_params = convert_t5_encoder_state_dict(
                     sd, t5_v1_1_xxl_config())
         except Exception as e:

@@ -796,6 +796,7 @@ def magi_forward_uncond(
     t: jax.Array,             # [n_den, 1]
     captions: jax.Array,      # [n_den, 1, cap_len, cap_dim] (null caption)
     caption_mask: jax.Array,  # [n_den, 1, cap_len]
+    distill_dt_factor: Optional[float] = None,
 ) -> jax.Array:
     """The 3-CFG third forward (reference forward_3cfg UnconditionGuard,
     dit_model.py:446-492): every denoising chunk becomes its own batch row,
@@ -810,7 +811,7 @@ def magi_forward_uncond(
 
     tokens, cond, y, angles = _embed_window_inputs(
         params, statics, x_chunks, t, captions, jnp.int32(0),
-        jnp.ones((b,), bool), None)
+        jnp.ones((b,), bool), distill_dt_factor)
 
     def layer(h_x, blk):
         h_x, _ = _magi_layer(

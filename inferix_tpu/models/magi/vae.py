@@ -360,6 +360,7 @@ class ViTVAE:
         self.params = params
         self._encode = jax.jit(self._encode_impl)
         self._decode = jax.jit(self._decode_impl)
+        self._encode_moments = jax.jit(self._encode_moments_impl)
 
     # latents: [B, T/pl, H/ps, W/ps, z]
 
@@ -408,7 +409,7 @@ class ViTVAE:
     def encode_moments(self, video: jax.Array) -> jax.Array:
         """Raw encoder output [B, gt, gh, gw, 2z] (mean | logvar) before
         scale_factor — the DiagonalGaussianDistribution parameters."""
-        return jax.jit(self._encode_moments_impl)(self.params, video)
+        return self._encode_moments(self.params, video)
 
     def encode(self, video: jax.Array,
                rng: Optional[jax.Array] = None) -> jax.Array:

@@ -142,8 +142,15 @@ def magi_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     def spec_for(path: str, leaf) -> P:
         nd = leaf.ndim
         stacked = "/blocks/" in path or "/blocks_mid/" in path
+        in_block = stacked or "/blocks_first/" in path \
+            or "/blocks_last/" in path
         lead = ["pp"] if stacked else []
         body = None
+        if not in_block:
+            # embedders / final head stay replicated (tiny matmuls; the
+            # t_embedder's fc1/fc2 must NOT be tp-sharded — cond_dim need
+            # not divide tp)
+            return P(*([None] * nd))
         if path.endswith("/w") or path.endswith("/w_q"):
             if any(f"/{n}/" in path for n in ("q", "qx", "k", "v",
                                               "kv_xattn", "fc1")):

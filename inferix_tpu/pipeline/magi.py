@@ -169,11 +169,15 @@ class MagiPipeline:
         )
 
         def _uncond_combine(params, x_den, t_den, caps, masks,
-                            v_text, v_pre, prev_s, text_s):
+                            v_text, v_pre, prev_s, text_s,
+                            distill_dt_factor=None):
             """3rd CFG forward (prefix-free per-chunk uncond) + the 3-term
-            per-chunk combination (dit_model.py:495-536)."""
+            per-chunk combination (dit_model.py:495-536). The distill-dt
+            embedding (when configured) applies to EVERY forward in the
+            reference's get_embedding_and_meta, the uncond included."""
             v_unc = magi_forward_uncond(params, self.statics, x_den, t_den,
-                                        caps, masks)
+                                        caps, masks,
+                                        distill_dt_factor=distill_dt_factor)
             w_u = (1.0 - prev_s).reshape(-1, 1, 1, 1, 1)
             w_p = (prev_s - text_s).reshape(-1, 1, 1, 1, 1)
             w_t = text_s.reshape(-1, 1, 1, 1, 1)
@@ -445,11 +449,13 @@ class MagiPipeline:
         if rt.cfg_number == 3 and not skip_prev_cfg:
             velocity = self._apply_3cfg(
                 x_window, t_vals, velocity, null_cap, null_mask,
-                chunk_is_clean)
-        elif rt.cfg_number == 2:
+                chunk_is_clean, ddt)
+        elif rt.cfg_number == 2 and not skip_prev_cfg \
+                and len(t_vals) > int(np.sum(chunk_is_clean)):
             # 2-forward text-only CFG (TPU extension — the reference
             # dispatcher implements only 1 and 3): per-chunk text scales
-            # on the cond/uncond halves
+            # on the cond/uncond halves; skipped for prefix feature
+            # extraction (all chunks clean, velocity discarded)
             n_clean = int(np.sum(chunk_is_clean))
             t_den = np.asarray(t_vals)[n_clean:]
             _, text_s = self._cfg_scales(t_den)
@@ -467,7 +473,7 @@ class MagiPipeline:
         return velocity, cache
 
     def _apply_3cfg(self, x_window, t_vals, velocity, null_cap, null_mask,
-                    chunk_is_clean):
+                    chunk_is_clean, distill_dt_factor=None):
         """Reference 3-CFG combination over the denoising chunks."""
         geo = self.statics.geo
         cw = geo.chunk_width
@@ -494,7 +500,8 @@ class MagiPipeline:
         comb = self._fwd_uncond_combine(
             self.params, x_den, t_u, caps_u, masks_u,
             chunks_of(velocity[0]), chunks_of(velocity[1]),
-            jnp.asarray(prev_s), jnp.asarray(text_s))
+            jnp.asarray(prev_s), jnp.asarray(text_s),
+            distill_dt_factor=distill_dt_factor)
         comb = comb.reshape(1, n_den * cw, *comb.shape[2:])
         # splice the combined denoising span back; clean prefix part is
         # discarded by the caller (velocity[:, cw:] under fwd_extra)

@@ -267,3 +267,70 @@ def test_magi_cli_smoke(tmp_path, monkeypatch):
     rc = main_magi(["--tiny", "--cpu", "--chunks", "2", "--num-steps", "2",
                     "--window-size", "2", "--output", ""])
     assert rc == 0
+
+
+def test_magi_cfg2_prefix_video_no_crash():
+    """Regression: cfg_number=2 with I2V prefix latents used to die in
+    _cfg_scales on an all-clean prefix window (empty t_den)."""
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cfg_number=2)
+    pipe = MagiPipeline(mcfg, rt, latent_h=8, latent_w=8, max_chunks=6,
+                        dtype=jnp.float32)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    prefix = jax.random.normal(jax.random.key(5),
+                               (1, 2, 8, 8, mcfg.in_channels))
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=3,
+                                       prefix_latents=prefix))
+    assert [c[0] for c in chunks] == [0, 1]
+    assert all(np.isfinite(np.asarray(lat)).all() for _, lat in chunks)
+
+
+def test_magi_distill_with_cfg3_threads_dt_to_uncond():
+    """distill + cfg_number=3: the distill-dt embedding must reach ALL
+    three forwards (the reference applies it in get_embedding_and_meta,
+    uncond included) — changing distill must change the uncond velocity."""
+    from inferix_tpu.models.magi.dit import (magi_forward_uncond,
+                                             make_magi_statics)
+
+    mcfg = tiny_magi_config()
+    params = init_magi_params(jax.random.key(0), mcfg, jnp.float32)
+    statics = make_magi_statics(mcfg, 1, 8, 8, 4, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (2, mcfg.chunk_width, 8, 8,
+                                              mcfg.in_channels))
+    t = jnp.full((2, 1), 0.5)
+    caps = jnp.zeros((2, 1, mcfg.caption_max_length, mcfg.caption_channels))
+    masks = jnp.ones((2, 1, mcfg.caption_max_length))
+    v0 = magi_forward_uncond(params, statics, x, t, caps, masks)
+    v1 = magi_forward_uncond(params, statics, x, t, caps, masks,
+                             distill_dt_factor=4.0)
+    assert not np.allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+
+    # e2e: the distill 3-cfg walk runs and stays finite
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cfg_number=3, distill=True)
+    pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                        max_chunks=6, dtype=jnp.float32)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=2))
+    assert all(np.isfinite(np.asarray(lat)).all() for _, lat in chunks)
+
+
+def test_magi_cli_config_num_steps_preserved():
+    """Regression: --config's num_steps must survive when --num-steps is
+    not passed (the argparse default used to clobber it)."""
+    import json
+
+    from inferix_tpu.pipeline.magi import magi_config_from_json
+
+    mcfg, rt = magi_config_from_json("examples/configs/magi_4p5b.json")
+    assert rt.num_steps == 64
+
+    # simulate the CLI's resolution logic
+    import argparse
+    ns = argparse.Namespace(num_steps=None)
+    if ns.num_steps is not None:
+        rt.num_steps = ns.num_steps
+    assert rt.num_steps == 64
