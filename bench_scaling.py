@@ -140,6 +140,77 @@ def run_mesh(pcfg, sp_mode: str = "none", steps: int = 4):
     }
 
 
+def run_magi_mesh(pcfg, cp_strategy: str = "none", steps: int = 2):
+    """MAGI window forward over a mesh: cp_strategy none/ulysses/cso with
+    heads over the combined (tp, sp) axis — the 24B serving-plan axes."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.parallel.mesh import make_mesh
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mesh = make_mesh(pcfg) if pcfg.world_size > 1 else None
+    mcfg = _dc.replace(tiny_magi_config(), num_attention_heads=4,
+                       num_query_groups=4)
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cp_strategy=cp_strategy, cfg_number=3,
+                           quantize_kv=True)
+    pipe = MagiPipeline(mcfg, rt, latent_h=8, latent_w=16, max_chunks=6,
+                        dtype=jnp.float32, mesh=mesh)
+
+    import collections
+
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    t0 = time.perf_counter()
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=3))
+    _sync(chunks[-1][1])
+    dt = time.perf_counter() - t0
+    try:
+        # lower a representative 2-chunk window to count collectives
+        import numpy as _np
+
+        from inferix_tpu.kvcache.cache import init_kv_cache
+
+        cache = init_kv_cache(pipe.statics.spec)
+        if pipe._cache_sharding is not None:
+            cache = jax.device_put(cache, jax.tree.map(
+                lambda f: pipe._cache_sharding(f.ndim == 4), cache))
+        ct = pipe.statics.geo.chunk_tokens
+        txt = pipe._fwd.lower(
+            pipe.params,
+            x_window=jnp.zeros((2, 4, 8, 16, mcfg.in_channels)),
+            t=jnp.zeros((2, 2)),
+            captions=jnp.zeros((2, 2, mcfg.caption_max_length,
+                                mcfg.caption_channels)),
+            caption_mask=jnp.ones((2, 2, mcfg.caption_max_length)),
+            cache=cache,
+            slice_point=jnp.int32(0),
+            kv_ranges=jnp.zeros((2, 2), jnp.int32),
+            caption_dropout=jnp.zeros((2,), bool),
+            distill_dt_factor=None,
+        ).compile().as_text()
+        cnt = collections.Counter()
+        for line in txt.splitlines():
+            for op in ("all-gather", "all-to-all", "all-reduce",
+                       "reduce-scatter", "collective-permute"):
+                if op in line and "=" in line:
+                    cnt[op] += 1
+        collectives = dict(cnt)
+    except Exception as e:
+        collectives = {"error": str(e)[:120]}
+
+    return {
+        "model": "magi-cfg3-int8kv",
+        "mesh": {"dp": pcfg.dp, "sp": pcfg.sp, "tp": pcfg.tp, "pp": pcfg.pp},
+        "cp_strategy": cp_strategy,
+        "devices": pcfg.world_size,
+        "walk_s": round(dt, 2),
+        "virtual_cpu": bool(_n_virtual),
+        "collectives_per_window_fwd": collectives,
+    }
+
+
 def main():
     from inferix_tpu.core.config import ParallelConfig
 
@@ -178,6 +249,18 @@ def main():
         results.append(res)
         print(json.dumps(res))
 
+    if n >= 4 and not os.environ.get("MESH"):
+        # MAGI window-forward collective census over the 24B serving axes
+        magi_configs = [
+            (ParallelConfig(dp=1, sp=2, tp=1), "cso"),
+            (ParallelConfig(dp=1, sp=2, tp=1), "ulysses"),
+            (ParallelConfig(dp=1, sp=2, tp=2), "cso"),
+        ]
+        for pcfg, strat in magi_configs:
+            res = run_magi_mesh(pcfg, strat)
+            results.append(res)
+            print(json.dumps(res))
+
     if len(results) > 1:
         out = {
             "note": ("virtual-CPU relative overhead measurement: all "
@@ -187,7 +270,7 @@ def main():
             "host_cores": os.cpu_count(),
             "results": results,
         }
-        with open("SCALING_r02.json", "w") as f:
+        with open("SCALING_r03.json", "w") as f:
             json.dump(out, f, indent=1)
 
 
