@@ -169,11 +169,16 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
     if sp_mode not in ("none", "cso", "ulysses"):
         raise ValueError(f"MAGI sp_mode must be 'none', 'cso' or "
                          f"'ulysses', got {sp_mode!r}")
-    if sp_mode != "none" and (mesh is None or mesh.shape.get("sp", 1) <= 1):
-        # an explicit CSO request without an sp>1 mesh is a misconfiguration,
-        # not a fallback case — fail loudly (MagiPipeline gates before calling)
+    if sp_mode != "none" and (
+            mesh is None or (mesh.shape.get("sp", 1) <= 1
+                             and mesh.shape.get("tp", 1) <= 1)):
+        # an explicit island request without a sharded mesh is a
+        # misconfiguration, not a fallback case — fail loudly. tp-only
+        # meshes DO take the island: on real TPUs the Pallas span kernel
+        # cannot be GSPMD-auto-partitioned, so head sharding must run
+        # inside the shard_map island (the sp=1 all_to_all is an identity).
         raise ValueError(
-            "sp_mode='cso' requires a mesh with sp>1 "
+            f"sp_mode={sp_mode!r} requires a mesh with sp>1 or tp>1 "
             f"(got mesh={None if mesh is None else dict(mesh.shape)})")
     return MagiStatics(cfg=cfg, spec=spec, geo=geo, mesh=mesh,
                        sp_mode=sp_mode)

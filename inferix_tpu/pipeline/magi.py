@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Generator, List, Optional, Sequence, Tuple
 
 import jax
@@ -97,7 +98,9 @@ class MagiPipeline:
         pp_on = mesh is not None and mesh.shape.get("pp", 1) > 1
         self.batch = 2 if (runtime.cfg_number >= 2 or pp_on) else 1
         sp_mode = "none"
-        if (mesh is not None and mesh.shape.get("sp", 1) > 1
+        if (mesh is not None
+                and (mesh.shape.get("sp", 1) > 1
+                     or mesh.shape.get("tp", 1) > 1)
                 and runtime.cp_strategy in ("cso", "ulysses")
                 and mesh.shape.get("pp", 1) == 1):
             # composes with tp>1: heads shard over the combined (tp, sp)
@@ -114,7 +117,7 @@ class MagiPipeline:
             from ..parallel.distributed_attention import sp_comm_bytes_per_layer
 
             per_layer = sp_comm_bytes_per_layer(
-                "cso", mesh.shape["sp"], 1, self.batch,
+                "cso", max(mesh.shape.get("sp", 1), 1), 1, self.batch,
                 runtime.window_size * self.statics.geo.chunk_tokens,
                 self.statics.spec.max_tokens,
                 model_cfg.num_attention_heads, model_cfg.kv_channels,
@@ -295,7 +298,9 @@ class MagiPipeline:
                     distill_interval=float(sched.interval[0]),
                 )[1]
 
+        chunk_t0 = time.perf_counter()
         for step in range(sched.total_forward_steps):
+            step_t0 = time.perf_counter()
             c_start, c_end, t_s, t_e = sched.window(step)
             extra_clean = sched.fwd_extra_1st_chunk(step)
             w_start = c_start - 1 if extra_clean else c_start
@@ -328,9 +333,22 @@ class MagiPipeline:
                 x.shape[0], (c_end - c_start) * cw, *x.shape[2:])
             x = x.at[:, c_start * cw: c_end * cw].set(x_new.astype(x.dtype))
 
+            if self.profiler.config.enabled:
+                t_vals_np = np.asarray(t_vals)
+                self.profiler.record_diffusion_step(
+                    step, float(t_vals_np[-1]), c_end - c_start,
+                    (time.perf_counter() - step_t0) * 1e3)
+
             done = sched.mark_integrated(step)
             if done is not None:
                 clean = x[:1, done * cw:(done + 1) * cw]
+                if self.profiler.config.enabled:
+                    # host sync so the block time is real, not dispatch time
+                    np.asarray(jax.device_get(clean[(0,) * clean.ndim]))
+                    self.profiler.record_block_computation(
+                        done - chunk_offset, cw,
+                        (time.perf_counter() - chunk_t0) * 1e3)
+                    chunk_t0 = time.perf_counter()
                 yield done - chunk_offset, clean
 
     def _distill_dt_factor(self, distill_interval: Optional[float]

@@ -216,3 +216,37 @@ def test_magi_ulysses_matches_single_device():
            pipe.generate_chunks(cap, cmask, chunk_num=3)]
     for a, g in zip(base, got):
         np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
+
+
+def test_magi_tp_only_island():
+    """tp-only meshes route attention through the island too (on real TPUs
+    the Pallas span kernel can't be GSPMD-auto-partitioned; the sp=1
+    all_to_all is an identity) — tp=2, sp=1 equals single-device."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = _dc.replace(tiny_magi_config(), num_attention_heads=4,
+                       num_query_groups=2)
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                             max_chunks=6, dtype=jnp.float32)
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    import dataclasses as _dc2
+    rt_tp = _dc2.replace(rt, cp_strategy="cso")
+    mesh = make_mesh(ParallelConfig(dp=1, sp=1, tp=2, pp=1))
+    pipe = MagiPipeline(mcfg, rt_tp, params=params, latent_h=8, latent_w=8,
+                        max_chunks=6, dtype=jnp.float32, mesh=mesh)
+    assert pipe.statics.sp_mode == "cso"
+    got = [np.asarray(lat) for _, lat in
+           pipe.generate_chunks(cap, cmask, chunk_num=3)]
+    for a, g in zip(base, got):
+        np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)

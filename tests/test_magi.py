@@ -334,3 +334,29 @@ def test_magi_cli_config_num_steps_preserved():
     if ns.num_steps is not None:
         rt.num_steps = ns.num_steps
     assert rt.num_steps == 64
+
+
+def test_magi_walk_records_profile():
+    """The MAGI walk feeds the profiler: per-forward diffusion steps and a
+    per-chunk block record (the reference wraps the work queue in its
+    profiler, CausalInferencePipeline-style)."""
+    from inferix_tpu.profiling.profiler import InferixProfiler, ProfilingConfig
+
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    prof = InferixProfiler(ProfilingConfig(enabled=True))
+    prof.start_session("magi")
+    pipe = MagiPipeline(mcfg, rt, latent_h=8, latent_w=8, max_chunks=6,
+                        dtype=jnp.float32, profiler=prof)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=2))
+    prof.end_session()
+    assert len(prof.blocks) == 2
+    assert len(prof.diffusion_steps) == pipe_total_steps(rt, 2)
+    assert prof.time_to_first_block_s is not None
+
+
+def pipe_total_steps(rt, chunk_num):
+    steps_per_stage = rt.num_steps // rt.window_size
+    return steps_per_stage * (chunk_num + rt.window_size - 1)
