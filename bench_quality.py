@@ -11,6 +11,7 @@ quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r02.json and
 prints one JSON line.
 """
 import json
+import os
 
 import jax
 
@@ -44,6 +45,18 @@ def main():
     from inferix_tpu.quant.api import quantize_params
 
     register_flow_metrics()
+    # real VBench models when checkpoints exist (the BASELINE "VBench
+    # delta <= 0.5" gate): VBENCH_WEIGHTS points at a json spec of
+    # {metric: builder-kwargs} (eval/vbench_real.register_real_metrics)
+    spec_path = os.environ.get("VBENCH_WEIGHTS")
+    if spec_path:
+        import json as _json
+
+        from inferix_tpu.eval.vbench_real import register_real_metrics
+
+        with open(spec_path) as f:
+            built = register_real_metrics(_json.load(f))
+        print(f"[quality] real VBench metrics active: {sorted(built)}")
     cfg = EngineConfig()
     params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
 
