@@ -108,9 +108,36 @@ def background_consistency(chunk: np.ndarray) -> float:
     return float(np.mean(corr)) if t > 1 else 1.0
 
 
+def brightness(chunk: np.ndarray) -> float:
+    """Mean luminance (reference simple_brightness_metric,
+    LV-Bench/metrics.py:13-15)."""
+    return float(chunk.mean())
+
+
+def aesthetic(chunk: np.ndarray) -> float:
+    """Weight-free aesthetic proxy standing in for the LAION CLIP head
+    (reference metrics.py:206-219): colorfulness (Hasler-Susstrunk) +
+    global contrast + rule-of-thirds-agnostic exposure balance, each
+    squashed to [0, 1] and averaged. The REAL model is pluggable via
+    `eval.vbench_real.LAIONAesthetic`."""
+    f = chunk.reshape(-1, *chunk.shape[-3:])
+    rg = f[..., 0] - f[..., 1]
+    yb = 0.5 * (f[..., 0] + f[..., 1]) - f[..., 2]
+    colorfulness = np.sqrt(rg.std() ** 2 + yb.std() ** 2) \
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    lum = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    contrast = float(lum.std())
+    exposure = 1.0 - abs(float(lum.mean()) - 0.5) * 2.0
+    c1 = min(colorfulness / 0.3, 1.0)
+    c2 = min(contrast / 0.25, 1.0)
+    return float((c1 + c2 + max(exposure, 0.0)) / 3.0)
+
+
 BUILTIN_METRICS: Dict[str, MetricFn] = {
+    "brightness": brightness,
     "clarity": clarity,
     "motion": motion_smoothness,
+    "aesthetic": aesthetic,
     "dynamic": dynamic_degree,
     "subject_consistency": subject_consistency,
     "background_consistency": background_consistency,

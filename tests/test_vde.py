@@ -68,3 +68,21 @@ def test_evaluate_and_delta():
     assert all(v == 0.0 for v in d0.values())
     d1 = quality_delta(video, rng.random((40, 16, 16, 3)), n_chunks=4)
     assert any(v > 0 for v in d1.values())
+
+
+def test_factory_covers_reference_metric_names():
+    """Every metric name the reference factory dispenses
+    (LV-Bench/metrics.py:145-260: brightness, clarity, motion, aesthetic,
+    dynamic, subject/background consistency) resolves here too."""
+    import numpy as np
+
+    from inferix_tpu.eval.vde import BUILTIN_METRICS, create_metric_func
+
+    for name in ("brightness", "clarity", "motion", "aesthetic", "dynamic",
+                 "subject_consistency", "background_consistency"):
+        fn = create_metric_func(name)
+        chunk = np.random.default_rng(0).random((4, 16, 16, 3)) \
+            .astype(np.float32)
+        assert np.isfinite(fn(chunk))
+    assert BUILTIN_METRICS["brightness"](np.full((2, 4, 4, 3), 0.25,
+                                                 np.float32)) == 0.25
