@@ -227,9 +227,19 @@ class MagiPipeline:
         chunk_num: int,
         prefix_latents: Optional[jax.Array] = None,  # [1, F0, H, W, C]
         rng: Optional[jax.Array] = None,
+        resume_state: Optional[dict] = None,
+        state_callback: Optional[callable] = None,
     ) -> Generator[Tuple[int, jax.Array], None, None]:
         """Yields (chunk_index, clean latents [1, chunk_width, H, W, C]) as
-        chunks finish denoising — the reference `walk()` generator."""
+        chunks finish denoising — the reference `walk()` generator.
+
+        Mid-walk checkpoint/resume ("persistent world state" — the repo's
+        §5 resume subsystem, `utils/state_checkpoint.py`): pass
+        `state_callback(state_dict, step)` to snapshot after each forward
+        (x / cache / step / per-chunk denoise counts), and `resume_state`
+        (such a snapshot) to continue a walk bit-for-bit — the noise draw
+        is re-derived from the same rng, and all later math is
+        deterministic."""
         cfg, rt = self.cfg, self.rt
         geo = self.statics.geo
         cw = rt.chunk_width
@@ -298,8 +308,26 @@ class MagiPipeline:
                     distill_interval=float(sched.interval[0]),
                 )[1]
 
+        start_step = 0
+        if resume_state is not None:
+            x = jnp.asarray(resume_state["x"]).astype(self.dtype)
+            cache = KVCache(
+                k=jnp.asarray(resume_state["cache"]["k"]),
+                v=jnp.asarray(resume_state["cache"]["v"]),
+                k_scale=(jnp.asarray(resume_state["cache"]["k_scale"])
+                         if "k_scale" in resume_state["cache"] else None),
+                v_scale=(jnp.asarray(resume_state["cache"]["v_scale"])
+                         if "v_scale" in resume_state["cache"] else None),
+            )
+            if self._cache_sharding is not None:
+                cache = jax.device_put(cache, jax.tree.map(
+                    lambda f: self._cache_sharding(f.ndim == 4), cache))
+            start_step = int(resume_state["step"])
+            sched.chunk_denoise_count[:] = np.asarray(
+                resume_state["chunk_denoise_count"])
+
         chunk_t0 = time.perf_counter()
-        for step in range(sched.total_forward_steps):
+        for step in range(start_step, sched.total_forward_steps):
             step_t0 = time.perf_counter()
             c_start, c_end, t_s, t_e = sched.window(step)
             extra_clean = sched.fwd_extra_1st_chunk(step)
@@ -350,6 +378,16 @@ class MagiPipeline:
                         (time.perf_counter() - chunk_t0) * 1e3)
                     chunk_t0 = time.perf_counter()
                 yield done - chunk_offset, clean
+
+            if state_callback is not None:
+                # counts are snapshotted AFTER mark_integrated so a resume
+                # at step+1 continues with consistent completion accounting
+                cache_dict = {k: v for k, v in cache._asdict().items()
+                              if v is not None}
+                state_callback({
+                    "x": x, "cache": cache_dict, "step": step + 1,
+                    "chunk_denoise_count": sched.chunk_denoise_count.copy(),
+                }, step)
 
     def _distill_dt_factor(self, distill_interval: Optional[float]
                            ) -> Optional[float]:

@@ -90,3 +90,68 @@ def test_state_checkpoint_fp8_cache_roundtrip(tmp_path):
         np.asarray(st["cache_k"].astype(jnp.float32)),
         np.asarray(cache_k.astype(jnp.float32)))
     assert st["frames_done"] == 3
+
+
+def test_magi_walk_checkpoint_resume_bit_exact(tmp_path):
+    """MAGI persistent world state: snapshot the walk mid-way (through the
+    npz round-trip of utils/state_checkpoint), resume in a FRESH pipeline,
+    and the remaining chunks match the uninterrupted walk exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+    from inferix_tpu.utils.state_checkpoint import (
+        load_generation_state,
+        save_generation_state,
+    )
+
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    def new_pipe():
+        return MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                            max_chunks=6, dtype=jnp.float32)
+
+    # uninterrupted reference walk
+    ref = [(i, np.asarray(lat)) for i, lat in
+           new_pipe().generate_chunks(cap, cmask, chunk_num=3)]
+
+    # interrupted walk: snapshot at every step, stop after the 3rd forward
+    path = str(tmp_path / "walk.npz")
+    seen = []
+    gen = new_pipe().generate_chunks(
+        cap, cmask, chunk_num=3,
+        state_callback=lambda st, step: save_generation_state(path, **st))
+    it = iter(gen)
+    # drive exactly 3 forwards by stepping the generator via a side effect:
+    # pull yielded chunks while a step counter (in the saved state) < 3
+    while True:
+        st = load_generation_state(path) if (tmp_path / "walk.npz").exists() \
+            else {"step": 0}
+        if int(st.get("step", 0)) >= 3:
+            break
+        try:
+            seen.append(next(it))
+        except StopIteration:
+            break
+    del gen, it
+
+    st = load_generation_state(path)
+    assert int(st["step"]) == 3 or seen  # snapshot landed
+
+    resumed = [(i, np.asarray(lat)) for i, lat in
+               new_pipe().generate_chunks(cap, cmask, chunk_num=3,
+                                          resume_state=st)]
+    got = {i: lat for i, lat in seen}
+    for i, lat in resumed:
+        got[i] = np.asarray(lat)
+    assert sorted(got) == [i for i, _ in ref]
+    for i, want in ref:
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"chunk {i}")
