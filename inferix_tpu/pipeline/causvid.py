@@ -103,6 +103,10 @@ class CausVidPipeline(SelfForcingPipeline):
         # back to [-1, 1] pixel range for the encoder
         frame = video[:, boundary_idx:boundary_idx + 1] * 2.0 - 1.0
         start_frame = self._vae.encode(frame)  # [B, 1, h, w, z]
+        if num_overlap_frames <= 1:
+            # overlap 1 = the re-encoded boundary frame alone (a -0 slice
+            # would take the WHOLE previous segment's latents)
+            return start_frame
         return jnp.concatenate(
             [start_frame, latents[:, -(num_overlap_frames - 1):]], axis=1
         )

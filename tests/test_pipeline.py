@@ -297,3 +297,22 @@ def test_profiler_html_report_full_sections(tmp_path):
     assert "<title>" in html
     # stage bars carry direct value labels
     assert re.search(r'class="bv">[\d,.]+ ms', html)
+
+
+def test_causvid_rollouts_overlap_one():
+    """Regression: num_overlap_frames=1 used to take a -0 slice (the WHOLE
+    previous segment) as the carry, making the next segment's frame count
+    negative. Overlap 1 = the re-encoded boundary frame alone."""
+    from inferix_tpu.pipeline.causvid import CausVidPipeline
+
+    cfg = tiny_test_config()
+    cfg.runtime.num_frames = 4
+    cfg.runtime.frames_per_segment = 4
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    cv = CausVidPipeline(cfg, params=params, vae=_tiny_vae(),
+                         dtype=jnp.float32)
+    segs = cv.run_rollouts("a windmill", num_rollouts=2,
+                           num_overlap_frames=1)
+    assert len(segs) == 2
+    for s in segs:
+        assert np.isfinite(np.asarray(s)).all()
