@@ -103,7 +103,19 @@ def main_self_forcing(argv: Optional[List[str]] = None) -> int:
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
     pipe = SelfForcingPipeline(cfg, profiler=profiler, dtype=dtype)
     t0 = time.perf_counter()
-    video = pipe.run_text_to_video([args.prompt], num_frames=args.frames)
+    if cfg.runtime.decode_mode.value == "per_block":
+        # per-block decode happens in the streaming callback (TRUE_STREAMING
+        # path); collect the pixel blocks and save their concatenation
+        from .core.types import StreamingMode
+
+        cfg.runtime.streaming_mode = StreamingMode.TRUE_STREAMING
+        pixels = []
+        pipe.run_streaming_generation(
+            [args.prompt], num_segments=1,
+            stream_callback=lambda px: pixels.append(np.asarray(px)))
+        video = jnp.asarray(np.concatenate(pixels, axis=1)) if pixels else None
+    else:
+        video = pipe.run_text_to_video([args.prompt], num_frames=args.frames)
     print(f"generated in {time.perf_counter() - t0:.1f}s")
     if args.profile:
         print(json.dumps(pipe.profiler.summary(), indent=2, default=str))
@@ -326,17 +338,6 @@ def main_stream(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    cmd = sys.argv[1] if len(sys.argv) > 1 else "self-forcing"
-    entry = {
-        "self-forcing": main_self_forcing,
-        "causvid": main_causvid,
-        "magi": main_magi,
-        "stream": main_stream,
-    }[cmd]
-    sys.exit(entry(sys.argv[2:]))
-
-
 def main_vde(argv: Optional[List[str]] = None) -> int:
     """LV-Bench VDE evaluation CLI (reference `LV-Bench/vde.py` entry):
     score videos with the metric factory (incl. the optical-flow / MUSIQ-
@@ -388,3 +389,15 @@ def main_vde(argv: Optional[List[str]] = None) -> int:
         with open(args.output, "w") as f:
             f.write(out)
     return 0
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "self-forcing"
+    entry = {
+        "self-forcing": main_self_forcing,
+        "causvid": main_causvid,
+        "magi": main_magi,
+        "stream": main_stream,
+        "vde": main_vde,
+    }[cmd]
+    sys.exit(entry(sys.argv[2:]))
