@@ -239,7 +239,9 @@ class MagiPipeline:
         (x / cache / step / per-chunk denoise counts), and `resume_state`
         (such a snapshot) to continue a walk bit-for-bit — the noise draw
         is re-derived from the same rng, and all later math is
-        deterministic."""
+        deterministic. The callback must MATERIALIZE what it keeps (e.g.
+        np.asarray / save_generation_state): the cache buffers are donated
+        into the next forward and a held jax.Array would be invalidated."""
         cfg, rt = self.cfg, self.rt
         geo = self.statics.geo
         cw = rt.chunk_width
