@@ -67,10 +67,18 @@ class SemiARGenerator:
         # when a mesh with sp>1 is supplied and the parallel config names a
         # mode; otherwise single-device attention + GSPMD handles sharding
         sp_mode = "none"
-        if mesh is not None and mesh.shape.get("sp", 1) > 1 \
-                and cfg.parallel.sp_mode in ("ulysses", "ring",
-                                             "ring_pass_q"):
-            sp_mode = cfg.parallel.sp_mode
+        if mesh is not None and cfg.parallel.sp_mode in ("ulysses", "ring",
+                                                         "ring_pass_q"):
+            if mesh.shape.get("sp", 1) > 1:
+                sp_mode = cfg.parallel.sp_mode
+            elif mesh.shape.get("tp", 1) > 1 \
+                    and cfg.parallel.sp_mode == "ulysses":
+                # tp-only meshes still need the island on real TPUs: the
+                # Pallas cache kernel cannot be GSPMD-auto-partitioned, so
+                # head sharding must happen inside shard_map (the ulysses
+                # island already lays heads over the combined (tp, sp) axis;
+                # at sp=1 its a2a is an identity)
+                sp_mode = "ulysses"
         self.mesh = mesh
         self.sp_mode = sp_mode
         # KV cache storage: int8 (+scales, in-kernel dequant) or scale-free

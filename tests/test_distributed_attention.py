@@ -250,3 +250,22 @@ def test_magi_tp_only_island():
            pipe.generate_chunks(cap, cmask, chunk_num=3)]
     for a, g in zip(base, got):
         np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
+
+
+def test_wan_tp_only_takes_ulysses_island():
+    """Wan tp-only meshes route attention through the ulysses island (same
+    Pallas-under-GSPMD constraint as MAGI) — tp=2, sp=1 equality."""
+    cfg = tiny_test_config()
+    base = _generate(cfg, init_params(jax.random.key(0), cfg.model,
+                                      dtype=jnp.float32))
+    cfg_tp = copy.deepcopy(cfg)
+    cfg_tp.parallel = ParallelConfig(dp=1, sp=1, tp=2, pp=1,
+                                     sp_mode="ulysses")
+    mesh = make_mesh(cfg_tp.parallel)
+    params = init_params(jax.random.key(0), cfg_tp.model, dtype=jnp.float32)
+
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+    gen = SemiARGenerator(cfg_tp, params, dtype=jnp.float32, mesh=mesh)
+    assert gen.sp_mode == "ulysses"  # the tp-only island is active
+    got = _generate(cfg_tp, params, mesh=mesh)
+    np.testing.assert_allclose(got, base, rtol=2e-4, atol=2e-4)
