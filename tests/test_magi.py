@@ -360,3 +360,51 @@ def test_magi_walk_records_profile():
 def pipe_total_steps(rt, chunk_num):
     steps_per_stage = rt.num_steps // rt.window_size
     return steps_per_stage * (chunk_num + rt.window_size - 1)
+
+
+def test_magi_special_token_padding(tmp_path, monkeypatch):
+    """Special-token caption padding mechanism (reference
+    prompt_process.py:31-129): npz table layout, PAD_* env key selection,
+    prepend + truncate + mask extension, per-chunk duration countdown."""
+    import numpy as np
+
+    from inferix_tpu.pipeline.magi_tokens import (
+        load_special_tokens,
+        negative_special_token_keys_from_env,
+        pad_special_tokens,
+        special_token_keys_from_env,
+    )
+
+    rng = np.random.default_rng(0)
+    d = 16
+    npz = tmp_path / "special_tokens.npz"
+    np.savez(npz, caption_token=rng.standard_normal((1, d)),
+             logo_token=rng.standard_normal((1, d)),
+             other_tokens=rng.standard_normal((17, d)))
+    table = load_special_tokens(str(npz))
+    assert table["HQ_TOKEN"].shape == (1, d)
+    assert "DURATION_TOKEN_8" in table
+
+    monkeypatch.setenv("PAD_HQ", "1")
+    monkeypatch.setenv("PAD_DURATION", "true")
+    keys = special_token_keys_from_env()
+    assert keys == ["HQ_TOKEN", "DURATION_TOKEN"]
+    monkeypatch.setenv("NEG_PROMPT", "1")
+    assert negative_special_token_keys_from_env() == [
+        "CAPTION_TOKEN", "LOGO_TOKEN", "TRANS_TOKEN", "BORDERNESS_TOKEN"]
+
+    cap = rng.standard_normal((1, 6, d)).astype(np.float32)
+    mask = np.ones((1, 6), np.float32)
+    emb, m = pad_special_tokens(cap, mask, keys, table, max_length=7,
+                                chunks_remaining=3)
+    assert emb.shape == (1, 7, d) and m.shape == (1, 7)
+    # duration token (last prepended) sits first; countdown row selected
+    np.testing.assert_allclose(emb[0, 0], table["DURATION_TOKEN_3"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(emb[0, 1], table["HQ_TOKEN"][0], rtol=1e-6)
+    # truncation dropped the caption tail, mask extended for the tokens
+    assert m.sum() == 7
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="chunks_remaining"):
+        pad_special_tokens(cap, mask, ["DURATION_TOKEN"], table)
