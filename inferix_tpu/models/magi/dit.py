@@ -444,9 +444,15 @@ def _magi_layer(
     current_end: jax.Array,
     mesh=None,
     sp_mode: str = "none",
+    static_kv_spans: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, tuple]:
     """One MAGI transformer layer (reference TransformerLayer.forward,
-    dit_module.py:1243-1320). Returns (h_x, new_layer_cache)."""
+    dit_module.py:1243-1320). Returns (h_x, new_layer_cache).
+
+    static_kv_spans: optional host-known per-chunk span widths IN CHUNKS
+    (upper bounds on kv_ranges[i,1]-kv_ranges[i,0]); when given, each
+    chunk's span kernel runs with a span-sized grid instead of stepping
+    over the whole padded cache (flash_attention max_span)."""
     b = h_x.shape[0]
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_query_groups,
                    cfg.kv_channels)
@@ -503,6 +509,8 @@ def _magi_layer(
             for ci in range(n_chunks):
                 qi = q[:, ci * ct:(ci + 1) * ct]
                 span = token_ranges[ci]
+                ms = (int(static_kv_spans[ci]) * ct
+                      if static_kv_spans is not None else None)
                 if use_pallas and spec.quantized:
                     # int8-KV span kernel: column-scaling dequant runs at the
                     # bf16 kernel's rate (157 vs 78 TF/s for the e4m3
@@ -515,6 +523,7 @@ def _magi_layer(
                         qi, k_layer, v_layer, ks_layer, vs_layer,
                         kv_len=jnp.minimum(span[1], current_end),
                         kv_start=span[0],
+                        max_span=ms,
                     ))
                 elif use_pallas:
                     from ...ops.flash_attention import flash_attention_gqa
@@ -523,6 +532,7 @@ def _magi_layer(
                         qi, k_layer, v_layer,
                         kv_len=jnp.minimum(span[1], current_end),
                         kv_start=span[0],
+                        max_span=ms,
                     ))
                 else:
                     if spec.quantized:
@@ -713,6 +723,7 @@ def magi_forward(
     distill_dt_factor: Optional[float] = None,
     caption_dropout: Optional[jax.Array] = None,  # [B] bool
     sync_kv_rows: bool = False,
+    static_kv_spans: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One window forward. All window chunks' KV is written into the cache at
     their logical positions; chunk i attends to token span
@@ -721,7 +732,13 @@ def magi_forward(
 
     sync_kv_rows=True (3-CFG batched cond+text / cond_pre forward): after the
     layer stack, row 1's freshly written span overwrites row 0's — see
-    `sync_cache_rows`."""
+    `sync_cache_rows`.
+
+    static_kv_spans (static when jitted): per-chunk span widths in chunks,
+    host-known upper bounds on kv_ranges[:,1]-kv_ranges[:,0] — activates
+    the span-sized attention grid (see _magi_layer). The walk passes the
+    exact host-side widths; distinct tuples recompile, but the steady-state
+    tuple is constant once every chunk hits the noise2clean prefix cap."""
     cfg, spec, geo = statics.cfg, statics.spec, statics.geo
     b = x_window.shape[0]
     n_chunks = t.shape[1]
@@ -751,7 +768,7 @@ def magi_forward(
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
             current_end=current_end, mesh=statics.mesh,
-            sp_mode=statics.sp_mode,
+            sp_mode=statics.sp_mode, static_kv_spans=static_kv_spans,
         )
         fields = tuple(
             jax.lax.dynamic_update_index_in_dim(f, nf.astype(f.dtype),
@@ -851,6 +868,7 @@ def magi_forward_pp(
     caption_dropout: Optional[jax.Array] = None,
     sync_kv_rows: bool = False,
     distill_dt_factor: Optional[float] = None,
+    static_kv_spans: Optional[Tuple[int, ...]] = None,
     *,
     mesh,
 ) -> Tuple[jax.Array, KVCache]:
@@ -902,7 +920,7 @@ def magi_forward_pp(
             blk, x["h"], x["cond"], x["y"], x["cmask"], (k_row, v_row),
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
-            current_end=current_end,
+            current_end=current_end, static_kv_spans=static_kv_spans,
         )
         new_state = {
             "k": jax.lax.dynamic_update_slice_in_dim(

@@ -63,6 +63,7 @@ def _flash_kernel(
     num_kv_blocks: int,
     num_heads: int,
     fixedm: bool,
+    span_grid: bool = False,
 ):
     """Softmax runs in the exp2 domain: the wrapper pre-multiplies q by
     scale*log2(e), so the kernel computes p = exp2(s - m) — saving the
@@ -70,6 +71,10 @@ def _flash_kernel(
     VPU-bound (the MXU matmuls cover <50% of its runtime), so per-element
     op count is the figure of merit; interior (fully valid) KV blocks skip
     the column masking entirely.
+
+    span_grid=True: the grid's kv dimension covers only max_span tokens
+    (not the whole padded cache) and grid step ki addresses cache block
+    kv_start//kv_block + ki — see flash_attention_prefix(max_span=...).
 
     fixedm=True drops the running-max machinery entirely (p = exp2(s), no
     max reduce / m-subtract / correction multiplies — ~2 of the ~5 VPU
@@ -96,7 +101,10 @@ def _flash_kernel(
             m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    block_start = ki * kv_block
+    if span_grid:
+        block_start = (kv_start // kv_block + ki) * kv_block
+    else:
+        block_start = ki * kv_block
 
     def _update(s):
         if fixedm:
@@ -191,7 +199,7 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret",
-                     "softmax"),
+                     "softmax", "max_span"),
 )
 def flash_attention_prefix(
     q: jax.Array,          # [B, Sq, H, D]
@@ -205,12 +213,23 @@ def flash_attention_prefix(
     return_lse: bool = False,
     interpret: bool = False,
     softmax: str = "fixedm",
+    max_span: Optional[int] = None,
 ):
     """Flash attention where valid KV is the span [kv_start, kv_len).
 
     softmax='fixedm' (default) uses the max-free online softmax — exact while
     |natural logit| <~ 60, which every normalized-QK attention satisfies;
-    pass 'runmax' for the classic running-max variant (unbounded logits)."""
+    pass 'runmax' for the classic running-max variant (unbounded logits).
+
+    max_span (static): a host-known upper bound on (kv_len - kv_start).
+    When set, the grid's kv dimension shrinks to ceil(max_span/kv_block)+1
+    steps that are REMAPPED onto the span's cache blocks, instead of one
+    step per block of the whole padded cache — eliminating the dead
+    grid-sequencer steps a short span pays on a long cache (MAGI early
+    chunks attend 1-2 of ~9 cached chunks; Wan early blocks attend a short
+    prefix of the full-clip cache). CALLER CONTRACT: every batch row's
+    kv_len - kv_start must be <= max_span, otherwise the tail of the span
+    is silently dropped."""
     if softmax not in ("fixedm", "runmax"):
         raise ValueError(f"softmax must be 'fixedm' or 'runmax', got {softmax}")
     fixedm = softmax == "fixedm"
@@ -238,6 +257,14 @@ def flash_attention_prefix(
     sq_p, skv_p = qb.shape[1], kb.shape[1]
     n_q = sq_p // q_block
     n_kv = skv_p // kv_block
+    if max_span is not None:
+        # +1 step covers kv_start landing mid-block
+        span_steps = -(-max_span // kv_block) + 1
+        if span_steps < n_kv:
+            n_kv = span_steps
+        else:
+            max_span = None
+    span_grid = max_span is not None
 
     start_v = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32).reshape(-1), (b,))
     len_v = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,))
@@ -256,7 +283,8 @@ def flash_attention_prefix(
         last_valid = jnp.maximum(
             (bounds_ref[bb, 1] + kv_block - 1) // kv_block - 1, first_valid
         )
-        return (bhi, jnp.clip(ki, first_valid, last_valid), 0)
+        base = first_valid if span_grid else 0
+        return (bhi, jnp.clip(base + ki, first_valid, last_valid), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -278,7 +306,7 @@ def flash_attention_prefix(
 
     kernel = functools.partial(
         _flash_kernel, kv_block=kv_block, num_kv_blocks=n_kv, num_heads=h,
-        fixedm=fixedm,
+        fixedm=fixedm, span_grid=span_grid,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -295,9 +323,11 @@ def flash_attention_prefix(
             jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_p * skv_p * d,
-            bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
-            transcendentals=b * h * sq_p * skv_p,
+            flops=4 * b * h * sq_p * (n_kv * kv_block) * d,
+            bytes_accessed=(qb.size * 2
+                            + (kb.size + vb.size) * n_kv * kv_block // skv_p)
+            * qb.dtype.itemsize,
+            transcendentals=b * h * sq_p * (n_kv * kv_block),
         ),
     )(bounds, qb, kb, vb)
 
@@ -343,6 +373,7 @@ def _flash_kernel_quant(
     num_kv_blocks: int,
     num_heads: int,
     fixedm: bool,
+    span_grid: bool = False,
 ):
     if fixedm:
         (l_ref,) = scratch
@@ -361,7 +392,10 @@ def _flash_kernel_quant(
             m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    block_start = ki * kv_block
+    if span_grid:
+        block_start = (kv_start // kv_block + ki) * kv_block
+    else:
+        block_start = ki * kv_block
 
     def _update(s):
         if fixedm:
@@ -435,7 +469,7 @@ def _flash_kernel_quant(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret",
-                     "softmax"),
+                     "softmax", "max_span"),
 )
 def flash_attention_prefix_quant(
     q: jax.Array,          # [B, Sq, H, D] bf16/f32
@@ -451,6 +485,7 @@ def flash_attention_prefix_quant(
     return_lse: bool = False,
     interpret: bool = False,
     softmax: str = "fixedm",
+    max_span: Optional[int] = None,
 ):
     """int8-KV flash attention over the span [kv_start, kv_len), bf16 PV
     with in-kernel dequant.
@@ -458,7 +493,10 @@ def flash_attention_prefix_quant(
     softmax='fixedm' (default) is the max-free online softmax — exact for
     normalized-QK logits (see flash_attention_prefix); 'runmax' is classic.
     (The v2 int8-PV kernel cannot use fixedm: its int8 p-quantization needs
-    max-normalized probabilities.)"""
+    max-normalized probabilities.)
+
+    max_span (static): span-sized kv grid — see flash_attention_prefix.
+    Caller contract: kv_len - kv_start <= max_span for every batch row."""
     if softmax not in ("fixedm", "runmax"):
         raise ValueError(f"softmax must be 'fixedm' or 'runmax', got {softmax}")
     fixedm = softmax == "fixedm"
@@ -487,6 +525,14 @@ def flash_attention_prefix_quant(
     vsb = _pad_to(bh_scale(v_scale.astype(jnp.float32)), 2, kv_block)
     sq_p, skv_p = qb.shape[1], kb.shape[1]
     n_q, n_kv = sq_p // q_block, skv_p // kv_block
+    if max_span is not None:
+        # +1 step covers kv_start landing mid-block
+        span_steps = -(-max_span // kv_block) + 1
+        if span_steps < n_kv:
+            n_kv = span_steps
+        else:
+            max_span = None
+    span_grid = max_span is not None
 
     # per-batch valid spans (continuous batching: each stream has its own
     # live prefix — a scalar kv_len would attend every stream over stream 0's
@@ -505,7 +551,8 @@ def flash_attention_prefix_quant(
         last_valid = jnp.maximum(
             (bounds_ref[bb, 1] + kv_block - 1) // kv_block - 1, first_valid
         )
-        return jnp.clip(ki, first_valid, last_valid)
+        base = first_valid if span_grid else 0
+        return jnp.clip(base + ki, first_valid, last_valid)
 
     def kv_map(bhi, qi, ki, bounds_ref):
         return (bhi, _clamp(ki, bounds_ref, bhi // h), 0)
@@ -535,7 +582,7 @@ def flash_attention_prefix_quant(
 
     kernel = functools.partial(
         _flash_kernel_quant, kv_block=kv_block, num_kv_blocks=n_kv,
-        num_heads=h, fixedm=fixedm,
+        num_heads=h, fixedm=fixedm, span_grid=span_grid,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -552,9 +599,10 @@ def flash_attention_prefix_quant(
             jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_p * skv_p * d,
-            bytes_accessed=qb.size * 2 + kb.size + vb.size,
-            transcendentals=b * h * sq_p * skv_p,
+            flops=4 * b * h * sq_p * (n_kv * kv_block) * d,
+            bytes_accessed=(qb.size * 2
+                            + (kb.size + vb.size) * n_kv * kv_block // skv_p),
+            transcendentals=b * h * sq_p * (n_kv * kv_block),
         ),
     )(bounds, qb, kb, vb, ksb, vsb)
 

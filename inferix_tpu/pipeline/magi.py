@@ -69,6 +69,14 @@ class MagiRuntimeConfig:
     # the bf16 kernel's attention rate (the fp8 e4m3 cache runs at half
     # rate on v5e — BASELINE.md). The 4.5B serving config on one chip.
     quantize_kv: bool = False
+    # span-sized attention grids: pass the walk's host-known per-chunk
+    # kv-span widths as static args so each chunk's Pallas kernel steps
+    # only over its span instead of the whole padded cache (early chunks
+    # attend 1-2 of ~9 cached chunks — the dead grid steps are the
+    # exp/r5_span_grid.py suspect). Distinct span tuples recompile; the
+    # steady-state tuple is constant, so a walk costs ~3-5 extra compiles
+    # (persistently cached). Disable to pin one compile per window shape.
+    span_grid: bool = True
 
 
 class MagiPipeline:
@@ -167,7 +175,7 @@ class MagiPipeline:
             functools.partial(fwd_impl, statics=self.statics,
                               rope_tables=self.rope_tables,
                               sync_kv_rows=runtime.cfg_number >= 2),
-            static_argnames=(),
+            static_argnames=("static_kv_spans",),
             donate_argnames=("cache",),
         )
 
@@ -477,6 +485,14 @@ class MagiPipeline:
         else:
             caps, masks = cond_caps, cond_masks
             dropout = jnp.asarray([False])
+        # host-known per-chunk span widths -> span-sized kernel grids.
+        # Local Pallas path only: the CSO/ulysses islands do their own
+        # sharded dispatch, and off-TPU the XLA fallback ignores spans —
+        # passing them would only buy recompiles per distinct tuple.
+        kv_ranges = np.asarray(kv_ranges, np.int32)
+        spans = (tuple(int(e - s) for s, e in kv_ranges)
+                 if (rt.span_grid and self.statics.sp_mode == "none"
+                     and jax.default_backend() == "tpu") else None)
         velocity, cache = self._fwd(
             self.params,
             x_window=x_window,
@@ -488,6 +504,7 @@ class MagiPipeline:
             kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
             caption_dropout=dropout,
             distill_dt_factor=ddt,
+            static_kv_spans=spans,
         )
         if nearly_clean:
             # mix the nearly-clean chunk's with-prefix and prefix-free

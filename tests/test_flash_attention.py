@@ -304,3 +304,90 @@ def test_flash_gqa_quant_span():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+def test_flash_span_grid_bf16():
+    """max_span span-sized grid vs the full-cache grid (exact same math,
+    fewer grid steps): misaligned kv_start, span < / = / > one block,
+    per-batch bounds, and the >=cache fallback."""
+    rng = np.random.default_rng(11)
+    b, sq, skv, h, d = 2, 16, 1024, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    cases = [
+        # (starts [B], ends [B], max_span)
+        ([130, 200], [400, 450], 270),      # misaligned, multi-block
+        ([0, 64], [100, 164], 128),         # sub-block spans
+        ([300, 300], [428, 428], 128),      # exactly one block, misaligned
+        ([0, 0], [1024, 900], 1024),        # fallback: max_span >= cache
+        ([512, 700], [900, 830], 512),      # slack: spans well under bound
+    ]
+    for starts, ends, max_span in cases:
+        idx = jnp.arange(skv)
+        s_v = jnp.asarray(starts, jnp.int32)
+        e_v = jnp.asarray(ends, jnp.int32)
+        mask = (idx[None] >= s_v[:, None]) & (idx[None] < e_v[:, None])
+        want, _ = attention_reference(q, k, v, mask)
+        for sm in ("fixedm", "runmax"):
+            got = flash_attention_prefix(
+                q, k, v, e_v, kv_start=s_v, interpret=True,
+                q_block=16, kv_block=128, softmax=sm, max_span=max_span,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3,
+                err_msg=f"{starts}:{ends}:span{max_span}:{sm}")
+
+
+def test_flash_span_grid_quant():
+    """max_span over the int8-KV span kernel vs dequantized oracle."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant
+
+    rng = np.random.default_rng(12)
+    b, sq, skv, h, d = 2, 16, 768, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    idx = jnp.arange(skv)
+    for starts, ends, max_span in [([130, 250], [400, 500], 270),
+                                   ([600, 0], [768, 120], 200)]:
+        s_v = jnp.asarray(starts, jnp.int32)
+        e_v = jnp.asarray(ends, jnp.int32)
+        mask = (idx[None] >= s_v[:, None]) & (idx[None] < e_v[:, None])
+        want, _ = attention_reference(q, k_deq, v_deq, mask)
+        got = flash_attention_prefix_quant(
+            q, k_q, v_q, k_s, v_s, e_v, kv_start=s_v, interpret=True,
+            q_block=16, kv_block=128, max_span=max_span,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3,
+            err_msg=f"{starts}:{ends}:span{max_span}")
+
+
+def test_flash_span_grid_gqa():
+    """max_span flows through the GQA fold (the MAGI serving call shape)."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_gqa_quant
+
+    rng = np.random.default_rng(13)
+    b, sq, skv, hq, hkv, d = 1, 16, 640, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    rep = hq // hkv
+    k_deq = jnp.repeat(k_q.astype(jnp.float32) * k_s[..., None], rep, axis=2)
+    v_deq = jnp.repeat(v_q.astype(jnp.float32) * v_s[..., None], rep, axis=2)
+    idx = jnp.arange(skv)
+    want, _ = attention_reference(q, k_deq, v_deq, (idx >= 140) & (idx < 380))
+    got = flash_attention_gqa_quant(
+        q, k_q, v_q, k_s, v_s, jnp.int32(380), jnp.int32(140),
+        interpret=True, q_block=16, kv_block=128, max_span=256,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)

@@ -408,3 +408,40 @@ def test_magi_special_token_padding(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="chunks_remaining"):
         pad_special_tokens(cap, mask, ["DURATION_TOKEN"], table)
+
+def test_magi_forward_static_kv_spans_threads():
+    """static_kv_spans (the span-sized-grid hint, TPU Pallas path) must
+    thread through the jitted forward + layer scan without changing the
+    XLA-path output — on CPU the hint is accepted and ignored, so outputs
+    are bit-identical. Covers the walk's static-arg plumbing so a real-TPU
+    run only changes the kernel grid, not the math."""
+    import functools
+
+    from inferix_tpu.kvcache.cache import init_kv_cache
+    from inferix_tpu.models.magi.dit import magi_forward, make_magi_statics
+
+    mcfg = tiny_magi_config()
+    params = init_magi_params(jax.random.key(0), mcfg, jnp.float32)
+    statics = make_magi_statics(mcfg, 1, 8, 8, 4, jnp.float32)
+    n_chunks = 2
+    cw = mcfg.chunk_width
+    x = jax.random.normal(jax.random.key(1),
+                          (1, n_chunks * cw, 8, 8, mcfg.in_channels))
+    t = jnp.full((1, n_chunks), 0.5)
+    caps = jnp.zeros((1, n_chunks, mcfg.caption_max_length,
+                      mcfg.caption_channels))
+    masks = jnp.ones((1, n_chunks, mcfg.caption_max_length))
+    kv_ranges = jnp.asarray([[0, 1], [0, 2]], jnp.int32)
+
+    fwd = jax.jit(functools.partial(magi_forward, statics=statics,
+                                    rope_tables=None),
+                  static_argnames=("static_kv_spans",))
+    outs = {}
+    for spans in (None, (1, 2)):
+        cache = init_kv_cache(statics.spec)
+        v, _ = fwd(params, x_window=x, t=t, captions=caps,
+                   caption_mask=masks, cache=cache,
+                   slice_point=jnp.int32(0), kv_ranges=kv_ranges,
+                   static_kv_spans=spans)
+        outs[spans] = np.asarray(v)
+    np.testing.assert_array_equal(outs[None], outs[(1, 2)])
