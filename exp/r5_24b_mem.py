@@ -131,13 +131,34 @@ def aot():
                                     jnp.bfloat16, quantize_kv=True)
         geo = statics.geo
         n_chunks = 4
-        # abstract params in the int8 layout (shapes only — init tiny then
-        # abstractify is too slow at 24B scale; construct ShapeDtypeStructs
-        # via a tiny init + shape math is complex, so init for real on host)
-        params = init_magi_params(jax.random.key(0), cfg, jnp.bfloat16)
-        params = magi_distill_quant_to_int8(params)
-        cache = init_kv_cache(statics.spec)
+        # abstract params in the int8 serving layout: eval_shape avoids
+        # materializing a single byte of the 24B parameter set; block
+        # linears are rewritten to the {w_q int8, scale[out]} layout
+        # magi_linear's int8 branch consumes
+        params = jax.eval_shape(
+            lambda k: init_magi_params(k, cfg, jnp.bfloat16),
+            jax.random.key(0))
+        linears = ("q", "qx", "k", "v", "kv_xattn", "proj", "fc1", "fc2")
+
+        def int8ify(tree, path=""):
+            if isinstance(tree, dict):
+                if ("w" in tree and getattr(tree["w"], "ndim", 0) >= 2
+                        and "blocks" in path
+                        and path.rsplit("/", 1)[-1] in linears):
+                    w = tree["w"]
+                    return {
+                        "w_q": jax.ShapeDtypeStruct(w.shape, jnp.int8),
+                        "scale": jax.ShapeDtypeStruct(
+                            w.shape[:-2] + w.shape[-1:], jnp.float32),
+                    }
+                return {k: int8ify(v, f"{path}/{k}")
+                        for k, v in tree.items()}
+            return tree
+
+        params = int8ify(params)
+        cache = jax.eval_shape(lambda: init_kv_cache(statics.spec))
         args = dict(
+            params=params,
             x_window=jnp.zeros((2, n_chunks * 6, lat_h, lat_w, 16),
                                jnp.bfloat16),
             t=jnp.zeros((2, n_chunks), jnp.float32),

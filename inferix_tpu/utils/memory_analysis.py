@@ -19,10 +19,19 @@ import jax.numpy as jnp
 
 
 def abstractify(tree: Any) -> Any:
-    """Map a pytree of (host) arrays / scalars to ShapeDtypeStructs."""
-    return jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.asarray(a).shape,
-                                       jnp.asarray(a).dtype), tree)
+    """Map a pytree of (host) arrays / scalars to ShapeDtypeStructs.
+
+    Leaves that are already ShapeDtypeStructs (e.g. from jax.eval_shape)
+    pass through untouched, so fully-abstract pytrees can be mixed with
+    concrete ones.
+    """
+    def leaf(a):
+        if isinstance(a, jax.ShapeDtypeStruct):
+            return a
+        a = jnp.asarray(a)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    return jax.tree.map(leaf, tree)
 
 
 def analyze_program(jitted, *args, abstract: bool = True,
