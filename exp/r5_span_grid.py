@@ -43,6 +43,34 @@ def bench(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def wan_case():
+    """Wan 1.3B early-block geometry: q = one 3-frame block (4680 tokens),
+    cache = full 21-frame clip (32760), live prefix = 1 block. The
+    dead-step cost here is what RuntimeConfig.span_grid buys back at TTFB
+    and over the first half of the clip."""
+    b, h, d = 1, 12, 128
+    bt, smax = 4680, 32760
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (b, bt, h, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1),
+                          (b, smax, h, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2),
+                          (b, smax, h, d), jnp.bfloat16)
+    f = jax.jit(lambda q, k, v, n: flash_attention_gqa(
+        q, k, v, kv_len=n, kv_start=0))
+    f_span = jax.jit(lambda q, k, v, n: flash_attention_gqa(
+        q, k, v, kv_len=n, kv_start=0, max_span=bt))
+    t_full = bench(f, q, k, v, jnp.int32(smax))
+    t_tiny = bench(f, q, k, v, jnp.int32(bt))
+    t_trim = bench(f, q, k[:, :bt], v[:, :bt], jnp.int32(bt))
+    t_span = bench(f_span, q, k, v, jnp.int32(bt))
+    print({"case": "wan_1.3b_block0", "full_ms": round(t_full, 3),
+           "tiny_full_cache_ms": round(t_tiny, 3),
+           "tiny_trimmed_ms": round(t_trim, 3),
+           "tiny_max_span_ms": round(t_span, 3),
+           "dead_grid_overhead_ms": round(t_tiny - t_trim, 3)}, flush=True)
+
+
 def main():
     # 4.5B window geometry: ct=12150, window 3 denoising chunks, cache 9 chunks
     ct = 12160  # rounded to 128
@@ -81,3 +109,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    wan_case()

@@ -148,6 +148,13 @@ class RuntimeConfig:
     latent_height: int = 60
     latent_width: int = 104
     batch_size: int = 1
+    # Span-sized attention grids (TPU): pass a power-of-two-bucketed host
+    # bound on the live cache prefix per block so early blocks' Pallas
+    # kernels stop stepping over the whole padded cache (dead-grid-step
+    # suspect, exp/r5_span_grid.py). Costs one extra compile per bucket
+    # (~log2(num_blocks), persistently cached). Default OFF until the
+    # dead-step cost is confirmed on hardware; flip after measuring.
+    span_grid: bool = False
 
 
 @dataclasses.dataclass

@@ -358,6 +358,8 @@ def block_forward(
     kv_mask: jax.Array,        # [Smax] bool — valid cache slots after write
     mesh=None,                 # sp>1: shard_map distributed attention
     sp_mode: str = "none",
+    max_span: Optional[int] = None,  # static bound on the live prefix — see
+                                     # flash_attention_prefix(max_span)
 ) -> Tuple[jax.Array, tuple]:
     b, s, c = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -396,7 +398,8 @@ def block_forward(
                 "sp attention modes require a bf16 KV cache "
                 "(set quantize_kv_cache=False with sp>1)")
         attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
-                               k_scale=ks_c, v_scale=vs_c)
+                               k_scale=ks_c, v_scale=vs_c,
+                               max_span=max_span)
         new_cache = (k_c, v_c, ks_c, vs_c)
     else:
         k_c, v_c = write_block(
@@ -407,7 +410,8 @@ def block_forward(
 
             attn = sp_cache_attention(mesh, sp_mode, q, k_c, v_c, kv_mask)
         else:
-            attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask)
+            attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
+                                   max_span=max_span)
         new_cache = (k_c, v_c)
     y = linear(sa["o"], attn.reshape(b, s, c))
     x = x + _gate(y, gate_msa, frames)
@@ -492,6 +496,10 @@ def dit_forward_inference(
                                 # context re-run must persist)
     need_output: bool = True,   # False: skip the output head/unpatchify
                                 # (context re-runs only feed the KV cache)
+    max_span: Optional[int] = None,  # static bound on the live cache prefix
+                                # (tokens) — span-sized Pallas grids; the
+                                # pipeline passes a bucketed host bound per
+                                # block (RuntimeConfig.span_grid)
 ) -> Tuple[jax.Array, KVCache]:
     """One forward pass of the causal DiT over a block, updating the KV cache.
 
@@ -554,7 +562,7 @@ def dit_forward_inference(
         h, new_layer_cache = block_forward(
             block, cfg, spec, h, e0, angles, layer_cache, xk, xv, img,
             current_start, kv_mask, mesh=statics.mesh,
-            sp_mode=statics.sp_mode,
+            sp_mode=statics.sp_mode, max_span=max_span,
         )
         if not persist_kv:
             return h, None

@@ -146,12 +146,15 @@ def cache_attention(
     use_pallas: Optional[bool] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    max_span: Optional[int] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas flash kernel on TPU, chunked XLA elsewhere.
 
     The models call this for both self-attention over the KV cache and
     cross-attention over text keys. Pass k_scale/v_scale ([B, Skv, H] f32)
-    when k/v are an int8-quantized KV cache.
+    when k/v are an int8-quantized KV cache. max_span (static): host-known
+    upper bound on the mask's prefix length — activates the span-sized
+    Pallas grid (flash_attention_prefix max_span); ignored off-TPU.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -174,7 +177,8 @@ def cache_attention(
             else:
                 kv_len = jnp.sum(kv_mask.astype(jnp.int32))
             return flash_attention_prefix_quant(
-                q, k, v, k_scale, v_scale, kv_len, scale=scale
+                q, k, v, k_scale, v_scale, kv_len, scale=scale,
+                max_span=max_span,
             )
         # XLA fallback: dequantize then attend
         k = k.astype(jnp.float32) * k_scale[..., None].astype(jnp.float32)
@@ -198,7 +202,8 @@ def cache_attention(
     if use_pallas and (k.shape[1] > 1024 or logits_bytes > 256 * 2**20):
         from .flash_attention import flash_attention as pallas_flash
 
-        return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale)
+        return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale,
+                            max_span=max_span)
     if use_pallas:
         out, _ = attention_reference(q, k, v, kv_mask=kv_mask, scale=scale)
         return out

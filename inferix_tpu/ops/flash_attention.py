@@ -343,10 +343,13 @@ def flash_attention(
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    max_span: Optional[int] = None,
 ) -> jax.Array:
     """Mask-based wrapper matching the `cache_attention` contract. The mask
     must be a prefix mask (all our masks are — cache validity and full text
-    context); its population count is the prefix length."""
+    context); its population count is the prefix length. max_span: static
+    upper bound on that length (span-sized grid, see
+    flash_attention_prefix)."""
     skv = k.shape[1]
     if kv_mask is None:
         kv_len = jnp.int32(skv)
@@ -354,7 +357,8 @@ def flash_attention(
         kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)  # [B] per-stream
     else:
         kv_len = jnp.sum(kv_mask.astype(jnp.int32))
-    return flash_attention_prefix(q, k, v, kv_len, scale=scale)
+    return flash_attention_prefix(q, k, v, kv_len, scale=scale,
+                                  max_span=max_span)
 
 
 # ---------------------------------------------------------------------------

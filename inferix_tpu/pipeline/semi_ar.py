@@ -26,6 +26,7 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import EngineConfig
 from ..kvcache.cache import CrossAttnCache, KVCache, init_kv_cache
@@ -156,6 +157,12 @@ class SemiARGenerator:
             raise ValueError(
                 f"context_mode must be 'rerun' or 'last_step', got "
                 f"{self.context_mode!r}")
+        # span-sized attention grids: only meaningful on the real TPU
+        # backend (the XLA fallback ignores the bound but would recompile
+        # per bucket) and only for the local attention path
+        self.span_grid = (bool(getattr(r, "span_grid", False))
+                          and sp_mode == "none"
+                          and jax.default_backend() == "tpu")
         if self.context_mode == "last_step":
             # 4 forwards/block instead of 5: the final denoise step persists
             # its KV and there is no context re-run (see RuntimeConfig).
@@ -163,15 +170,18 @@ class SemiARGenerator:
                 functools.partial(_denoise_steps_impl, statics=self.statics,
                                   steps=self.denoising_steps,
                                   persist_last_kv=True),
+                static_argnames=("max_span",),
                 donate_argnames=("cache",),
             )
         self._steps_only = jax.jit(
             functools.partial(_denoise_steps_impl, statics=self.statics,
                               steps=self.denoising_steps),
+            static_argnames=("max_span",),
         )
         self._context_step = jax.jit(
             functools.partial(_context_cache_impl, statics=self.statics,
                               context_noise=self.context_noise),
+            static_argnames=("max_span",),
             donate_argnames=("cache",),
         )
         self._xattn = jax.jit(
@@ -196,19 +206,38 @@ class SemiARGenerator:
         current_start_frame: int | jax.Array,
     ) -> Tuple[jax.Array, KVCache]:
         start = jnp.asarray(current_start_frame, jnp.int32) * self.frame_seq
+        span = self._span_bound(current_start_frame, noisy.shape[1])
         if self.context_mode == "last_step":
             return self._steps_persist(
                 self.params, self.rope_tables, self.schedule, cache, xattn,
-                noisy, rng, start,
+                noisy, rng, start, max_span=span,
             )
         x0 = self._steps_only(
             self.params, self.rope_tables, self.schedule, cache, xattn,
-            noisy, rng, start,
+            noisy, rng, start, max_span=span,
         )
         cache = self._context_step(
             self.params, self.rope_tables, cache, xattn, x0, start,
+            max_span=span,
         )
         return x0, cache
+
+    def _span_bound(self, current_start_frame, frames: int) -> int | None:
+        """Power-of-two-bucketed static bound (tokens) on the live cache
+        prefix after this block's write, or None when span grids are off /
+        the start is traced (continuous batching passes per-stream [B]
+        starts). Buckets in block counts so a 21-frame clip costs
+        ~log2(7)=3 extra compiles, not 7."""
+        if not self.span_grid or not isinstance(
+                current_start_frame, (int, np.integer)):
+            return None
+        bt = frames * self.frame_seq                  # tokens this block
+        end = current_start_frame * self.frame_seq + bt
+        nblk = -(-end // bt)
+        p2 = 1
+        while p2 < nblk:
+            p2 *= 2
+        return min(p2 * bt, self.statics.spec.max_tokens)
 
     def cache_context_block(
         self,
@@ -223,6 +252,7 @@ class SemiARGenerator:
         start = jnp.asarray(current_start_frame, jnp.int32) * self.frame_seq
         return self._context_step(
             self.params, self.rope_tables, cache, xattn, clean, start,
+            max_span=self._span_bound(current_start_frame, clean.shape[1]),
         )
 
     def generate(
@@ -297,6 +327,7 @@ def _denoise_steps_impl(
     statics: DiTStatics,
     steps: Sequence[float],
     persist_last_kv: bool = False,
+    max_span: Optional[int] = None,
 ):
     """The few-step denoise loop ONLY (no context re-run): returns x0 and
     leaves the cache untouched (denoise steps run persist_kv=False — each
@@ -343,7 +374,7 @@ def _denoise_steps_impl(
         # write-back into the cache is pure wasted HBM traffic
         flow, _ = dit_forward_inference(
             params, statics, rope_tables, noisy_c, t, xattn, cache,
-            current_start, persist_kv=False,
+            current_start, persist_kv=False, max_span=max_span,
         )
         x0 = schedule.flow_to_x0(flow, noisy_c, t)
         if per_slot:
@@ -377,7 +408,7 @@ def _denoise_steps_impl(
     t = jnp.full((b, f), float(steps[-1]), jnp.float32)
     flow, cache = dit_forward_inference(
         params, statics, rope_tables, noisy_c, t, xattn, cache,
-        current_start, persist_kv=True,
+        current_start, persist_kv=True, max_span=max_span,
     )
     x0 = schedule.flow_to_x0(flow, noisy_c, t)
     return x0, cache
@@ -425,11 +456,12 @@ def _context_cache_impl(
     *,
     statics: DiTStatics,
     context_noise: float,
+    max_span: Optional[int] = None,
 ) -> KVCache:
     b, f = clean.shape[0], clean.shape[1]
     t = jnp.full((b, f), context_noise, jnp.float32)
     _, cache = dit_forward_inference(
         params, statics, rope_tables, clean, t, xattn, cache, current_start,
-        need_output=False,
+        need_output=False, max_span=max_span,
     )
     return cache

@@ -340,3 +340,44 @@ def test_last_step_mode_rejects_bad_value():
         SemiARGenerator(cfg, init_params(jax.random.key(0), cfg.model,
                                          dtype=jnp.float32),
                         dtype=jnp.float32)
+
+def test_span_grid_bound_and_threading(gen):
+    """RuntimeConfig.span_grid: the bucketed host bound must be a correct
+    upper bound on the live prefix (pow2 block buckets, capped at the
+    cache size), return None for traced starts (continuous batching), and
+    thread through the jitted dispatches without changing the XLA-path
+    output (on CPU the hint is accepted and ignored)."""
+    bt = gen.statics.geo.tokens
+    fpb = gen.statics.geo.frames
+    mt = gen.statics.spec.max_tokens
+    gen.span_grid = True
+    try:
+        # block 0 -> 1 block; block 2 -> 4-block bucket; always >= live end
+        for blk in range(mt // bt):
+            start_frame = blk * fpb
+            bound = gen._span_bound(start_frame, fpb)
+            end = start_frame * gen.frame_seq + bt
+            assert bound is not None and bound >= min(end, mt), (blk, bound)
+            assert bound <= mt
+            nblk = -(-end // bt)
+            p2 = 1 << (nblk - 1).bit_length()
+            assert bound == min(p2 * bt, mt), (blk, bound)
+        # traced / per-stream starts opt out
+        assert gen._span_bound(jnp.int32(0), fpb) is None
+        assert gen._span_bound(np.int64(0), fpb) is not None
+    finally:
+        gen.span_grid = False
+
+    # threading: same x0 with and without a max_span static
+    noise = _noise(gen, frames=fpb)
+    xattn = gen.encode_text_context(
+        jnp.zeros((1, gen.cfg.model.text_len, gen.cfg.model.text_dim)))
+    cache = gen.init_cache()
+    start = jnp.int32(0)
+    a = gen._steps_only(gen.params, gen.rope_tables, gen.schedule, cache,
+                        xattn, noise, jax.random.key(3), start,
+                        max_span=None)
+    b = gen._steps_only(gen.params, gen.rope_tables, gen.schedule, cache,
+                        xattn, noise, jax.random.key(3), start,
+                        max_span=bt)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
