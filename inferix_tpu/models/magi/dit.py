@@ -425,6 +425,26 @@ def _postprocess_velocity(cfg: MagiModelConfig, geo: MagiGeometry,
     return velocity
 
 
+def _xattn_attend(cq: jax.Array, yk: jax.Array, yv: jax.Array,
+                  cmask: jax.Array, rep: int, use_gqa: bool,
+                  interpret: bool = False) -> jax.Array:
+    """Caption cross-attention. use_gqa=True (TPU): the GQA fold reads the
+    caption K/V once per kv group instead of materializing a jnp.repeat
+    copy per query head (~2 x rep x cap_len x kv_dim bf16 of HBM traffic
+    per layer saved). The caption masks are prefix masks (valid tokens,
+    then padding — incl. the 50-token null mask and special-token
+    prepends), so the popcount IS the span length."""
+    if use_gqa and rep > 1:
+        from ...ops.flash_attention import flash_attention_gqa
+
+        kv_len = jnp.sum(cmask.astype(jnp.int32), axis=1)   # [B*nc]
+        return flash_attention_gqa(cq, yk, yv, kv_len=kv_len,
+                                   interpret=interpret)
+    ck = jnp.repeat(yk, rep, axis=2)
+    cv = jnp.repeat(yv, rep, axis=2)
+    return cache_attention(cq, ck, cv, kv_mask=cmask)
+
+
 def _magi_layer(
     blk: Params,
     h_x: jax.Array,            # [B, n_chunks*ct, hidden]
@@ -476,8 +496,15 @@ def _magi_layer(
         # chunk attending only to its own live KV — no cache read or write
         # (reference generate_kv_range_for_uncondition, dit_model.py:91-100)
         new_cache = None
-        core = cache_attention(q, jnp.repeat(k, rep, axis=2),
-                               jnp.repeat(v, rep, axis=2))
+        if rep > 1 and jax.default_backend() == "tpu":
+            # GQA fold: no repeated-KV copy (see _xattn_attend)
+            from ...ops.flash_attention import flash_attention_gqa
+
+            core = flash_attention_gqa(q, k, v,
+                                       kv_len=jnp.int32(k.shape[1]))
+        else:
+            core = cache_attention(q, jnp.repeat(k, rep, axis=2),
+                                   jnp.repeat(v, rep, axis=2))
     else:
         new_cache = write_block(spec, layer_cache[0], layer_cache[1], k, v,
                                 current_start,
@@ -562,10 +589,11 @@ def _magi_layer(
     yk = _ln(blk["kx_ln"], yk.astype(jnp.float32), eps).astype(h_x.dtype)
     yv = yv.astype(h_x.dtype)
     cq = qx.reshape(b, n_chunks, ct, nh, hd).reshape(b * n_chunks, ct, nh, hd)
-    ck = jnp.repeat(yk.reshape(b * n_chunks, cap_len, nkv, hd), rep, axis=2)
-    cv = jnp.repeat(yv.reshape(b * n_chunks, cap_len, nkv, hd), rep, axis=2)
     cmask = caption_mask.reshape(b * n_chunks, cap_len) > 0
-    xa = cache_attention(cq, ck, cv, kv_mask=cmask)
+    xa = _xattn_attend(cq, yk.reshape(b * n_chunks, cap_len, nkv, hd),
+                       yv.reshape(b * n_chunks, cap_len, nkv, hd),
+                       cmask, rep,
+                       use_gqa=jax.default_backend() == "tpu")
     xatt = xa.reshape(b, n_chunks * ct, nh, hd)
 
     # --- joint projection with (n=2, hn=nkv) group interleave

@@ -445,3 +445,23 @@ def test_magi_forward_static_kv_spans_threads():
                    static_kv_spans=spans)
         outs[spans] = np.asarray(v)
     np.testing.assert_array_equal(outs[None], outs[(1, 2)])
+
+def test_magi_xattn_gqa_matches_repeat_path():
+    """The TPU GQA caption cross-attention (no repeated-KV copy) must equal
+    the repeat+mask XLA path for per-row prefix masks (incl. the 50-token
+    null mask shape)."""
+    from inferix_tpu.models.magi.dit import _xattn_attend
+
+    rng = np.random.default_rng(21)
+    bnc, ct, cap, nh, nkv, hd = 4, 32, 96, 4, 2, 128
+    rep = nh // nkv
+    cq = jnp.asarray(rng.standard_normal((bnc, ct, nh, hd)), jnp.float32)
+    yk = jnp.asarray(rng.standard_normal((bnc, cap, nkv, hd)), jnp.float32)
+    yv = jnp.asarray(rng.standard_normal((bnc, cap, nkv, hd)), jnp.float32)
+    lens = jnp.asarray([96, 50, 1, 77])
+    cmask = jnp.arange(cap)[None] < lens[:, None]
+    want = _xattn_attend(cq, yk, yv, cmask, rep, use_gqa=False)
+    got = _xattn_attend(cq, yk, yv, cmask, rep, use_gqa=True,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
