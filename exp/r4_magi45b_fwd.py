@@ -146,7 +146,10 @@ params = jax.device_put(params, jax.devices()[0])  # one host->chip transfer
 
 rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        cfg_number=1, noise2clean_kvrange=(5, 4, 3, 2),
-                       clean_chunk_kvrange=1)
+                       clean_chunk_kvrange=1,
+                       # MAGI_SPAN=0 pins the full-cache grid (A/B for the
+                       # span-sized-grid fix, exp/r5_span_grid.py)
+                       span_grid=os.environ.get("MAGI_SPAN", "1") == "1")
 W_CHUNKS = rt.window_size
 # Quantized window cache (bf16 KV at 6.32 G doesn't fit next to the
 # weights). MAGI_KV=int8 (default): int8 + per-(token,head) scales — the
@@ -242,6 +245,7 @@ pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
 line = json.dumps({
     "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
     "weights": WEIGHTS, "kv_cache": KV, "layers": cfg.num_layers,
+    "span_grid": rt.span_grid,
     "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),
     "pixel_frames_per_s": round(pixel_frames_per_chunk / chunk_s, 3),
     "finite": bool(np.isfinite(np.asarray(
