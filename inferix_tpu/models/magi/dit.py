@@ -764,9 +764,9 @@ def magi_forward(
 
     static_kv_spans (static when jitted): per-chunk span widths in chunks,
     host-known upper bounds on kv_ranges[:,1]-kv_ranges[:,0] — activates
-    the span-sized attention grid (see _magi_layer). The walk passes the
-    exact host-side widths; distinct tuples recompile, but the steady-state
-    tuple is constant once every chunk hits the noise2clean prefix cap."""
+    the span-sized attention grid (see _magi_layer). Distinct tuples
+    recompile; the walk keeps the set bounded (exact widths under
+    noise2clean caps ~2x window variants, pow2 buckets otherwise)."""
     cfg, spec, geo = statics.cfg, statics.spec, statics.geo
     b = x_window.shape[0]
     n_chunks = t.shape[1]

@@ -73,9 +73,11 @@ class MagiRuntimeConfig:
     # kv-span widths as static args so each chunk's Pallas kernel steps
     # only over its span instead of the whole padded cache (early chunks
     # attend 1-2 of ~9 cached chunks — the dead grid steps are the
-    # exp/r5_span_grid.py suspect). Distinct span tuples recompile; the
-    # steady-state tuple is constant, so a walk costs ~3-5 extra compiles
-    # (persistently cached). Disable to pin one compile per window shape.
+    # exp/r5_span_grid.py suspect). Distinct span tuples recompile: with
+    # noise2clean kvrange caps the set is bounded (~2x window cycling
+    # variants, exact widths); without caps widths are pow2-bucketed so
+    # long walks stay at O(log) tuples. All compiles are persistently
+    # cached. Disable to pin one compile per window shape.
     span_grid: bool = True
 
 
@@ -489,10 +491,27 @@ class MagiPipeline:
         # Local Pallas path only: the CSO/ulysses islands do their own
         # sharded dispatch, and off-TPU the XLA fallback ignores spans —
         # passing them would only buy recompiles per distinct tuple.
+        # With noise2clean kvrange caps (the serving configs) the raw tuple
+        # set is bounded (~2x window cycling variants), so EXACT widths
+        # maximize the dead-step saving; WITHOUT caps spans grow with the
+        # walk and raw tuples would compile once per position, so they are
+        # pow2-bucketed (tests/test_magi.py::
+        # test_magi_walk_span_tuples_reach_steady_state).
         kv_ranges = np.asarray(kv_ranges, np.int32)
-        spans = (tuple(int(e - s) for s, e in kv_ranges)
-                 if (rt.span_grid and self.statics.sp_mode == "none"
-                     and jax.default_backend() == "tpu") else None)
+        spans = None
+        if (rt.span_grid and self.statics.sp_mode == "none"
+                and jax.default_backend() == "tpu"):
+            capped = (len(tuple(rt.noise2clean_kvrange)) > 0
+                      or rt.clean_chunk_kvrange >= 0)
+            if capped:
+                spans = tuple(int(e - s) for s, e in kv_ranges)
+            else:
+                # one pow2 bucket of the max width for every chunk:
+                # distinct tuples stay O(window + log walk), and prefix
+                # widths within a window are within 2x of the max anyway
+                m = max(1, int((kv_ranges[:, 1] - kv_ranges[:, 0]).max()))
+                m = 1 << (m - 1).bit_length() if m > 1 else 1
+                spans = (m,) * len(kv_ranges)
         velocity, cache = self._fwd(
             self.params,
             x_window=x_window,

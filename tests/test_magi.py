@@ -465,3 +465,32 @@ def test_magi_xattn_gqa_matches_repeat_path():
                         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+def test_magi_walk_span_tuples_bounded():
+    """The span-grid compile-count claim (MagiRuntimeConfig.span_grid):
+    distinct per-window span tuples = extra jit compiles on TPU, so the
+    set must stay BOUNDED over long walks. With noise2clean kvrange caps
+    the raw widths cycle through ~2x window variants; without caps the
+    pipeline takes one pow2 bucket of the max width (raw widths would
+    grow one tuple per position — this test pins the policy to the
+    failure mode, including a 40-chunk walk)."""
+    cases = (((5, 4, 3, 2), 1, False, 12, 10),
+             ((), -1, True, 12, 12),
+             ((), -1, True, 40, 16))
+    for kvrange, clean_kv, bucket, n, bound in cases:
+        cfg = MagiScheduleConfig(chunk_num=n, window_size=4, num_steps=64,
+                                 noise2clean_kvrange=kvrange,
+                                 clean_chunk_kvrange=clean_kv)
+        sched = ChunkSchedule(cfg)
+        tuples = []
+        for step in range(sched.total_forward_steps):
+            extra = sched.fwd_extra_1st_chunk(step)
+            kv = sched.kv_ranges(step, include_clean=extra)
+            widths = [int(e - s) for s, e in np.asarray(kv)]
+            if bucket:  # the pipeline's uncapped policy
+                m = max(widths)
+                m = 1 << (m - 1).bit_length() if m > 1 else 1
+                widths = [m] * len(widths)
+            tuples.append(tuple(widths))
+        distinct = sorted(set(tuples))
+        assert len(distinct) <= bound, (kvrange, n, len(distinct), distinct)
