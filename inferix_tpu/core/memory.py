@@ -129,3 +129,44 @@ class AsyncMemoryManager:
         comp = self._components[name]
         comp.last_used = time.monotonic()
         yield comp.tree
+
+
+def stream_layer_forward(blocks_host: Any, layer_fn: Callable, carry: Any,
+                         prefetch: int = 2) -> Any:
+    """Run a layer stack whose stacked parameters live in HOST memory,
+    streaming one layer at a time to the device with the next transfer
+    overlapping the current layer's compute.
+
+    This is the TPU analog of the reference's `DynamicSwapInstaller`
+    (`inferix/core/memory/utils.py:15-140`, which patches nn.Module
+    attribute access to page weights per-module): run a model LARGER than
+    free HBM at the cost of one host->device copy per layer. JAX's async
+    dispatch provides the overlap — `jax.device_put` of layer i+1 is
+    issued before layer i's compute is awaited, so at most `prefetch`
+    layer buffers are resident.
+
+    blocks_host: pytree whose leaves are np.ndarrays (or host-committed
+    jax arrays) stacked on axis 0 — leaf[i] is layer i's parameter.
+    layer_fn(carry, block) -> carry; jit it ONCE outside (every layer has
+    the same shapes, so the loop reuses a single compile).
+    """
+    import numpy as np
+
+    leaves = jax.tree.leaves(blocks_host)
+    if not leaves:
+        return carry
+    n = leaves[0].shape[0]
+    host = jax.tree.map(np.asarray, blocks_host)   # zero-copy for numpy
+
+    def fetch(i):
+        return jax.tree.map(lambda a: jax.device_put(a[i]), host)
+
+    bufs = {i: fetch(i) for i in range(min(prefetch, n))}
+    for i in range(n):
+        nxt = i + len(bufs)
+        carry = layer_fn(carry, bufs.pop(i))
+        if nxt < n:
+            # issued AFTER dispatching layer i (async) — the copy rides
+            # under layer i..i+prefetch-1 compute
+            bufs[nxt] = fetch(nxt)
+    return carry

@@ -12,6 +12,7 @@ UMT5-XXL: vocab 256384, dim 4096, ffn 10240, 64 heads, 24 layers, 32 buckets.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -146,11 +147,62 @@ def _t5_norm(p, x, eps=1e-6):
     return (p["w"].astype(jnp.float32) * out).astype(x.dtype)
 
 
+def _t5_layer_body(x: jax.Array, blk: Params, mask_bias: jax.Array,
+                   pos_bias: Optional[jax.Array], buckets: jax.Array,
+                   nh: int, hd: int) -> jax.Array:
+    """One encoder layer; pos_bias is the shared-layer bias ([1,H,L,L]) or
+    None for per-layer relative bias (umt5), in which case blk carries it."""
+    b, L = x.shape[:2]
+    if pos_bias is None:
+        pos_bias = blk["pos_emb"][buckets]             # [L, L, H] f32
+        pos_bias = pos_bias.transpose(2, 0, 1)[None]   # [1, H, L, L]
+    h = _t5_norm(blk["norm1"], x)
+    q = jnp.dot(h, blk["attn"]["q"]["w"].astype(h.dtype)).reshape(b, L, nh, hd)
+    k = jnp.dot(h, blk["attn"]["k"]["w"].astype(h.dtype)).reshape(b, L, nh, hd)
+    v = jnp.dot(h, blk["attn"]["v"]["w"].astype(h.dtype)).reshape(b, L, nh, hd)
+    # T5 attention is unscaled
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + pos_bias + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, L, nh * hd)
+    x = x + jnp.dot(o, blk["attn"]["o"]["w"].astype(o.dtype))
+
+    h = _t5_norm(blk["norm2"], x)
+    gate = jax.nn.gelu(
+        jnp.dot(h, blk["ffn"]["gate"]["w"].astype(h.dtype)),
+        approximate=True,
+    )
+    ff = jnp.dot(h, blk["ffn"]["fc1"]["w"].astype(h.dtype)) * gate
+    x = x + jnp.dot(ff, blk["ffn"]["fc2"]["w"].astype(ff.dtype))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "hd"))
+def _t5_layer_step(x, blk, mask_bias, pos_bias, buckets, *, nh, hd):
+    """Jitted single-layer step for the streamed path — every layer has
+    identical shapes, so the loop reuses one compile."""
+    return _t5_layer_body(x, blk, mask_bias, pos_bias, buckets, nh, hd)
+
+
 def umt5_encode(params: Params, cfg: UMT5Config, ids: jax.Array,
-                mask: Optional[jax.Array] = None) -> jax.Array:
-    """ids: [B, L] int32; mask: [B, L] (1 = real token). Returns [B, L, dim]."""
+                mask: Optional[jax.Array] = None,
+                stream_layers: bool = False) -> jax.Array:
+    """ids: [B, L] int32; mask: [B, L] (1 = real token). Returns [B, L, dim].
+
+    stream_layers=True runs the layer stack through
+    `core.memory.stream_layer_forward` — the DynamicSwapInstaller analog:
+    params["blocks"] (and the token embedding) may live in HOST memory
+    (numpy) and are streamed to the device one layer at a time with
+    double buffering, so a tower larger than free HBM (t5-v1_1-xxl is
+    ~11 GB bf16) encodes with only ~2 layer buffers resident."""
     b, L = ids.shape
-    x = params["token_embedding"][ids]
+    emb = params["token_embedding"]
+    if stream_layers and not isinstance(emb, jax.Array):
+        # host-side gather: only the [B, L, dim] result is transferred
+        x = jax.device_put(np.asarray(emb)[np.asarray(ids)])
+    else:
+        x = emb[ids]
     buckets = jnp.asarray(
         relative_position_buckets(L, cfg.num_buckets, cfg.max_dist)
     )
@@ -163,38 +215,31 @@ def umt5_encode(params: Params, cfg: UMT5Config, ids: jax.Array,
 
     shared_bias = None
     if "shared_pos_emb" in params:
-        shared_bias = params["shared_pos_emb"][buckets]    # [L, L, H] f32
+        sp = params["shared_pos_emb"]
+        if stream_layers and not isinstance(sp, jax.Array):
+            sp = jax.device_put(np.asarray(sp))
+        shared_bias = sp[buckets]                          # [L, L, H] f32
         shared_bias = shared_bias.transpose(2, 0, 1)[None]
 
-    def layer(x, blk):
-        if shared_bias is not None:
-            pos_bias = shared_bias
-        else:
-            pos_bias = blk["pos_emb"][buckets]             # [L, L, H] f32
-            pos_bias = pos_bias.transpose(2, 0, 1)[None]   # [1, H, L, L]
-        h = _t5_norm(blk["norm1"], x)
-        q = jnp.dot(h, blk["attn"]["q"]["w"].astype(h.dtype)).reshape(b, L, nh, hd)
-        k = jnp.dot(h, blk["attn"]["k"]["w"].astype(h.dtype)).reshape(b, L, nh, hd)
-        v = jnp.dot(h, blk["attn"]["v"]["w"].astype(h.dtype)).reshape(b, L, nh, hd)
-        # T5 attention is unscaled
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits + pos_bias + mask_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, L, nh * hd)
-        x = x + jnp.dot(o, blk["attn"]["o"]["w"].astype(o.dtype))
+    if stream_layers:
+        from ...core.memory import stream_layer_forward
 
-        h = _t5_norm(blk["norm2"], x)
-        gate = jax.nn.gelu(
-            jnp.dot(h, blk["ffn"]["gate"]["w"].astype(h.dtype)),
-            approximate=True,
+        x = stream_layer_forward(
+            params["blocks"],
+            lambda xc, blk: _t5_layer_step(xc, blk, mask_bias, shared_bias,
+                                           buckets, nh=nh, hd=hd),
+            x,
         )
-        ff = jnp.dot(h, blk["ffn"]["fc1"]["w"].astype(h.dtype)) * gate
-        x = x + jnp.dot(ff, blk["ffn"]["fc2"]["w"].astype(ff.dtype))
-        return x, None
+    else:
+        def layer(x, blk):
+            return _t5_layer_body(x, blk, mask_bias, shared_bias, buckets,
+                                  nh, hd), None
 
-    x, _ = jax.lax.scan(layer, x, params["blocks"])
-    return _t5_norm(params["norm"], x)
+        x, _ = jax.lax.scan(layer, x, params["blocks"])
+    norm_w = params["norm"]
+    if stream_layers and not isinstance(norm_w["w"], jax.Array):
+        norm_w = jax.tree.map(jax.device_put, norm_w)
+    return _t5_norm(norm_w, x)
 
 
 class WanTextEncoder:
@@ -205,7 +250,12 @@ class WanTextEncoder:
     def __init__(self, cfg: UMT5Config = UMT5Config(),
                  params: Optional[Params] = None,
                  tokenizer=None, text_len: int = 512,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, stream_layers: bool = False):
+        """stream_layers=True keeps the tower's blocks + embedding in HOST
+        memory and streams one layer at a time to the device (the
+        reference's DynamicSwapInstaller low-VRAM mode for the ~11 GB
+        umt5-xxl — `core.memory.stream_layer_forward`); params are
+        converted to host numpy here if they aren't already."""
         self.cfg = cfg
         self.text_len = text_len
         self.dtype = dtype
@@ -213,9 +263,20 @@ class WanTextEncoder:
             jax.random.key(0), cfg, dtype
         )
         self.tokenizer = tokenizer
-        self._encode = jax.jit(
-            lambda p, ids, mask: umt5_encode(p, cfg, ids, mask)
-        )
+        self.stream_layers = stream_layers
+        if stream_layers:
+            self.params = dict(self.params)
+            for key in ("blocks", "token_embedding", "shared_pos_emb"):
+                if key in self.params:
+                    self.params[key] = jax.tree.map(
+                        lambda a: np.asarray(jax.device_get(a)),
+                        self.params[key])
+            self._encode = lambda p, ids, mask: umt5_encode(
+                p, cfg, ids, mask, stream_layers=True)
+        else:
+            self._encode = jax.jit(
+                lambda p, ids, mask: umt5_encode(p, cfg, ids, mask)
+            )
 
     def _tokenize(self, prompts):
         if self.tokenizer is None:
@@ -420,7 +481,8 @@ class MagiT5Embedder:
     def __init__(self, cfg: Optional[UMT5Config] = None,
                  params: Optional[Params] = None, tokenizer=None,
                  model_max_length: int = 120, dtype=jnp.bfloat16,
-                 use_text_preprocessing: bool = True):
+                 use_text_preprocessing: bool = True,
+                 stream_layers: bool = False):
         self.cfg = cfg if cfg is not None else t5_v1_1_xxl_config()
         assert self.cfg.shared_pos, "MAGI uses t5-v1_1 (shared_pos=True)"
         self.model_max_length = model_max_length
@@ -429,8 +491,20 @@ class MagiT5Embedder:
         self.params = params if params is not None else init_umt5_params(
             jax.random.key(0), self.cfg, dtype)
         self.tokenizer = tokenizer
-        self._encode = jax.jit(
-            lambda p, ids, mask: umt5_encode(p, self.cfg, ids, mask))
+        if stream_layers:
+            # low-HBM mode: host-resident tower streamed per layer (see
+            # WanTextEncoder / core.memory.stream_layer_forward)
+            self.params = dict(self.params)
+            for key in ("blocks", "token_embedding", "shared_pos_emb"):
+                if key in self.params:
+                    self.params[key] = jax.tree.map(
+                        lambda a: np.asarray(jax.device_get(a)),
+                        self.params[key])
+            self._encode = lambda p, ids, mask: umt5_encode(
+                p, self.cfg, ids, mask, stream_layers=True)
+        else:
+            self._encode = jax.jit(
+                lambda p, ids, mask: umt5_encode(p, self.cfg, ids, mask))
 
     def get_text_embeddings(self, texts):
         """-> (embeddings [B, L, dim], mask [B, L])."""

@@ -413,3 +413,70 @@ def test_magi_t5_embedder_shapes():
     assert embs.shape == (1, 16, cfg.dim)
     # cleaning lowercases and strips the url: "a cat on a mat" = 5 tokens
     assert int(mask.sum()) == 5
+
+def test_umt5_stream_layers_matches_scan():
+    """stream_layers=True (the DynamicSwapInstaller analog,
+    core.memory.stream_layer_forward): host-resident numpy blocks +
+    embedding streamed layer-by-layer must reproduce the scanned forward
+    bit-for-bit on both tower variants (per-layer and shared bias)."""
+    import numpy as np_
+
+    from inferix_tpu.models.text.umt5 import (
+        init_umt5_params, tiny_t5_v1_1_config, tiny_umt5_config, umt5_encode)
+
+    for cfg in (tiny_umt5_config(), tiny_t5_v1_1_config()):
+        params = init_umt5_params(jax.random.key(0), cfg, jnp.float32)
+        ids = jnp.asarray([[3, 5, 7, 2, 0, 0]], jnp.int32)
+        mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+        want = umt5_encode(params, cfg, ids, mask)
+        host_params = dict(params)
+        host_params["blocks"] = jax.tree.map(np_.asarray, params["blocks"])
+        host_params["token_embedding"] = np_.asarray(params["token_embedding"])
+        if "shared_pos_emb" in params:
+            host_params["shared_pos_emb"] = np_.asarray(
+                params["shared_pos_emb"])
+        got = umt5_encode(host_params, cfg, ids, mask, stream_layers=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=str(cfg.shared_pos))
+
+def test_text_encoder_classes_stream_mode():
+    """WanTextEncoder / MagiT5Embedder stream_layers=True must move the
+    tower host-side and produce the same features as the device path."""
+    from inferix_tpu.models.text.umt5 import (
+        MagiT5Embedder, WanTextEncoder, init_umt5_params, tiny_t5_v1_1_config,
+        tiny_umt5_config)
+
+    class StubTok:
+        def __call__(self, texts, **kw):
+            L = kw.get("max_length", 8)
+            ids = np.zeros((len(texts), L), np.int32)
+            m = np.zeros((len(texts), L), np.int32)
+            for i, t in enumerate(texts):
+                n = min(len(t.split()) + 1, L)
+                ids[i, :n] = (np.arange(n) % 7) + 2
+                m[i, :n] = 1
+            return {"input_ids": ids, "attention_mask": m}
+
+    cfg = tiny_umt5_config()
+    params = init_umt5_params(jax.random.key(1), cfg, jnp.float32)
+    a = WanTextEncoder(cfg, params=params, tokenizer=StubTok(), text_len=8,
+                       dtype=jnp.float32)
+    b = WanTextEncoder(cfg, params=params, tokenizer=StubTok(), text_len=8,
+                       dtype=jnp.float32, stream_layers=True)
+    assert isinstance(b.params["blocks"]["norm1"]["w"], np.ndarray)
+    fa = np.asarray(a(["a small boat"]))
+    fb = np.asarray(b(["a small boat"]))
+    np.testing.assert_allclose(fb, fa, rtol=1e-6, atol=1e-6)
+
+    cfg5 = tiny_t5_v1_1_config()
+    p5 = init_umt5_params(jax.random.key(2), cfg5, jnp.float32)
+    e1 = MagiT5Embedder(cfg5, params=p5, tokenizer=StubTok(),
+                        model_max_length=8, dtype=jnp.float32)
+    e2 = MagiT5Embedder(cfg5, params=p5, tokenizer=StubTok(),
+                        model_max_length=8, dtype=jnp.float32,
+                        stream_layers=True)
+    g1, m1 = e1.get_text_embeddings(["a harbor at dawn"])
+    g2, m2 = e2.get_text_embeddings(["a harbor at dawn"])
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
