@@ -199,11 +199,11 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret",
-                     "softmax", "max_span"),
+                     "softmax", "max_span", "kv_layout"),
 )
 def flash_attention_prefix(
     q: jax.Array,          # [B, Sq, H, D]
-    k: jax.Array,          # [B, Skv, H, D]
+    k: jax.Array,          # [B, Skv, H, D] (or [B, H, Skv, D], see kv_layout)
     v: jax.Array,          # [B, Skv, H, D]
     kv_len: jax.Array,     # scalar int32: end of the valid span
     kv_start: jax.Array | int = 0,  # start of the valid span
@@ -214,6 +214,7 @@ def flash_attention_prefix(
     interpret: bool = False,
     softmax: str = "fixedm",
     max_span: Optional[int] = None,
+    kv_layout: str = "bshd",
 ):
     """Flash attention where valid KV is the span [kv_start, kv_len).
 
@@ -229,12 +230,23 @@ def flash_attention_prefix(
     chunks attend 1-2 of ~9 cached chunks; Wan early blocks attend a short
     prefix of the full-clip cache). CALLER CONTRACT: every batch row's
     kv_len - kv_start must be <= max_span, otherwise the tail of the span
-    is silently dropped."""
+    is silently dropped.
+
+    kv_layout: 'bshd' (default) takes k/v as [B, Skv, H, D] — the kernel's
+    [B*H, Skv, D] fold is then a PHYSICAL TRANSPOSE of the whole cache
+    slice, one XLA copy per layer per forward (the cache is a pallas_call
+    operand, so the transpose cannot fuse away). 'bhsd' takes k/v already
+    head-major [B, H, Skv, D]: the fold is a free reshape over contiguous
+    dims, trading the per-forward cache copy for a small transpose of each
+    written block at write time (exp/r7_cache_layout.py measures the
+    difference at serving shapes)."""
     if softmax not in ("fixedm", "runmax"):
         raise ValueError(f"softmax must be 'fixedm' or 'runmax', got {softmax}")
+    if kv_layout not in ("bshd", "bhsd"):
+        raise ValueError(f"kv_layout must be 'bshd' or 'bhsd', got {kv_layout}")
     fixedm = softmax == "fixedm"
     b, sq, h, d = q.shape
-    skv = k.shape[1]
+    skv = k.shape[2] if kv_layout == "bhsd" else k.shape[1]
     if scale is None:
         scale = d**-0.5
     if q_block is None:
@@ -248,7 +260,13 @@ def flash_attention_prefix(
     def bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
-    qb, kb, vb = bh(q), bh(k), bh(v)
+    if kv_layout == "bhsd":
+        # head-major cache: the fold is a contiguous reshape, no copy
+        kb = k.reshape(b * h, skv, d)
+        vb = v.reshape(b * h, skv, d)
+    else:
+        kb, vb = bh(k), bh(v)
+    qb = bh(q)
     # fold softmax scale + log2(e) into q (kernel softmax runs in exp2 domain)
     qb = (qb.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     qb = _pad_to(qb, 1, q_block)

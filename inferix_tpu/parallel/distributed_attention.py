@@ -38,23 +38,33 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.attention import attention_chunked
 
 
-def _local_attn_lse(q, k, v, kv_mask):
-    """Per-shard attention returning (out, lse [B, H, Sq])."""
+def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None):
+    """Per-shard attention returning (out, lse [B, H, Sq]). With
+    k_scales/v_scales ([B, Skv, H] f32) the cache shard is int8 and the
+    span kernel dequantizes in-kernel."""
     if k.dtype == jnp.float8_e4m3fn and jax.default_backend() != "tpu":
         # fp8 KV cache on the CPU fallback path: cast-only dequant (the
         # Pallas kernel casts in-kernel)
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
     if jax.default_backend() == "tpu" and k.shape[1] > 1024:
-        from ..ops.flash_attention import flash_attention_prefix
-
         if kv_mask is None:
             kv_len = jnp.int32(k.shape[1])
         elif kv_mask.ndim == 2:
             kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)
         else:
             kv_len = jnp.sum(kv_mask.astype(jnp.int32))
+        if k_scales is not None:
+            from ..ops.flash_attention import flash_attention_prefix_quant
+
+            return flash_attention_prefix_quant(
+                q, k, v, k_scales, v_scales, kv_len, return_lse=True)
+        from ..ops.flash_attention import flash_attention_prefix
+
         return flash_attention_prefix(q, k, v, kv_len, return_lse=True)
+    if k_scales is not None:
+        k = (k.astype(jnp.float32) * k_scales[..., None]).astype(q.dtype)
+        v = (v.astype(jnp.float32) * v_scales[..., None]).astype(q.dtype)
     return attention_chunked(q, k, v, kv_mask)
 
 
@@ -62,11 +72,12 @@ def _local_attn_lse(q, k, v, kv_mask):
 # Ulysses: head <-> sequence all-to-all around a full-prefix local attention
 # ---------------------------------------------------------------------------
 
-def _ulysses_body(q, k, v, kv_mask):
+def _ulysses_body(q, k, v, kv_mask, k_scales=None, v_scales=None):
     # q: [B, S/sp, H_loc, D] (token shard); k/v: [B, Smax, H_loc/sp, D]
     # (head shard of the cache). a2a over sp: scatter heads, gather tokens.
+    # Scales (int8 cache) are head-sharded with the cache — no exchange.
     qg = jax.lax.all_to_all(q, "sp", split_axis=2, concat_axis=1, tiled=True)
-    out, _ = _local_attn_lse(qg, k, v, kv_mask)
+    out, _ = _local_attn_lse(qg, k, v, kv_mask, k_scales, v_scales)
     return jax.lax.all_to_all(out, "sp", split_axis=1, concat_axis=2,
                               tiled=True)
 
@@ -77,6 +88,8 @@ def ulysses_cache_attention(
     k: jax.Array,        # [B, Smax, H, D] — post-write cache (heads over sp)
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,   # [Smax] or [B, Smax]
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache)
+    v_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     sp = mesh.shape["sp"]
     tp = mesh.shape.get("tp", 1)
@@ -84,15 +97,20 @@ def ulysses_cache_attention(
         f"heads {q.shape[2]} must divide sp*tp {sp * tp}")
     assert q.shape[1] % sp == 0, (
         f"block tokens {q.shape[1]} must divide sp {sp}")
-    if kv_mask is None:
-        mask_args, mask_specs = (), ()
-    elif kv_mask.ndim == 2:
-        mask_args, mask_specs = (kv_mask,), (P("dp", None),)
-    else:
-        mask_args, mask_specs = (kv_mask,), (P(None),)
+    extra_args, extra_specs = [], []
+    if kv_mask is not None:
+        extra_args.append(kv_mask)
+        extra_specs.append(P("dp", None) if kv_mask.ndim == 2 else P(None))
+    has_mask = kv_mask is not None
+    if k_scales is not None:
+        extra_args += [k_scales, v_scales]
+        extra_specs += [P("dp", None, ("tp", "sp"))] * 2
 
     def body(q_, k_, v_, *rest):
-        return _ulysses_body(q_, k_, v_, rest[0] if rest else None)
+        mask = rest[0] if has_mask else None
+        scales = rest[1 if has_mask else 0:]
+        ks_, vs_ = scales if scales else (None, None)
+        return _ulysses_body(q_, k_, v_, mask, ks_, vs_)
 
     return jax.shard_map(
         body, mesh=mesh,
@@ -100,28 +118,31 @@ def ulysses_cache_attention(
             P("dp", "sp", "tp", None),          # q: tokens over sp
             P("dp", None, ("tp", "sp"), None),  # cache: heads over tp x sp
             P("dp", None, ("tp", "sp"), None),
-        ) + mask_specs,
+        ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
         check_vma=False,
-    )(q, k, v, *mask_args)
+    )(q, k, v, *extra_args)
 
 
 # ---------------------------------------------------------------------------
 # Ring pass-q over the token-sharded cache
 # ---------------------------------------------------------------------------
 
-def _ring_pass_q_cache_body(q, k, v, kv_mask):
+def _ring_pass_q_cache_body(q, k, v, kv_mask, k_scales=None, v_scales=None):
     """q: [B, Sq/sp, H_loc, D]; k/v: [B, Smax/sp, H_loc, D] cache slice;
     kv_mask: local slice of the prefix-validity mask. The (q, out, m, l)
     bundle rotates; K/V stay resident (bytes on the wire are O(q), the
-    reference's pass-q rationale for cache-dominated attention)."""
+    reference's pass-q rationale for cache-dominated attention). With
+    k_scales/v_scales the cache slice is int8; scales are token-sharded
+    with the cache and stay resident too."""
     sp = jax.lax.psum(1, "sp")
     perm = [(i, (i + 1) % sp) for i in range(sp)]
     b, s_loc, h, d = q.shape
 
     def step(carry, _):
         q_cur, acc, m_run, l_run = carry
-        out_i, lse_i = _local_attn_lse(q_cur, k, v, kv_mask)
+        out_i, lse_i = _local_attn_lse(q_cur, k, v, kv_mask,
+                                       k_scales, v_scales)
         m_new = jnp.maximum(m_run, lse_i)
         # fully-masked local slices yield lse = -inf; guard the exp terms
         m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
@@ -153,6 +174,8 @@ def ring_pass_q_cache_attention(
     k: jax.Array,        # [B, Smax, H, D] cache, TOKENS over sp
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache)
+    v_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     sp = mesh.shape["sp"]
     assert q.shape[1] % sp == 0 and k.shape[1] % sp == 0
@@ -163,17 +186,27 @@ def ring_pass_q_cache_attention(
     else:
         mask_spec = P("dp", "sp")
 
+    extra_args, extra_specs = [], []
+    if k_scales is not None:
+        # scales ride with the token-sharded cache slice
+        extra_args += [k_scales, v_scales]
+        extra_specs += [P("dp", "sp", None)] * 2
+
+    def body(q_, k_, v_, mask_, *scales):
+        ks_, vs_ = scales if scales else (None, None)
+        return _ring_pass_q_cache_body(q_, k_, v_, mask_, ks_, vs_)
+
     return jax.shard_map(
-        _ring_pass_q_cache_body, mesh=mesh,
+        body, mesh=mesh,
         in_specs=(
             P("dp", "sp", "tp", None),
             P("dp", "sp", "tp", None),
             P("dp", "sp", "tp", None),
             mask_spec,
-        ),
+        ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
         check_vma=False,
-    )(q, k, v, kv_mask)
+    )(q, k, v, kv_mask, *extra_args)
 
 
 # ---------------------------------------------------------------------------
@@ -329,11 +362,15 @@ def sp_cache_attention(
     k: jax.Array,
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     if mode == "ulysses":
-        return ulysses_cache_attention(mesh, q, k, v, kv_mask)
+        return ulysses_cache_attention(mesh, q, k, v, kv_mask,
+                                       k_scales, v_scales)
     if mode in ("ring", "ring_pass_q"):
-        return ring_pass_q_cache_attention(mesh, q, k, v, kv_mask)
+        return ring_pass_q_cache_attention(mesh, q, k, v, kv_mask,
+                                           k_scales, v_scales)
     raise ValueError(f"unknown sp attention mode {mode!r}")
 
 

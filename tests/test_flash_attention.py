@@ -50,6 +50,25 @@ def test_flash_fixedm_large_logits():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_flash_kv_layout_bhsd_parity():
+    """kv_layout='bhsd' (head-major cache, free kernel fold) must equal the
+    default 'bshd' path — same kernel, different operand layout."""
+    rng = np.random.default_rng(4)
+    b, sq, skv, h, d = 2, 24, 640, 3, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    want, want_lse = flash_attention_prefix(
+        q, k, v, jnp.int32(500), return_lse=True, interpret=True,
+        q_block=16, kv_block=128)
+    got, lse = flash_attention_prefix(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), jnp.int32(500),
+        return_lse=True, interpret=True, q_block=16, kv_block=128,
+        kv_layout="bhsd")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(lse), np.asarray(want_lse))
+
+
 def test_flash_unpadded_q_and_kv():
     """Shapes not multiples of the block sizes are padded internally."""
     rng = np.random.default_rng(1)
