@@ -128,8 +128,34 @@ def run_kernel(layout):
     return ms
 
 
+def run_engine(head_major, quant=True):
+    """The decision number: real 1.3B clip f/s via SemiARGenerator with
+    RuntimeConfig.kv_head_major on/off (same protocol as bench.py)."""
+    from bench import run_config
+    from inferix_tpu.core.config import EngineConfig
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.quant.api import quantize_params
+
+    cfg = EngineConfig()
+    cfg.runtime.kv_head_major = head_major
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
+    if quant:
+        cfg.quant.enabled = True
+        params = quantize_params(params, cfg.quant)
+    fps, ttfb = run_config(cfg, params, jnp.bfloat16)
+    tag = "hm" if head_major else "tm"
+    print(json.dumps({"case": f"engine_{'int8' if quant else 'bf16'}_{tag}",
+                      "frames_per_s": round(fps, 3),
+                      "ttfb_s": round(ttfb, 3)}), flush=True)
+    return fps
+
+
 if __name__ == "__main__":
     for layout in ("bshd", "bhsd"):
         run_kernel(layout)
     for layout in ("bshd", "bhsd"):
         run_scan(layout)
+    for hm in (False, True):
+        run_engine(hm, quant=True)
+    for hm in (False, True):
+        run_engine(hm, quant=False)

@@ -29,5 +29,7 @@ run mem24b           5400 python -u exp/r5_24b_mem.py --aot
 # 6. MAGI 4.5B serving forward: span grids on vs off (vs round-2 8.42 s)
 run magi45b_span     5400 env MAGI_WEIGHTS=int8 MAGI_SPAN=1 python -u exp/r4_magi45b_fwd.py
 run magi45b_nospan   5400 env MAGI_WEIGHTS=int8 MAGI_SPAN=0 python -u exp/r4_magi45b_fwd.py
+# 7. MAGI 4.5B with the head-major window cache (kernel-fold copy A/B)
+run magi45b_hm       5400 env MAGI_WEIGHTS=int8 MAGI_SPAN=1 MAGI_HEAD_MAJOR=1 python -u exp/r4_magi45b_fwd.py
 
 echo "queue done $(date)" | tee -a exp/r6_results/queue.log

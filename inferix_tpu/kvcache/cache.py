@@ -47,6 +47,15 @@ class KVCacheSpec:
     # scales; attention dequantizes in-kernel via logit/probability column
     # scaling, so the cache's HBM traffic halves.
     quantized: bool = False
+    # Head-major storage: cache laid out [L, B, H, S, D] (scales [L, B, H, S])
+    # instead of token-major [L, B, S, H, D]. The flash kernels fold operands
+    # to [B*H, S, D]; head-major makes that fold a FREE contiguous reshape,
+    # where token-major pays a physical transpose copy of the full per-layer
+    # cache slice per forward (pallas_call operands can't fuse the transpose
+    # away — BASELINE.md round-3 item 5, A/B in exp/r7_cache_layout.py). The
+    # write-side transpose moves to the small new block instead (~14x less
+    # traffic at the 1.3B serving shape).
+    head_major: bool = False
     # Ring-write granule (tokens). When >0 every ring write's position and
     # length are multiples of it (the Wan pipeline writes whole frames), and
     # granule | ring_tokens, granule | sink_tokens — so a block write wraps
@@ -78,13 +87,22 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(spec: KVCacheSpec) -> KVCache:
-    shape = (
-        spec.num_layers,
-        spec.batch,
-        spec.max_tokens,
-        spec.num_kv_heads,
-        spec.head_dim,
-    )
+    if spec.head_major:
+        shape = (
+            spec.num_layers,
+            spec.batch,
+            spec.num_kv_heads,
+            spec.max_tokens,
+            spec.head_dim,
+        )
+    else:
+        shape = (
+            spec.num_layers,
+            spec.batch,
+            spec.max_tokens,
+            spec.num_kv_heads,
+            spec.head_dim,
+        )
     if spec.quantized:
         sshape = shape[:-1]
         return KVCache(
@@ -182,6 +200,22 @@ def _write_one(spec: KVCacheSpec, cache: jax.Array, new: jax.Array,
     return cache.at[:, slots].set(new)
 
 
+def _write_one_head_major(spec: KVCacheSpec, cache: jax.Array,
+                          new: jax.Array, current_start: jax.Array):
+    """Head-major write: cache [B, H, S, ...], new [B, n, H, ...] (token-major
+    as produced by the projections). Transposes the SMALL new block to
+    head-major and folds (B, H) into a pseudo-batch so `_write_one`'s
+    seq-at-axis-1 slot logic applies unchanged (the fold is a free reshape)."""
+    b, h = cache.shape[0], cache.shape[1]
+    new_hm = jnp.swapaxes(new, 1, 2)                       # [B, H, n, ...]
+    c2 = cache.reshape((b * h,) + cache.shape[2:])
+    n2 = new_hm.reshape((b * h,) + new_hm.shape[2:])
+    start = jnp.asarray(current_start, jnp.int32)
+    if start.ndim == 1:
+        start = jnp.repeat(start, h)                       # [B] -> [B*H]
+    return _write_one(spec, c2, n2, start).reshape(cache.shape)
+
+
 def write_block(
     spec: KVCacheSpec,
     k_cache: jax.Array,
@@ -194,23 +228,25 @@ def write_block(
 ):
     """Write a contiguous block of new tokens into one layer's cache.
 
-    k_cache/v_cache: [B, S, H, D]; k_new/v_new: [B, n, H, D] (unquantized);
+    k_cache/v_cache: [B, S, H, D] ([B, H, S, D] when spec.head_major);
+    k_new/v_new: [B, n, H, D] (unquantized, always token-major);
     current_start: traced int32 logical position of the block's first token.
     Quantized specs also update the per-(token, head) scale caches and return
     a 4-tuple; plain specs return a 2-tuple.
     """
+    w = _write_one_head_major if spec.head_major else _write_one
     if spec.quantized:
         k_q, k_s = quantize_kv_block(k_new)
         v_q, v_s = quantize_kv_block(v_new)
         return (
-            _write_one(spec, k_cache, k_q, current_start),
-            _write_one(spec, v_cache, v_q, current_start),
-            _write_one(spec, k_scale_cache, k_s, current_start),
-            _write_one(spec, v_scale_cache, v_s, current_start),
+            w(spec, k_cache, k_q, current_start),
+            w(spec, v_cache, v_q, current_start),
+            w(spec, k_scale_cache, k_s, current_start),
+            w(spec, v_scale_cache, v_s, current_start),
         )
     return (
-        _write_one(spec, k_cache, k_new, current_start),
-        _write_one(spec, v_cache, v_new, current_start),
+        w(spec, k_cache, k_new, current_start),
+        w(spec, v_cache, v_new, current_start),
     )
 
 

@@ -146,7 +146,8 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
                       latent_w: int, max_chunks: int,
                       dtype=jnp.bfloat16, mesh=None,
                       sp_mode: str = "none", kv_dtype=None,
-                      quantize_kv: bool = False) -> MagiStatics:
+                      quantize_kv: bool = False,
+                      kv_head_major: bool = False) -> MagiStatics:
     """kv_dtype overrides the window cache's storage dtype (e.g.
     float8_e4m3fn: scale-free fp8, cast-only in-kernel dequant — halves the
     window cache, which is what lets the 4.5B reference window config
@@ -165,6 +166,7 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
         head_dim=cfg.kv_channels,
         dtype=kv_dtype if kv_dtype is not None else dtype,
         quantized=quantize_kv,
+        head_major=kv_head_major,
     )
     if sp_mode not in ("none", "cso", "ulysses"):
         raise ValueError(f"MAGI sp_mode must be 'none', 'cso' or "
@@ -513,6 +515,12 @@ def _magi_layer(
             k_layer, v_layer, ks_layer, vs_layer = new_cache
         else:
             k_layer, v_layer = new_cache
+        kv_layout = "bhsd" if spec.head_major else "bshd"
+        if spec.head_major and sp_mode in ("cso", "ulysses"):
+            raise NotImplementedError(
+                "head_major MAGI window caches are single-device/pp-only "
+                "for now — the CSO/ulysses island pspecs assume token-major "
+                "(set kv_head_major=False with cp_strategy)")
 
         if sp_mode in ("cso", "ulysses"):
             # in-forward CP (reference cp-strategy dispatch ulysses/cso,
@@ -551,6 +559,7 @@ def _magi_layer(
                         kv_len=jnp.minimum(span[1], current_end),
                         kv_start=span[0],
                         max_span=ms,
+                        kv_layout=kv_layout,
                     ))
                 elif use_pallas:
                     from ...ops.flash_attention import flash_attention_gqa
@@ -560,6 +569,7 @@ def _magi_layer(
                         kv_len=jnp.minimum(span[1], current_end),
                         kv_start=span[0],
                         max_span=ms,
+                        kv_layout=kv_layout,
                     ))
                 else:
                     if spec.quantized:
@@ -569,6 +579,10 @@ def _magi_layer(
                               * vs_layer[..., None]).astype(h_x.dtype)
                     else:
                         kd, vd = k_layer, v_layer
+                    if spec.head_major:
+                        # XLA fallback takes token-major (CPU tests)
+                        kd = jnp.swapaxes(kd, 1, 2)
+                        vd = jnp.swapaxes(vd, 1, 2)
                     kc = jnp.repeat(kd, rep, axis=2)
                     vc = jnp.repeat(vd, rep, axis=2)
                     idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
@@ -724,15 +738,20 @@ def sync_cache_rows(spec: KVCacheSpec, cache: KVCache, start: jax.Array,
     the batched forward write their own KV for in-window attention, then the
     cond row's span is overwritten with the uncond-text row's so every later
     window attends the reference's cache content."""
+    # token axis of [L, B, S, H(, D)] is 2; head-major [L, B, H, S(, D)] -> 3
+    seq_ax = 3 if spec.head_major else 2
+
     def _sync(f):
         if f is None:
             return None
         src = jax.lax.dynamic_slice_in_dim(
             jax.lax.dynamic_index_in_dim(f, src_row, 1, keepdims=True),
-            start, length, 2)
-        return jax.lax.dynamic_update_slice(
-            f, src.astype(f.dtype),
-            (0, dst_row) + (start,) * 1 + (0,) * (f.ndim - 3))
+            start, length, seq_ax)
+        idx = [jnp.int32(0)] * f.ndim
+        idx[1] = jnp.int32(dst_row)
+        idx[seq_ax] = start
+        return jax.lax.dynamic_update_slice(f, src.astype(f.dtype),
+                                            tuple(idx))
     return KVCache(*(_sync(f) for f in cache))
 
 

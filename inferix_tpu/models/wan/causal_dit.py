@@ -213,10 +213,12 @@ class DiTGeometry:
 
 def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
                  dtype=jnp.bfloat16, quantized: bool = False,
-                 kv_dtype=None) -> KVCacheSpec:
+                 kv_dtype=None, head_major: bool = False) -> KVCacheSpec:
     """kv_dtype overrides the cache storage dtype (e.g. float8_e4m3fn for
     the scale-free fp8 KV cache — half HBM, cast-only in-kernel dequant);
-    quantized=True selects the int8 + per-(token, head)-scale cache."""
+    quantized=True selects the int8 + per-(token, head)-scale cache;
+    head_major=True stores the cache [L, B, H, S, D] so the flash kernels'
+    fold is a free reshape (KVCacheSpec.head_major)."""
     geo = DiTGeometry(1, latent_h, latent_w, cfg.patch_size)
     frame_seq = geo.frame_seq
     window_frames = cfg.attention_window_frames
@@ -230,6 +232,7 @@ def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
         ring=(cfg.local_attn_size != -1),
         dtype=kv_dtype if kv_dtype is not None else dtype,
         quantized=quantized,
+        head_major=head_major,
         # every pipeline write starts at a frame boundary and spans whole
         # frames, so ring writes lower to DUS pieces (see KVCacheSpec.granule)
         granule=frame_seq,
@@ -388,6 +391,12 @@ def block_forward(
 
     use_sp = (mesh is not None and sp_mode != "none"
               and mesh.shape.get("sp", 1) > 1)
+    kv_layout = "bhsd" if spec.head_major else "bshd"
+    if use_sp and spec.head_major:
+        raise NotImplementedError(
+            "head_major KV caches are single-device/tp-only for now — the "
+            "sp islands' cache pspecs assume token-major layout "
+            "(set kv_head_major=False with sp>1)")
     if spec.quantized:
         k_c, v_c, ks_c, vs_c = write_block(
             spec, layer_cache[0], layer_cache[1], k, v, current_start,
@@ -406,7 +415,7 @@ def block_forward(
         else:
             attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
                                    k_scale=ks_c, v_scale=vs_c,
-                                   max_span=max_span)
+                                   max_span=max_span, kv_layout=kv_layout)
         new_cache = (k_c, v_c, ks_c, vs_c)
     else:
         k_c, v_c = write_block(
@@ -418,7 +427,7 @@ def block_forward(
             attn = sp_cache_attention(mesh, sp_mode, q, k_c, v_c, kv_mask)
         else:
             attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
-                                   max_span=max_span)
+                                   max_span=max_span, kv_layout=kv_layout)
         new_cache = (k_c, v_c)
     y = linear(sa["o"], attn.reshape(b, s, c))
     x = x + _gate(y, gate_msa, frames)
@@ -477,11 +486,12 @@ class DiTStatics(NamedTuple):
 def make_statics(cfg: ModelConfig, batch: int, frames: int, latent_h: int,
                  latent_w: int, dtype=jnp.bfloat16,
                  quantized_kv: bool = False, mesh=None,
-                 sp_mode: str = "none", kv_dtype=None) -> DiTStatics:
+                 sp_mode: str = "none", kv_dtype=None,
+                 kv_head_major: bool = False) -> DiTStatics:
     return DiTStatics(
         cfg=cfg,
         spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype, quantized_kv,
-                          kv_dtype=kv_dtype),
+                          kv_dtype=kv_dtype, head_major=kv_head_major),
         geo=DiTGeometry(frames, latent_h, latent_w, cfg.patch_size),
         mesh=mesh,
         sp_mode=sp_mode,

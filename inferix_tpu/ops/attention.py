@@ -147,6 +147,7 @@ def cache_attention(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     max_span: Optional[int] = None,
+    kv_layout: str = "bshd",
 ) -> jax.Array:
     """Dispatcher: Pallas flash kernel on TPU, chunked XLA elsewhere.
 
@@ -155,9 +156,13 @@ def cache_attention(
     when k/v are an int8-quantized KV cache. max_span (static): host-known
     upper bound on the mask's prefix length — activates the span-sized
     Pallas grid (flash_attention_prefix max_span); ignored off-TPU.
+    kv_layout='bhsd': k/v (and scales) arrive head-major ([B, H, Skv, D] /
+    [B, H, Skv]) from a `KVCacheSpec.head_major` cache — the Pallas kernels
+    fold them for free; the XLA fallbacks transpose back (CPU-only cost).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    kv_seq_axis = 2 if kv_layout == "bhsd" else 1
 
     if k_scale is not None:
         if use_pallas:
@@ -170,7 +175,7 @@ def cache_attention(
             from .flash_attention import flash_attention_prefix_quant
 
             if kv_mask is None:
-                kv_len = jnp.int32(k.shape[1])
+                kv_len = jnp.int32(k.shape[kv_seq_axis])
             elif kv_mask.ndim == 2:
                 # per-stream prefix lengths (continuous batching)
                 kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)
@@ -178,7 +183,7 @@ def cache_attention(
                 kv_len = jnp.sum(kv_mask.astype(jnp.int32))
             return flash_attention_prefix_quant(
                 q, k, v, k_scale, v_scale, kv_len, scale=scale,
-                max_span=max_span,
+                max_span=max_span, kv_layout=kv_layout,
             )
         # XLA fallback: dequantize then attend
         k = k.astype(jnp.float32) * k_scale[..., None].astype(jnp.float32)
@@ -198,12 +203,17 @@ def cache_attention(
     # f32 logits [B, H, Sq, Skv], so it is gated on that tensor's size too —
     # MAGI's window forward (Sq = 4x12150, 24 heads, 800 caption tokens) hit
     # a 3.48 GB logits temp here and OOM'd the 4.5B model off one v5e.
-    logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
-    if use_pallas and (k.shape[1] > 1024 or logits_bytes > 256 * 2**20):
+    skv = k.shape[kv_seq_axis]
+    logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * skv
+    if use_pallas and (skv > 1024 or logits_bytes > 256 * 2**20):
         from .flash_attention import flash_attention as pallas_flash
 
         return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale,
-                            max_span=max_span)
+                            max_span=max_span, kv_layout=kv_layout)
+    if kv_layout == "bhsd":
+        # XLA paths take token-major [B, Skv, H, D] (CPU tests / tiny KV)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
     if use_pallas:
         out, _ = attention_reference(q, k, v, kv_mask=kv_mask, scale=scale)
         return out

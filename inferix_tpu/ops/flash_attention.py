@@ -362,13 +362,14 @@ def flash_attention(
     kv_mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     max_span: Optional[int] = None,
+    kv_layout: str = "bshd",
 ) -> jax.Array:
     """Mask-based wrapper matching the `cache_attention` contract. The mask
     must be a prefix mask (all our masks are — cache validity and full text
     context); its population count is the prefix length. max_span: static
     upper bound on that length (span-sized grid, see
     flash_attention_prefix)."""
-    skv = k.shape[1]
+    skv = k.shape[2] if kv_layout == "bhsd" else k.shape[1]
     if kv_mask is None:
         kv_len = jnp.int32(skv)
     elif kv_mask.ndim == 2:
@@ -376,7 +377,7 @@ def flash_attention(
     else:
         kv_len = jnp.sum(kv_mask.astype(jnp.int32))
     return flash_attention_prefix(q, k, v, kv_len, scale=scale,
-                                  max_span=max_span)
+                                  max_span=max_span, kv_layout=kv_layout)
 
 
 # ---------------------------------------------------------------------------
@@ -491,13 +492,13 @@ def _flash_kernel_quant(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "q_block", "kv_block", "return_lse", "interpret",
-                     "softmax", "max_span"),
+                     "softmax", "max_span", "kv_layout"),
 )
 def flash_attention_prefix_quant(
     q: jax.Array,          # [B, Sq, H, D] bf16/f32
-    k_q: jax.Array,        # [B, Skv, H, D] int8
+    k_q: jax.Array,        # [B, Skv, H, D] int8 (or [B, H, Skv, D], kv_layout)
     v_q: jax.Array,        # [B, Skv, H, D] int8
-    k_scale: jax.Array,    # [B, Skv, H] f32
+    k_scale: jax.Array,    # [B, Skv, H] f32 (or [B, H, Skv], kv_layout)
     v_scale: jax.Array,    # [B, Skv, H] f32
     kv_len: jax.Array,
     kv_start: jax.Array | int = 0,  # start of the valid span
@@ -508,6 +509,7 @@ def flash_attention_prefix_quant(
     interpret: bool = False,
     softmax: str = "fixedm",
     max_span: Optional[int] = None,
+    kv_layout: str = "bshd",
 ):
     """int8-KV flash attention over the span [kv_start, kv_len), bf16 PV
     with in-kernel dequant.
@@ -521,9 +523,11 @@ def flash_attention_prefix_quant(
     Caller contract: kv_len - kv_start <= max_span for every batch row."""
     if softmax not in ("fixedm", "runmax"):
         raise ValueError(f"softmax must be 'fixedm' or 'runmax', got {softmax}")
+    if kv_layout not in ("bshd", "bhsd"):
+        raise ValueError(f"kv_layout must be 'bshd' or 'bhsd', got {kv_layout}")
     fixedm = softmax == "fixedm"
     b, sq, h, d = q.shape
-    skv = k_q.shape[1]
+    skv = k_q.shape[2] if kv_layout == "bhsd" else k_q.shape[1]
     if scale is None:
         scale = d**-0.5
     if q_block is None:
@@ -541,10 +545,19 @@ def flash_attention_prefix_quant(
 
     qb = (bh(q).astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     qb = _pad_to(qb, 1, q_block)
-    kb = _pad_to(bh(k_q), 1, kv_block)
-    vb = _pad_to(bh(v_q), 1, kv_block)
-    ksb = _pad_to(bh_scale(k_scale.astype(jnp.float32)), 2, kv_block)
-    vsb = _pad_to(bh_scale(v_scale.astype(jnp.float32)), 2, kv_block)
+    if kv_layout == "bhsd":
+        # head-major cache: folds are free contiguous reshapes
+        kb = _pad_to(k_q.reshape(b * h, skv, d), 1, kv_block)
+        vb = _pad_to(v_q.reshape(b * h, skv, d), 1, kv_block)
+        ksb = _pad_to(k_scale.astype(jnp.float32).reshape(b * h, 1, skv),
+                      2, kv_block)
+        vsb = _pad_to(v_scale.astype(jnp.float32).reshape(b * h, 1, skv),
+                      2, kv_block)
+    else:
+        kb = _pad_to(bh(k_q), 1, kv_block)
+        vb = _pad_to(bh(v_q), 1, kv_block)
+        ksb = _pad_to(bh_scale(k_scale.astype(jnp.float32)), 2, kv_block)
+        vsb = _pad_to(bh_scale(v_scale.astype(jnp.float32)), 2, kv_block)
     sq_p, skv_p = qb.shape[1], kb.shape[1]
     n_q, n_kv = sq_p // q_block, skv_p // kv_block
     if max_span is not None:
@@ -878,7 +891,7 @@ def flash_attention_gqa(
     blocks (better MXU utilization) and KV is read once per group instead of
     once per query head (the jnp.repeat alternative copies KV rep times)."""
     b, sq, hq, d = q.shape
-    hkv = k.shape[2]
+    hkv = k.shape[1] if kwargs.get("kv_layout") == "bhsd" else k.shape[2]
     assert hq % hkv == 0, (hq, hkv)
     rep = hq // hkv
     if rep == 1:
@@ -918,7 +931,7 @@ def flash_attention_gqa_quant(
     for the e4m3 cast-only cache at the 4.5B window shape,
     exp/r4_magi_attn.py)."""
     b, sq, hq, d = q.shape
-    hkv = k_q.shape[2]
+    hkv = k_q.shape[1] if kwargs.get("kv_layout") == "bhsd" else k_q.shape[2]
     assert hq % hkv == 0, (hq, hkv)
     rep = hq // hkv
     if rep == 1:

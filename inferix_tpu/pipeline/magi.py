@@ -79,6 +79,12 @@ class MagiRuntimeConfig:
     # long walks stay at O(log) tuples. All compiles are persistently
     # cached. Disable to pin one compile per window shape.
     span_grid: bool = True
+    # head-major window cache [L, B, H, S, D] (KVCacheSpec.head_major): the
+    # span kernels' [B*H, S, D] fold becomes a free reshape instead of a
+    # full-cache transpose copy per layer per forward. Single-device/pp
+    # only (the CSO/ulysses island pspecs assume token-major). Default OFF
+    # until the exp/r7_cache_layout.py A/B lands on hardware.
+    kv_head_major: bool = False
 
 
 class MagiPipeline:
@@ -121,6 +127,7 @@ class MagiPipeline:
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
             mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
             quantize_kv=quantize_kv or runtime.quantize_kv,
+            kv_head_major=runtime.kv_head_major,
         )
         if self.statics.sp_mode in ("cso", "ulysses"):
             from ..core.monitoring import print_rank_0

@@ -98,6 +98,7 @@ class SemiARGenerator:
             m, r.batch_size, m.num_frame_per_block, r.latent_height,
             r.latent_width, dtype,
             quantized_kv=quantized_kv,
+            kv_head_major=r.kv_head_major,
             # mesh always rides the statics: sp_mode selects the in-forward
             # SP attention islands; a pp>1 mesh (with sp_mode none) routes
             # the layer stack through the GPipe pipeline

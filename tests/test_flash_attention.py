@@ -69,6 +69,29 @@ def test_flash_kv_layout_bhsd_parity():
     np.testing.assert_array_equal(np.asarray(lse), np.asarray(want_lse))
 
 
+def test_flash_quant_kv_layout_bhsd_parity():
+    """int8-KV kernel with head-major cache + scales equals the token-major
+    call (same kernel; the bhsd fold is a reshape)."""
+    from inferix_tpu.kvcache.cache import quantize_kv_block
+    from inferix_tpu.ops.flash_attention import flash_attention_prefix_quant
+
+    rng = np.random.default_rng(5)
+    b, sq, skv, h, d = 2, 16, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    k_q, k_s = quantize_kv_block(k)
+    v_q, v_s = quantize_kv_block(v)
+    want = flash_attention_prefix_quant(
+        q, k_q, v_q, k_s, v_s, jnp.int32(400), interpret=True,
+        q_block=16, kv_block=128)
+    got = flash_attention_prefix_quant(
+        q, k_q.transpose(0, 2, 1, 3), v_q.transpose(0, 2, 1, 3),
+        k_s.transpose(0, 2, 1), v_s.transpose(0, 2, 1), jnp.int32(400),
+        interpret=True, q_block=16, kv_block=128, kv_layout="bhsd")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_flash_unpadded_q_and_kv():
     """Shapes not multiples of the block sizes are padded internally."""
     rng = np.random.default_rng(1)

@@ -191,3 +191,172 @@ def test_ring_granule_dus_matches_scatter():
     a = _write_one(spec_dus, cache0, new, jnp.int32(7 * g))
     b = _write_one(spec_sc, cache0, new, jnp.int32(7 * g))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Head-major layout (KVCacheSpec.head_major): [B, H, S, D] storage must hold
+# exactly the same logical content as the token-major cache
+# ---------------------------------------------------------------------------
+
+def _hm_pair(max_tokens=12, sink=2, ring=True, quantized=False, batch=2,
+             heads=3, granule=0):
+    kw = dict(num_layers=1, batch=batch, max_tokens=max_tokens,
+              num_kv_heads=heads, head_dim=4, sink_tokens=sink, ring=ring,
+              dtype=jnp.float32, quantized=quantized, granule=granule)
+    return (KVCacheSpec(**kw), KVCacheSpec(**kw, head_major=True))
+
+
+def _rand_block(key, batch, n, heads, d=4):
+    return jax.random.normal(key, (batch, n, heads, d), jnp.float32)
+
+
+def test_head_major_write_matches_token_major():
+    """Every write path (contiguous, ring scatter, ring granule DUS,
+    per-stream vector starts) must produce the transposed image of the
+    token-major cache."""
+    key = jax.random.key(0)
+    for ring, granule, vec_start in [(False, 0, False), (True, 0, False),
+                                     (True, 2, False), (False, 0, True)]:
+        spec, spec_hm = _hm_pair(max_tokens=12, sink=2 if ring else 0,
+                                 ring=ring, granule=granule)
+        c = init_kv_cache(spec)
+        c_hm = init_kv_cache(spec_hm)
+        k, v = c.k[0], c.v[0]
+        kh, vh = c_hm.k[0], c_hm.v[0]
+        for i, start in enumerate([0, 4, 8, 12, 16]):
+            if granule and start % granule:
+                continue
+            blk = _rand_block(jax.random.fold_in(key, i), spec.batch, 4,
+                              spec.num_kv_heads)
+            st = (jnp.array([start, start + 4], jnp.int32) if vec_start
+                  else jnp.int32(start))
+            if vec_start and (start + 8) > spec.max_tokens:
+                continue
+            k, v = write_block(spec, k, v, blk, blk, st)
+            kh, vh = write_block(spec_hm, kh, vh, blk, blk, st)
+            np.testing.assert_array_equal(
+                np.asarray(kh), np.asarray(k).transpose(0, 2, 1, 3))
+            np.testing.assert_array_equal(
+                np.asarray(vh), np.asarray(v).transpose(0, 2, 1, 3))
+
+
+def test_head_major_quantized_write_matches():
+    """Quantized head-major: int8 values and the [B, H, S] scale cache must
+    be the transposed image of the token-major ones."""
+    key = jax.random.key(7)
+    spec, spec_hm = _hm_pair(ring=True, granule=2, quantized=True)
+    c = init_kv_cache(spec)
+    c_hm = init_kv_cache(spec_hm)
+    k, v, ks, vs = c.k[0], c.v[0], c.k_scale[0], c.v_scale[0]
+    kh, vh, ksh, vsh = (c_hm.k[0], c_hm.v[0],
+                        c_hm.k_scale[0], c_hm.v_scale[0])
+    assert kh.shape == (2, 3, 12, 4) and ksh.shape == (2, 3, 12)
+    for i, start in enumerate([0, 4, 8, 12]):
+        blk = _rand_block(jax.random.fold_in(key, i), 2, 4, 3)
+        k, v, ks, vs = write_block(spec, k, v, blk, blk, jnp.int32(start),
+                                   ks, vs)
+        kh, vh, ksh, vsh = write_block(spec_hm, kh, vh, blk, blk,
+                                       jnp.int32(start), ksh, vsh)
+        np.testing.assert_array_equal(
+            np.asarray(kh), np.asarray(k).transpose(0, 2, 1, 3))
+        np.testing.assert_array_equal(
+            np.asarray(ksh), np.asarray(ks).transpose(0, 2, 1))
+        np.testing.assert_array_equal(
+            np.asarray(vsh), np.asarray(vs).transpose(0, 2, 1))
+
+
+def test_head_major_generation_matches_token_major():
+    """Full semi-AR generation with kv_head_major=True equals the default
+    layout bit-for-bit (CPU: the XLA fallback transposes back; on TPU the
+    Pallas fold consumes the head-major cache directly)."""
+    import copy
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    def gen(cfg):
+        g = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        r, m = cfg.runtime, cfg.model
+        xattn = g.encode_text_context(
+            jax.random.normal(jax.random.key(7),
+                              (r.batch_size, m.text_len, m.text_dim)))
+        noise = jax.random.normal(
+            jax.random.key(1),
+            (r.batch_size, 3, r.latent_height, r.latent_width,
+             r.latent_channels))
+        latents, _ = g.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(latents)
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    base = gen(cfg)
+    cfg_hm = copy.deepcopy(cfg)
+    cfg_hm.runtime.kv_head_major = True
+    got = gen(cfg_hm)
+    np.testing.assert_array_equal(got, base)
+
+
+def test_head_major_quantized_generation_matches():
+    import copy
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    def gen(cfg):
+        g = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        r, m = cfg.runtime, cfg.model
+        xattn = g.encode_text_context(
+            jax.random.normal(jax.random.key(7),
+                              (r.batch_size, m.text_len, m.text_dim)))
+        noise = jax.random.normal(
+            jax.random.key(1),
+            (r.batch_size, 3, r.latent_height, r.latent_width,
+             r.latent_channels))
+        latents, _ = g.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(latents)
+
+    cfg = tiny_test_config()
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    base = gen(cfg)
+    cfg_hm = copy.deepcopy(cfg)
+    cfg_hm.runtime.kv_head_major = True
+    got = gen(cfg_hm)
+    np.testing.assert_array_equal(got, base)
+
+
+def test_magi_head_major_walk_matches():
+    """MAGI windowed walk with the head-major int8 window cache equals the
+    token-major walk bit-for-bit, including the 3-CFG path (sync_cache_rows
+    must copy the same token span on the transposed layout)."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = tiny_magi_config()
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    for cfg_number in (1, 3):
+        rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                               cfg_number=cfg_number, quantize_kv=True)
+        base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8,
+                                 latent_w=8, max_chunks=6, dtype=jnp.float32)
+        base = [np.asarray(lat) for _, lat in
+                base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+        rt_hm = _dc.replace(rt, kv_head_major=True)
+        hm_pipe = MagiPipeline(mcfg, rt_hm, params=params, latent_h=8,
+                               latent_w=8, max_chunks=6, dtype=jnp.float32)
+        assert hm_pipe.statics.spec.head_major
+        got = [np.asarray(lat) for _, lat in
+               hm_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+        assert len(got) == len(base)
+        for a, g in zip(base, got):
+            np.testing.assert_array_equal(g, a)
