@@ -158,10 +158,10 @@ class RuntimeConfig:
     # Head-major KV cache layout [L, B, H, S, D] (KVCacheSpec.head_major):
     # makes the flash kernels' [B*H, S, D] operand fold a free reshape
     # instead of a per-layer full-cache transpose copy, at the price of a
-    # small transpose of each written block. Single-device/tp-only (sp
-    # islands assume token-major). Default OFF until the A/B
-    # (exp/r7_cache_layout.py) is confirmed on hardware; flip after
-    # measuring.
+    # small transpose of each written block. Composes with the sp islands
+    # (ulysses/ring cache pspecs move with the head axis). Default OFF
+    # until the A/B (exp/r7_cache_layout.py) is confirmed on hardware;
+    # flip after measuring.
     kv_head_major: bool = False
 
 

@@ -516,12 +516,6 @@ def _magi_layer(
         else:
             k_layer, v_layer = new_cache
         kv_layout = "bhsd" if spec.head_major else "bshd"
-        if spec.head_major and sp_mode in ("cso", "ulysses"):
-            raise NotImplementedError(
-                "head_major MAGI window caches are single-device/pp-only "
-                "for now — the CSO/ulysses island pspecs assume token-major "
-                "(set kv_head_major=False with cp_strategy)")
-
         if sp_mode in ("cso", "ulysses"):
             # in-forward CP (reference cp-strategy dispatch ulysses/cso,
             # dit_module.py:1087-1195): "cso" pipelines per-chunk
@@ -537,6 +531,7 @@ def _magi_layer(
                 k_scales=ks_layer if spec.quantized else None,
                 v_scales=vs_layer if spec.quantized else None,
                 whole_window=sp_mode == "ulysses",
+                kv_layout=kv_layout,
             ).reshape(b, n_chunks * ct, nh, hd)
         else:
             use_pallas = jax.default_backend() == "tpu"

@@ -392,11 +392,6 @@ def block_forward(
     use_sp = (mesh is not None and sp_mode != "none"
               and mesh.shape.get("sp", 1) > 1)
     kv_layout = "bhsd" if spec.head_major else "bshd"
-    if use_sp and spec.head_major:
-        raise NotImplementedError(
-            "head_major KV caches are single-device/tp-only for now — the "
-            "sp islands' cache pspecs assume token-major layout "
-            "(set kv_head_major=False with sp>1)")
     if spec.quantized:
         k_c, v_c, ks_c, vs_c = write_block(
             spec, layer_cache[0], layer_cache[1], k, v, current_start,
@@ -411,7 +406,8 @@ def block_forward(
             from ...parallel.distributed_attention import sp_cache_attention
 
             attn = sp_cache_attention(mesh, sp_mode, q, k_c, v_c, kv_mask,
-                                      k_scales=ks_c, v_scales=vs_c)
+                                      k_scales=ks_c, v_scales=vs_c,
+                                      kv_layout=kv_layout)
         else:
             attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
                                    k_scale=ks_c, v_scale=vs_c,
@@ -424,7 +420,8 @@ def block_forward(
         if use_sp:
             from ...parallel.distributed_attention import sp_cache_attention
 
-            attn = sp_cache_attention(mesh, sp_mode, q, k_c, v_c, kv_mask)
+            attn = sp_cache_attention(mesh, sp_mode, q, k_c, v_c, kv_mask,
+                                      kv_layout=kv_layout)
         else:
             attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
                                    max_span=max_span, kv_layout=kv_layout)

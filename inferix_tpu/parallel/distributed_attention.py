@@ -38,18 +38,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.attention import attention_chunked
 
 
-def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None):
+def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None,
+                    kv_layout="bshd"):
     """Per-shard attention returning (out, lse [B, H, Sq]). With
-    k_scales/v_scales ([B, Skv, H] f32) the cache shard is int8 and the
-    span kernel dequantizes in-kernel."""
+    k_scales/v_scales ([B, Skv, H] f32; [B, H, Skv] for kv_layout='bhsd')
+    the cache shard is int8 and the span kernel dequantizes in-kernel."""
     if k.dtype == jnp.float8_e4m3fn and jax.default_backend() != "tpu":
         # fp8 KV cache on the CPU fallback path: cast-only dequant (the
         # Pallas kernel casts in-kernel)
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
-    if jax.default_backend() == "tpu" and k.shape[1] > 1024:
+    skv = k.shape[2] if kv_layout == "bhsd" else k.shape[1]
+    if jax.default_backend() == "tpu" and skv > 1024:
         if kv_mask is None:
-            kv_len = jnp.int32(k.shape[1])
+            kv_len = jnp.int32(skv)
         elif kv_mask.ndim == 2:
             kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)
         else:
@@ -58,13 +60,19 @@ def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None):
             from ..ops.flash_attention import flash_attention_prefix_quant
 
             return flash_attention_prefix_quant(
-                q, k, v, k_scales, v_scales, kv_len, return_lse=True)
+                q, k, v, k_scales, v_scales, kv_len, return_lse=True,
+                kv_layout=kv_layout)
         from ..ops.flash_attention import flash_attention_prefix
 
-        return flash_attention_prefix(q, k, v, kv_len, return_lse=True)
+        return flash_attention_prefix(q, k, v, kv_len, return_lse=True,
+                                      kv_layout=kv_layout)
     if k_scales is not None:
         k = (k.astype(jnp.float32) * k_scales[..., None]).astype(q.dtype)
         v = (v.astype(jnp.float32) * v_scales[..., None]).astype(q.dtype)
+    if kv_layout == "bhsd":
+        # XLA fallback takes token-major (CPU mesh tests)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
     return attention_chunked(q, k, v, kv_mask)
 
 
@@ -72,12 +80,15 @@ def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None):
 # Ulysses: head <-> sequence all-to-all around a full-prefix local attention
 # ---------------------------------------------------------------------------
 
-def _ulysses_body(q, k, v, kv_mask, k_scales=None, v_scales=None):
+def _ulysses_body(q, k, v, kv_mask, k_scales=None, v_scales=None,
+                  kv_layout="bshd"):
     # q: [B, S/sp, H_loc, D] (token shard); k/v: [B, Smax, H_loc/sp, D]
-    # (head shard of the cache). a2a over sp: scatter heads, gather tokens.
-    # Scales (int8 cache) are head-sharded with the cache — no exchange.
+    # (head shard of the cache; head-major caches arrive [B, H_loc/sp,
+    # Smax, D]). a2a over sp: scatter heads, gather tokens. Scales (int8
+    # cache) are head-sharded with the cache — no exchange.
     qg = jax.lax.all_to_all(q, "sp", split_axis=2, concat_axis=1, tiled=True)
-    out, _ = _local_attn_lse(qg, k, v, kv_mask, k_scales, v_scales)
+    out, _ = _local_attn_lse(qg, k, v, kv_mask, k_scales, v_scales,
+                             kv_layout=kv_layout)
     return jax.lax.all_to_all(out, "sp", split_axis=1, concat_axis=2,
                               tiled=True)
 
@@ -88,8 +99,10 @@ def ulysses_cache_attention(
     k: jax.Array,        # [B, Smax, H, D] — post-write cache (heads over sp)
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,   # [Smax] or [B, Smax]
-    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache)
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache;
+                                           # [B, H, Smax] when kv_layout)
     v_scales: Optional[jax.Array] = None,
+    kv_layout: str = "bshd",               # 'bhsd': head-major cache
 ) -> jax.Array:
     sp = mesh.shape["sp"]
     tp = mesh.shape.get("tp", 1)
@@ -97,6 +110,13 @@ def ulysses_cache_attention(
         f"heads {q.shape[2]} must divide sp*tp {sp * tp}")
     assert q.shape[1] % sp == 0, (
         f"block tokens {q.shape[1]} must divide sp {sp}")
+    if kv_layout == "bhsd":
+        # head axis leads: the shard axis moves with it
+        cache_spec = P("dp", ("tp", "sp"), None, None)
+        scale_spec = P("dp", ("tp", "sp"), None)
+    else:
+        cache_spec = P("dp", None, ("tp", "sp"), None)
+        scale_spec = P("dp", None, ("tp", "sp"))
     extra_args, extra_specs = [], []
     if kv_mask is not None:
         extra_args.append(kv_mask)
@@ -104,20 +124,20 @@ def ulysses_cache_attention(
     has_mask = kv_mask is not None
     if k_scales is not None:
         extra_args += [k_scales, v_scales]
-        extra_specs += [P("dp", None, ("tp", "sp"))] * 2
+        extra_specs += [scale_spec] * 2
 
     def body(q_, k_, v_, *rest):
         mask = rest[0] if has_mask else None
         scales = rest[1 if has_mask else 0:]
         ks_, vs_ = scales if scales else (None, None)
-        return _ulysses_body(q_, k_, v_, mask, ks_, vs_)
+        return _ulysses_body(q_, k_, v_, mask, ks_, vs_, kv_layout=kv_layout)
 
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(
             P("dp", "sp", "tp", None),          # q: tokens over sp
-            P("dp", None, ("tp", "sp"), None),  # cache: heads over tp x sp
-            P("dp", None, ("tp", "sp"), None),
+            cache_spec,                         # cache: heads over tp x sp
+            cache_spec,
         ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
         check_vma=False,
@@ -128,7 +148,8 @@ def ulysses_cache_attention(
 # Ring pass-q over the token-sharded cache
 # ---------------------------------------------------------------------------
 
-def _ring_pass_q_cache_body(q, k, v, kv_mask, k_scales=None, v_scales=None):
+def _ring_pass_q_cache_body(q, k, v, kv_mask, k_scales=None, v_scales=None,
+                            kv_layout="bshd"):
     """q: [B, Sq/sp, H_loc, D]; k/v: [B, Smax/sp, H_loc, D] cache slice;
     kv_mask: local slice of the prefix-validity mask. The (q, out, m, l)
     bundle rotates; K/V stay resident (bytes on the wire are O(q), the
@@ -142,7 +163,8 @@ def _ring_pass_q_cache_body(q, k, v, kv_mask, k_scales=None, v_scales=None):
     def step(carry, _):
         q_cur, acc, m_run, l_run = carry
         out_i, lse_i = _local_attn_lse(q_cur, k, v, kv_mask,
-                                       k_scales, v_scales)
+                                       k_scales, v_scales,
+                                       kv_layout=kv_layout)
         m_new = jnp.maximum(m_run, lse_i)
         # fully-masked local slices yield lse = -inf; guard the exp terms
         m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
@@ -174,34 +196,45 @@ def ring_pass_q_cache_attention(
     k: jax.Array,        # [B, Smax, H, D] cache, TOKENS over sp
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,
-    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache)
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache;
+                                           # [B, H, Smax] when kv_layout)
     v_scales: Optional[jax.Array] = None,
+    kv_layout: str = "bshd",               # 'bhsd': head-major cache
 ) -> jax.Array:
     sp = mesh.shape["sp"]
-    assert q.shape[1] % sp == 0 and k.shape[1] % sp == 0
+    kv_seq_axis = 2 if kv_layout == "bhsd" else 1
+    assert q.shape[1] % sp == 0 and k.shape[kv_seq_axis] % sp == 0
     if kv_mask is None:
-        kv_mask = jnp.ones(k.shape[:2], dtype=bool)
+        kv_mask = jnp.ones((k.shape[0], k.shape[kv_seq_axis]), dtype=bool)
     if kv_mask.ndim == 1:
         mask_spec = P("sp")
     else:
         mask_spec = P("dp", "sp")
+    if kv_layout == "bhsd":
+        # tokens stay the ring-sharded axis; heads lead
+        cache_spec = P("dp", "tp", "sp", None)
+        scale_spec = P("dp", "tp", "sp")
+    else:
+        cache_spec = P("dp", "sp", "tp", None)
+        scale_spec = P("dp", "sp", "tp")
 
     extra_args, extra_specs = [], []
     if k_scales is not None:
         # scales ride with the token-sharded cache slice
         extra_args += [k_scales, v_scales]
-        extra_specs += [P("dp", "sp", None)] * 2
+        extra_specs += [scale_spec] * 2
 
     def body(q_, k_, v_, mask_, *scales):
         ks_, vs_ = scales if scales else (None, None)
-        return _ring_pass_q_cache_body(q_, k_, v_, mask_, ks_, vs_)
+        return _ring_pass_q_cache_body(q_, k_, v_, mask_, ks_, vs_,
+                                       kv_layout=kv_layout)
 
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(
             P("dp", "sp", "tp", None),
-            P("dp", "sp", "tp", None),
-            P("dp", "sp", "tp", None),
+            cache_spec,
+            cache_spec,
             mask_spec,
         ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
@@ -214,7 +247,7 @@ def ring_pass_q_cache_attention(
 # ---------------------------------------------------------------------------
 
 def _cso_local_span_attn(qg, k, v, span_start, span_end,
-                         k_scales=None, v_scales=None):
+                         k_scales=None, v_scales=None, kv_layout="bshd"):
     """Local per-chunk attention over the kv span [span_start, span_end) of
     the head-sharded cache. qg: [B, ct, Hq_loc, D]; k/v: [B, Smax, Hkv_loc, D].
     With k_scales/v_scales ([B, Smax, Hkv_loc] f32) the cache is int8 and the
@@ -226,14 +259,18 @@ def _cso_local_span_attn(qg, k, v, span_start, span_end,
 
             return flash_attention_gqa_quant(
                 qg, k, v, k_scales, v_scales, kv_len=span_end,
-                kv_start=span_start)
+                kv_start=span_start, kv_layout=kv_layout)
         from ..ops.flash_attention import flash_attention_gqa
 
         return flash_attention_gqa(qg, k, v, kv_len=span_end,
-                                   kv_start=span_start)
+                                   kv_start=span_start, kv_layout=kv_layout)
     if k_scales is not None:
         k = (k.astype(jnp.float32) * k_scales[..., None]).astype(qg.dtype)
         v = (v.astype(jnp.float32) * v_scales[..., None]).astype(qg.dtype)
+    if kv_layout == "bhsd":
+        # XLA fallback takes token-major (CPU mesh tests)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
     rep = qg.shape[2] // k.shape[2]
     kf = jnp.repeat(k.astype(qg.dtype), rep, axis=2)
     vf = jnp.repeat(v.astype(qg.dtype), rep, axis=2)
@@ -250,9 +287,11 @@ def cso_chunk_attention(
     v: jax.Array,
     token_ranges: jax.Array,  # [n_chunks, 2] int32 token span per chunk
     current_end: jax.Array,   # scalar int32 clamp (live window end)
-    k_scales: Optional[jax.Array] = None,  # [B, Smax, Hkv] f32 (int8 cache)
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, Hkv] f32 (int8 cache;
+                                           # [B, Hkv, Smax] when kv_layout)
     v_scales: Optional[jax.Array] = None,
     whole_window: bool = False,
+    kv_layout: str = "bshd",               # 'bhsd': head-major window cache
 ) -> jax.Array:
     """Context-shuffle-overlap attention: the TPU redesign of the reference's
     CSO CP strategy (`inferix/distributed/parallelism/context_parallel.py:258-306`
@@ -285,9 +324,10 @@ def cso_chunk_attention(
     sp = mesh.shape["sp"]
     tp = mesh.shape.get("tp", 1)
     n_chunks = q.shape[1]
-    assert q.shape[3] % (sp * tp) == 0 and k.shape[2] % (sp * tp) == 0, (
+    hkv_axis = 1 if kv_layout == "bhsd" else 2
+    assert q.shape[3] % (sp * tp) == 0 and k.shape[hkv_axis] % (sp * tp) == 0, (
         f"tp*sp {tp}x{sp} must divide q heads {q.shape[3]} and kv heads "
-        f"{k.shape[2]}")
+        f"{k.shape[hkv_axis]}")
     assert q.shape[2] % sp == 0, (
         f"sp {sp} must divide chunk tokens {q.shape[2]}")
 
@@ -305,7 +345,7 @@ def cso_chunk_attention(
                 _cso_local_span_attn(
                     qg[:, ci], k_, v_, ranges_[ci][0],
                     jnp.minimum(ranges_[ci][1], cur_end_[0]),
-                    k_scales=ks_, v_scales=vs_)
+                    k_scales=ks_, v_scales=vs_, kv_layout=kv_layout)
                 for ci in range(n_chunks)
             ]
             out = jnp.stack(outs, axis=1)        # [B, nc, ct, Hq/sp, D]
@@ -319,14 +359,22 @@ def cso_chunk_attention(
             span = ranges_[ci]
             out = _cso_local_span_attn(
                 qg, k_, v_, span[0], jnp.minimum(span[1], cur_end_[0]),
-                k_scales=ks_, v_scales=vs_)
+                k_scales=ks_, v_scales=vs_, kv_layout=kv_layout)
             outs.append(jax.lax.all_to_all(out, "sp", split_axis=1,
                                            concat_axis=2, tiled=True))
         return jnp.stack(outs, axis=1)           # [B, n_chunks, ct/sp, Hq, D]
 
+    if kv_layout == "bhsd":
+        cache_spec = P("dp", ("tp", "sp"), None, None)
+        scale_spec = P("dp", ("tp", "sp"), None)
+        placeholder = (q.shape[0], k.shape[hkv_axis], 0)
+    else:
+        cache_spec = P("dp", None, ("tp", "sp"), None)
+        scale_spec = P("dp", None, ("tp", "sp"))
+        placeholder = (q.shape[0], 0, k.shape[hkv_axis])
     if not quantized:
         # shard_map can't take None leaves: bind zero-size placeholders
-        k_scales = jnp.zeros((q.shape[0], 0, k.shape[2]), jnp.float32)
+        k_scales = jnp.zeros(placeholder, jnp.float32)
         v_scales = k_scales
         body_fn = (lambda q_, k_, v_, r_, c_, ks_, vs_:
                    body(q_, k_, v_, r_, c_, None, None))
@@ -338,12 +386,12 @@ def cso_chunk_attention(
         in_specs=(
             # q: chunk tokens over sp, heads over tp (GSPMD matmul output)
             P("dp", None, "sp", "tp", None),
-            P("dp", None, ("tp", "sp"), None),   # cache: kv heads (tp, sp)
-            P("dp", None, ("tp", "sp"), None),
+            cache_spec,                          # cache: kv heads (tp, sp)
+            cache_spec,
             P(None, None),                       # token ranges (replicated)
             P(None),                             # current_end (replicated)
-            P("dp", None, ("tp", "sp")),         # scales: kv heads (tp, sp)
-            P("dp", None, ("tp", "sp")),
+            scale_spec,                          # scales: kv heads (tp, sp)
+            scale_spec,
         ),
         out_specs=P("dp", None, "sp", "tp", None),
         check_vma=False,
@@ -364,13 +412,16 @@ def sp_cache_attention(
     kv_mask: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,
     v_scales: Optional[jax.Array] = None,
+    kv_layout: str = "bshd",
 ) -> jax.Array:
     if mode == "ulysses":
         return ulysses_cache_attention(mesh, q, k, v, kv_mask,
-                                       k_scales, v_scales)
+                                       k_scales, v_scales,
+                                       kv_layout=kv_layout)
     if mode in ("ring", "ring_pass_q"):
         return ring_pass_q_cache_attention(mesh, q, k, v, kv_mask,
-                                           k_scales, v_scales)
+                                           k_scales, v_scales,
+                                           kv_layout=kv_layout)
     raise ValueError(f"unknown sp attention mode {mode!r}")
 
 

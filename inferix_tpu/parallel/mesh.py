@@ -91,8 +91,11 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params)
 
 
-def kv_cache_pspec() -> P:
-    """[L, B, S, H, D]: layers over pp, batch over dp, heads over tp."""
+def kv_cache_pspec(head_major: bool = False) -> P:
+    """[L, B, S, H, D]: layers over pp, batch over dp, heads over tp
+    (head-major [L, B, H, S, D] caches shard the leading head axis)."""
+    if head_major:
+        return P("pp", "dp", "tp", None, None)
     return P("pp", "dp", None, "tp", None)
 
 
@@ -173,10 +176,15 @@ def magi_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params)
 
 
-def magi_kv_cache_pspec(quantized_field: bool = False) -> P:
+def magi_kv_cache_pspec(quantized_field: bool = False,
+                        head_major: bool = False) -> P:
     """MAGI window cache [L, B, S, Hkv, D]: kv heads over the COMBINED
     (tp, sp) axis (matching the CSO island's effective head sharding);
-    scales [L, B, S, Hkv] likewise."""
+    scales [L, B, S, Hkv] likewise. head_major: [L, B, Hkv, S, D] /
+    [L, B, Hkv, S] — the shard axis moves with the heads."""
+    if head_major:
+        return (P(None, "dp", ("tp", "sp"), None) if quantized_field
+                else P(None, "dp", ("tp", "sp"), None, None))
     if quantized_field:
         return P(None, "dp", None, ("tp", "sp"))
     return P(None, "dp", None, ("tp", "sp"), None)

@@ -81,9 +81,9 @@ class MagiRuntimeConfig:
     span_grid: bool = True
     # head-major window cache [L, B, H, S, D] (KVCacheSpec.head_major): the
     # span kernels' [B*H, S, D] fold becomes a free reshape instead of a
-    # full-cache transpose copy per layer per forward. Single-device/pp
-    # only (the CSO/ulysses island pspecs assume token-major). Default OFF
-    # until the exp/r7_cache_layout.py A/B lands on hardware.
+    # full-cache transpose copy per layer per forward. Composes with the
+    # CSO/ulysses islands (cache pspecs move with the head axis). Default
+    # OFF until the exp/r7_cache_layout.py A/B lands on hardware.
     kv_head_major: bool = False
 
 
@@ -166,7 +166,8 @@ class MagiPipeline:
             self.params = jax.device_put(
                 self.params, to_named(magi_param_pspecs(self.params), mesh))
             self._cache_sharding = lambda quant_field: NamedSharding(
-                mesh, magi_kv_cache_pspec(quant_field))
+                mesh, magi_kv_cache_pspec(
+                    quant_field, head_major=self.statics.spec.head_major))
         # pp>1: run the layer stack through the microbatched GPipe pipeline
         # (cond/uncond halves stream through the stages — the reference's
         # work-queue PP overlap, video_generate.py:723-756)
