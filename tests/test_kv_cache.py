@@ -360,3 +360,38 @@ def test_magi_head_major_walk_matches():
         assert len(got) == len(base)
         for a, g in zip(base, got):
             np.testing.assert_array_equal(g, a)
+
+
+def test_head_major_fp8_generation_matches():
+    """Scale-free fp8 e4m3 cache x head-major: bit-equal to the token-major
+    fp8 run (cast-only dequant is elementwise, so layout can't change it)."""
+    import copy
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    def gen(cfg):
+        g = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        assert g.statics.spec.dtype == jnp.float8_e4m3fn
+        r, m = cfg.runtime, cfg.model
+        xattn = g.encode_text_context(
+            jax.random.normal(jax.random.key(7),
+                              (r.batch_size, m.text_len, m.text_dim)))
+        noise = jax.random.normal(
+            jax.random.key(1),
+            (r.batch_size, 3, r.latent_height, r.latent_width,
+             r.latent_channels))
+        latents, _ = g.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(latents)
+
+    cfg = tiny_test_config()
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    cfg.quant.kv_cache_dtype = "fp8"
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    base = gen(cfg)
+    cfg_hm = copy.deepcopy(cfg)
+    cfg_hm.runtime.kv_head_major = True
+    got = gen(cfg_hm)
+    np.testing.assert_array_equal(got, base)
