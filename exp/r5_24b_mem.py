@@ -79,31 +79,56 @@ def cache_bytes(cfg, max_chunks, ct, batch=2, kv_itemsize=1, scales=True):
 
 
 def arith():
+    """Per-chip bytes from the FULL geometry with EXPLICIT per-axis
+    divisions matching the engine's actual shardings — do NOT bake the
+    divisions into one model_cfg (an earlier version passed
+    num_query_groups//(tp*sp) AND tokens//sp into shared helpers, which
+    double-counted sp on the cache and over-sharded the k/v weights; the
+    real layout is:
+      params (magi_param_pspecs): big linears over tp only; layers over pp
+      cache (magi_kv_cache_pspec / CSO island): kv heads over (tp, sp),
+        TOKEN AXIS REPLICATED; layers over pp
+      activations (GSPMD latents / CSO q): window tokens over sp, ffn
+        hidden over tp)."""
+    full_cfg = model_cfg(tp=1, sp=1, pp=1)
     full_ct = 6 * (90 // 2) * (160 // 2)     # 21600 tokens/chunk
     window = 4
     rows = []
     for tp, sp, pp in [(1, 1, 1), (2, 1, 1), (4, 1, 1), (8, 1, 1),
                        (1, 2, 1), (2, 2, 1), (4, 2, 1),
                        (4, 1, 2), (2, 2, 2), (4, 2, 2)]:
-        cfg = model_cfg(tp=tp, sp=sp, pp=pp)
-        ct = full_ct // sp  # CSO shards each chunk's tokens over sp
-        p = param_bytes(cfg)
+        assert 8 % (tp * sp) == 0, "kv groups must divide tp*sp"
+        # params: tp shards every big linear; embedders/ada/norms replicate
+        p_tp = (param_bytes(full_cfg) - param_bytes(
+            dataclasses.replace(
+                full_cfg, num_attention_heads=0, num_query_groups=0,
+                ffn_hidden_size=0))) // tp + param_bytes(
+            dataclasses.replace(
+                full_cfg, num_attention_heads=0, num_query_groups=0,
+                ffn_hidden_size=0))
+        p = p_tp // pp  # layers over pp (embed ~0.1 GiB, ignore pp there)
         # serving window cache: noise2clean kvrange caps live prefix at 5
-        # chunks + the 4-chunk window -> 9 chunk slots (cfg batch 2)
-        c = cache_bytes(cfg, max_chunks=9, ct=full_ct // sp
-                        if sp > 1 else full_ct, batch=2)
-        # activations: dominant live set ~ tokens x max(h, fc1) bf16 x a
-        # small fusion factor measured ~3x on the 4.5B AOT runs
-        tokens = window * ct * 2            # cfg batch 2
-        act = tokens * max(cfg.hidden_size,
-                           (2 if cfg.gated_linear_unit else 1)
-                           * cfg.ffn_hidden_size) * 2 * 3
+        # chunks + the 4-chunk window -> 9 chunk slots (cfg batch 2);
+        # kv heads over (tp, sp), tokens replicated, layers over pp
+        c = cache_bytes(full_cfg, max_chunks=9, ct=full_ct,
+                        batch=2) // (tp * sp) // pp
+        # activations: dominant live set ~ tokens/sp x max(h, fc1/tp) bf16
+        # x a small fusion factor measured ~3x on the 4.5B AOT runs
+        tokens = window * (full_ct // sp) * 2            # cfg batch 2
+        act = tokens * max(full_cfg.hidden_size,
+                           (2 if full_cfg.gated_linear_unit else 1)
+                           * full_cfg.ffn_hidden_size // tp) * 2 * 3
         total = p + c + act
+        # distilled serving (cfg_number=1): batch 1 halves cache + act
+        total_b1 = p + c // 2 + act // 2
         rows.append(dict(tp=tp, sp=sp, pp=pp, params_gib=round(gib(p), 2),
                          cache_gib=round(gib(c), 2),
                          act_est_gib=round(gib(act), 2),
                          total_gib=round(gib(total), 2),
-                         fits=total <= (HBM_GIB - 0.5) * 2**30))
+                         fits=total <= (HBM_GIB - 0.5) * 2**30,
+                         distill_b1_total_gib=round(gib(total_b1), 2),
+                         distill_b1_fits=total_b1
+                         <= (HBM_GIB - 0.5) * 2**30))
     return rows
 
 
@@ -125,9 +150,18 @@ def aot():
     for tp, sp, pp in [(4, 1, 1), (1, 2, 1), (4, 1, 2), (2, 2, 2),
                        (4, 2, 2)]:
         cfg = model_cfg(tp=tp, sp=sp, pp=pp)
-        # per-chip latent slice: sp shards each chunk's HW tokens
+        # per-chip latent slice: sp shards each chunk's HW ACTIVATION
+        # tokens, but the cache's token axis is REPLICATED (only kv heads
+        # shard over (tp, sp) — magi_kv_cache_pspec); max_chunks=9*sp keeps
+        # the per-chip cache slice at the full 9-chunk token extent. The
+        # attention grid then steps over the larger padded cache, so the
+        # temp estimate is slightly conservative. Known slice biases: the
+        # k/v/kv_xattn WEIGHT arguments use groups//(tp*sp) though params
+        # shard over tp only (~0.15 GiB under at tp4 sp2), and attention
+        # runs 48//tp q heads though the island would run 48//(tp*sp)
+        # (temp over) — both second-order vs the GiB-scale terms.
         lat_h, lat_w = 90, 160 // sp
-        statics = make_magi_statics(cfg, 2, lat_h, lat_w, 9,
+        statics = make_magi_statics(cfg, 2, lat_h, lat_w, 9 * sp,
                                     jnp.bfloat16, quantize_kv=True)
         geo = statics.geo
         n_chunks = 4

@@ -249,25 +249,28 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
         from .pipeline.magi import magi_text_embeddings
         from .utils.checkpoint import load_sharded_safetensors
 
-        t5_params = None  # tokenizer-only dirs fall back to random towers
-        try:
-            from .models.text.umt5 import convert_t5_encoder_state_dict
-            from .utils.checkpoint import load_torch_state_dict
-            import glob
-            import os
+        from .models.text.umt5 import convert_t5_encoder_state_dict
+        from .utils.checkpoint import load_torch_state_dict
+        import glob
+        import os
 
-            bins = sorted(glob.glob(os.path.join(args.t5, "*.bin")))
-            sts = glob.glob(os.path.join(args.t5, "*.safetensors"))
+        # tokenizer-only dirs (no weight files) fall back to a random
+        # tower with a warning; a dir that HAS weight files must load them
+        # or fail loudly — silently encoding the prompt with random 4.7B
+        # params would produce an unrelated video with no error.
+        t5_params = None
+        bins = sorted(glob.glob(os.path.join(args.t5, "*.bin")))
+        sts = glob.glob(os.path.join(args.t5, "*.safetensors"))
+        if not bins and not sts:
+            print(f"[t5] no weight files in {args.t5}; using random tower")
+        else:
             sd = {}
             for b in bins:
                 sd.update(load_torch_state_dict(b))
             if sts:
                 sd.update(load_sharded_safetensors(args.t5))
-            if sd:
-                t5_params = convert_t5_encoder_state_dict(
-                    sd, t5_v1_1_xxl_config())
-        except Exception as e:
-            print(f"[t5] weight load failed ({e}); using random tower")
+            t5_params = convert_t5_encoder_state_dict(
+                sd, t5_v1_1_xxl_config())
         emb = MagiT5Embedder(params=t5_params,
                              tokenizer=AutoTokenizer.from_pretrained(args.t5))
         cap, cmask = magi_text_embeddings(args.prompt, embedder=emb)
@@ -289,8 +292,10 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
         if vae is not None and args.output:
             pixels.append(vae.decode(chunk))
     if pixels and args.output:
-        _save(jnp.concatenate(pixels, axis=1)[0], args.output)
-        print(f"saved {args.output}")
+        # vae.decode returns [-1, 1]; _save/latents_to_uint8 expect [0, 1]
+        # (the pipeline decode paths apply this in base.py _decode_latent)
+        video = jnp.concatenate(pixels, axis=1)[0] * 0.5 + 0.5
+        _save(video, args.output)
     return 0
 
 

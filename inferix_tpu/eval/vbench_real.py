@@ -212,7 +212,9 @@ class MUSIQClarity:
 
         self.model = MUSIQ(pretrained_model_path=weights_path)
         self.model.to(device)
-        self.model.training = False
+        # .eval() recurses into submodules (dropout/batchnorm); setting
+        # .training directly would only flip the top-level module
+        self.model.eval()
         self.device = device
         self._torch = torch
 

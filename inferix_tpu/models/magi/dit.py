@@ -429,13 +429,22 @@ def _postprocess_velocity(cfg: MagiModelConfig, geo: MagiGeometry,
 
 def _xattn_attend(cq: jax.Array, yk: jax.Array, yv: jax.Array,
                   cmask: jax.Array, rep: int, use_gqa: bool,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False, mesh=None) -> jax.Array:
     """Caption cross-attention. use_gqa=True (TPU): the GQA fold reads the
     caption K/V once per kv group instead of materializing a jnp.repeat
     copy per query head (~2 x rep x cap_len x kv_dim bf16 of HBM traffic
     per layer saved). The caption masks are prefix masks (valid tokens,
     then padding — incl. the 50-token null mask and special-token
-    prepends), so the popcount IS the span length."""
+    prepends), so the popcount IS the span length (generate_chunks
+    validates prefix-ness on the host).
+
+    mesh (tp/sp > 1): the projections are head-sharded, and the Pallas
+    kernel can't be GSPMD-auto-partitioned — route through the
+    collective-free head-sharded island."""
+    if mesh is not None:
+        from ...parallel.distributed_attention import gqa_head_island
+
+        return gqa_head_island(mesh, cq, yk, yv, kv_mask=cmask)
     if use_gqa and rep > 1:
         from ...ops.flash_attention import flash_attention_gqa
 
@@ -493,12 +502,20 @@ def _magi_layer(
     k = apply_rope_magi(k, angles).astype(h_x.dtype)
     v = magi_linear(blk["v"], ln).reshape(b, -1, nkv, hd)
 
+    island_mesh = (mesh if mesh is not None
+                   and sp_mode in ("cso", "ulysses") else None)
     if layer_cache is None:
         # prefix-free path (3-CFG uncond forward): each batch row is a lone
         # chunk attending only to its own live KV — no cache read or write
         # (reference generate_kv_range_for_uncondition, dit_model.py:91-100)
         new_cache = None
-        if rep > 1 and jax.default_backend() == "tpu":
+        if island_mesh is not None:
+            # head-sharded projections: the kernel must run inside an
+            # island (collective-free — every head attends independently)
+            from ...parallel.distributed_attention import gqa_head_island
+
+            core = gqa_head_island(island_mesh, q, k, v)
+        elif rep > 1 and jax.default_backend() == "tpu":
             # GQA fold: no repeated-KV copy (see _xattn_attend)
             from ...ops.flash_attention import flash_attention_gqa
 
@@ -602,7 +619,8 @@ def _magi_layer(
     xa = _xattn_attend(cq, yk.reshape(b * n_chunks, cap_len, nkv, hd),
                        yv.reshape(b * n_chunks, cap_len, nkv, hd),
                        cmask, rep,
-                       use_gqa=jax.default_backend() == "tpu")
+                       use_gqa=jax.default_backend() == "tpu",
+                       mesh=island_mesh)
     xatt = xa.reshape(b, n_chunks * ct, nh, hd)
 
     # --- joint projection with (n=2, hn=nkv) group interleave
@@ -882,6 +900,7 @@ def magi_forward_uncond(
             blk, h_x, cond, y, caption_mask, None,
             cfg=cfg, spec=spec, n_chunks=1, ct=ct, angles=angles,
             token_ranges=None, current_start=None, current_end=None,
+            mesh=statics.mesh, sp_mode=statics.sp_mode,
         )
         return h_x, None
 

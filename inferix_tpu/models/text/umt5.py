@@ -242,6 +242,24 @@ def umt5_encode(params: Params, cfg: UMT5Config, ids: jax.Array,
     return _t5_norm(norm_w, x)
 
 
+def _setup_encode(params, cfg, stream_layers):
+    """Shared tower setup: stream_layers=True converts the big tower keys
+    to host numpy and returns an un-jitted per-layer-streaming encode (the
+    reference's DynamicSwapInstaller low-VRAM mode — see
+    core.memory.stream_layer_forward); otherwise a jitted whole-tower
+    encode. Returns (params, encode_fn)."""
+    if stream_layers:
+        params = dict(params)
+        for key in ("blocks", "token_embedding", "shared_pos_emb"):
+            if key in params:
+                params[key] = jax.tree.map(
+                    lambda a: np.asarray(jax.device_get(a)), params[key])
+        return params, (lambda p, ids, mask: umt5_encode(
+            p, cfg, ids, mask, stream_layers=True))
+    return params, jax.jit(
+        lambda p, ids, mask: umt5_encode(p, cfg, ids, mask))
+
+
 class WanTextEncoder:
     """Prompt -> padded text features [B, text_len, dim] (reference
     `WanTextEncoder`, `models/self_forcing/wrapper.py:15-60`: encode with the
@@ -264,19 +282,8 @@ class WanTextEncoder:
         )
         self.tokenizer = tokenizer
         self.stream_layers = stream_layers
-        if stream_layers:
-            self.params = dict(self.params)
-            for key in ("blocks", "token_embedding", "shared_pos_emb"):
-                if key in self.params:
-                    self.params[key] = jax.tree.map(
-                        lambda a: np.asarray(jax.device_get(a)),
-                        self.params[key])
-            self._encode = lambda p, ids, mask: umt5_encode(
-                p, cfg, ids, mask, stream_layers=True)
-        else:
-            self._encode = jax.jit(
-                lambda p, ids, mask: umt5_encode(p, cfg, ids, mask)
-            )
+        self.params, self._encode = _setup_encode(self.params, cfg,
+                                                  stream_layers)
 
     def _tokenize(self, prompts):
         if self.tokenizer is None:
@@ -491,20 +498,8 @@ class MagiT5Embedder:
         self.params = params if params is not None else init_umt5_params(
             jax.random.key(0), self.cfg, dtype)
         self.tokenizer = tokenizer
-        if stream_layers:
-            # low-HBM mode: host-resident tower streamed per layer (see
-            # WanTextEncoder / core.memory.stream_layer_forward)
-            self.params = dict(self.params)
-            for key in ("blocks", "token_embedding", "shared_pos_emb"):
-                if key in self.params:
-                    self.params[key] = jax.tree.map(
-                        lambda a: np.asarray(jax.device_get(a)),
-                        self.params[key])
-            self._encode = lambda p, ids, mask: umt5_encode(
-                p, self.cfg, ids, mask, stream_layers=True)
-        else:
-            self._encode = jax.jit(
-                lambda p, ids, mask: umt5_encode(p, self.cfg, ids, mask))
+        self.params, self._encode = _setup_encode(self.params, self.cfg,
+                                                  stream_layers)
 
     def get_text_embeddings(self, texts):
         """-> (embeddings [B, L, dim], mask [B, L])."""

@@ -77,6 +77,70 @@ def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None,
 
 
 # ---------------------------------------------------------------------------
+# Head-sharded GQA island (no collectives)
+# ---------------------------------------------------------------------------
+
+def _local_gqa(q, k, v, kv_mask):
+    """Per-shard GQA attention over FRESH (non-cache) K/V: q [B, S, Hq, D],
+    k/v [B, Skv, Hkv, D], Hq % Hkv == 0; kv_mask must be a prefix mask."""
+    if jax.default_backend() == "tpu":
+        from ..ops.flash_attention import flash_attention_gqa
+
+        if kv_mask is None:
+            kv_len = jnp.int32(k.shape[1])
+        elif kv_mask.ndim == 2:
+            kv_len = jnp.sum(kv_mask.astype(jnp.int32), axis=1)
+        else:
+            kv_len = jnp.sum(kv_mask.astype(jnp.int32))
+        return flash_attention_gqa(q, k, v, kv_len=kv_len)
+    rep = q.shape[2] // k.shape[2]
+    kf = jnp.repeat(k.astype(q.dtype), rep, axis=2)
+    vf = jnp.repeat(v.astype(q.dtype), rep, axis=2)
+    out, _ = attention_chunked(q, kf, vf, kv_mask)
+    return out
+
+
+def gqa_head_island(
+    mesh: Mesh,
+    q: jax.Array,        # [B, S, Hq, D] — heads GSPMD-sharded over (tp, sp)
+    k: jax.Array,        # [B, Skv, Hkv, D] fresh K (same head sharding)
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,   # [Skv] or [B, Skv] PREFIX mask
+) -> jax.Array:
+    """Embarrassingly-parallel attention over head shards — no collectives.
+
+    Exists because the Pallas GQA kernel cannot be GSPMD-auto-partitioned:
+    when the projections are tp-sharded (magi_param_pspecs) a bare
+    pallas_call on their head-sharded outputs would force XLA to gather /
+    replicate. Every head group's attention is independent and the kv
+    heads are co-sharded with the q heads, so the island is just a
+    shard_map wrapper: each device attends its own Hq/(tp*sp) heads over
+    its own Hkv/(tp*sp) kv heads and ALL tokens. Used by the MAGI 3-CFG
+    prefix-free uncond forward and the caption cross-attention (reference
+    UnconditionGuard dit_model.py:446-492 / cross_attn dit_module.py:1047-
+    1085, which run under the same CP groups in the reference)."""
+    ts = mesh.shape.get("tp", 1) * mesh.shape.get("sp", 1)
+    assert q.shape[2] % ts == 0 and k.shape[2] % ts == 0, (
+        f"tp*sp {ts} must divide q heads {q.shape[2]} and kv heads "
+        f"{k.shape[2]}")
+    extra_args, extra_specs = [], []
+    if kv_mask is not None:
+        extra_args.append(kv_mask)
+        extra_specs.append(P("dp", None) if kv_mask.ndim == 2 else P(None))
+
+    def body(q_, k_, v_, *rest):
+        return _local_gqa(q_, k_, v_, rest[0] if rest else None)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp", None, ("tp", "sp"), None),) * 3
+        + tuple(extra_specs),
+        out_specs=P("dp", None, ("tp", "sp"), None),
+        check_vma=False,
+    )(q, k, v, *extra_args)
+
+
+# ---------------------------------------------------------------------------
 # Ulysses: head <-> sequence all-to-all around a full-prefix local attention
 # ---------------------------------------------------------------------------
 

@@ -117,12 +117,24 @@ class MagiPipeline:
         if (mesh is not None
                 and (mesh.shape.get("sp", 1) > 1
                      or mesh.shape.get("tp", 1) > 1)
-                and runtime.cp_strategy in ("cso", "ulysses")
                 and mesh.shape.get("pp", 1) == 1):
             # composes with tp>1: heads shard over the combined (tp, sp)
             # axis inside the island, linears shard over tp via GSPMD
             # (magi_param_pspecs) — the 24B tp=4 x sp=2 serving layout
             sp_mode = runtime.cp_strategy
+            if sp_mode not in ("cso", "ulysses"):
+                # head-sharded projections REQUIRE the shard_map islands
+                # (Pallas kernels can't be GSPMD-auto-partitioned — same
+                # constraint the Wan generator handles by forcing ulysses
+                # on tp-only meshes); default to cso rather than emit a
+                # program that only works on the CPU XLA fallback
+                from ..core.monitoring import print_rank_0
+
+                print_rank_0(
+                    "[magi] tp/sp>1 mesh without cp_strategy: forcing "
+                    "cp_strategy='cso' (attention must run inside the "
+                    "shard_map islands on TPU)")
+                sp_mode = "cso"
         self.statics = make_magi_statics(
             model_cfg, self.batch, latent_h, latent_w, max_chunks, dtype,
             mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
@@ -265,6 +277,19 @@ class MagiPipeline:
         cw = rt.chunk_width
         rng = rng if rng is not None else jax.random.key(rt.seed)
 
+        # The TPU GQA cross-attention converts the caption mask to a span
+        # via popcount, which is only correct for PREFIX masks (valid
+        # tokens then padding — all masks the pipeline produces). Validate
+        # here on the host, where the mask is concrete, so a non-prefix
+        # user mask fails loudly instead of silently attending the wrong
+        # caption tokens on TPU while the CPU path honors it.
+        _m = np.asarray(caption_mask) > 0
+        if not bool(np.all(_m[:, 1:] <= _m[:, :-1])):
+            raise ValueError(
+                "caption_mask must be a prefix mask (no interior zeros): "
+                "the TPU cross-attention uses its popcount as the span "
+                "length")
+
         chunk_offset = 0
         if prefix_latents is not None:
             assert prefix_latents.shape[1] % cw == 0
@@ -314,8 +339,10 @@ class MagiPipeline:
         # prefix feature extraction at clean_t fills the cache — the
         # reference extracts "clean feature without y embedding" using the
         # null half's caption (extract_prefix_video_feature:400-404); the
-        # velocity output is discarded, so the 3rd CFG forward is skipped
-        if chunk_offset > 0:
+        # velocity output is discarded, so the 3rd CFG forward is skipped.
+        # Skipped entirely on resume: the checkpointed cache already holds
+        # the prefix KV and would overwrite these forwards' only output.
+        if chunk_offset > 0 and resume_state is None:
             for ci in range(chunk_offset):
                 cache = self._forward_window(
                     x[:, ci * cw:(ci + 1) * cw],

@@ -363,3 +363,37 @@ def test_magi_cso_composes_with_head_major():
     assert len(got) == len(base)
     for a, g in zip(base, got):
         np.testing.assert_array_equal(g, a)
+
+
+def test_magi_3cfg_cso_matches_single_device():
+    """cfg_number=3 under the CSO island equals the single-device 3-CFG walk
+    (bf16 cache): covers the prefix-free uncond forward and the caption
+    cross-attention routed through gqa_head_island — on head-sharded
+    meshes those attends must run inside a shard_map island (Pallas can't
+    be GSPMD-auto-partitioned), and the island must not change the math."""
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cfg_number=3)
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8, latent_w=8,
+                             max_chunks=6, dtype=jnp.float32)
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    import dataclasses as _dc
+    rt_cso = _dc.replace(rt, cp_strategy="cso")
+    mesh = make_mesh(ParallelConfig(dp=1, sp=2, tp=1, pp=1))
+    pipe = MagiPipeline(mcfg, rt_cso, params=params, latent_h=8, latent_w=8,
+                        max_chunks=6, dtype=jnp.float32, mesh=mesh)
+    got = [np.asarray(lat) for _, lat in
+           pipe.generate_chunks(cap, cmask, chunk_num=3)]
+    assert len(got) == len(base)
+    for a, g in zip(base, got):
+        np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
