@@ -284,6 +284,8 @@ def main_magi(argv: Optional[List[str]] = None) -> int:
         cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
         cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
 
+    if args.output and vae is None:
+        print("note: --output needs --vae to decode; generating latents only")
     pixels = []
     for idx, chunk in pipe.generate_chunks(cap, cmask, chunk_num=args.chunks,
                                            prefix_latents=prefix):
