@@ -7,7 +7,7 @@ relative per-metric divergence of the decoded videos (quality_delta from
 `eval/vde.py`, including the optical-flow + MUSIQ-style plug-ins). With
 identical weights the true content is identical — any delta is pure
 numerical divergence introduced by quantization, which is exactly the
-quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r02.json and
+quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r03.json and
 prints one JSON line.
 """
 import json
@@ -110,7 +110,7 @@ def main():
                  "measure pure quantization-induced numerical divergence "
                  "on identical content"),
     }
-    with open("QUALITY_r02.json", "w") as f:
+    with open("QUALITY_r03.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

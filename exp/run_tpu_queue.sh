@@ -31,5 +31,7 @@ run magi45b_span     5400 env MAGI_WEIGHTS=int8 MAGI_SPAN=1 python -u exp/r4_mag
 run magi45b_nospan   5400 env MAGI_WEIGHTS=int8 MAGI_SPAN=0 python -u exp/r4_magi45b_fwd.py
 # 7. MAGI 4.5B with the head-major window cache (kernel-fold copy A/B)
 run magi45b_hm       5400 env MAGI_WEIGHTS=int8 MAGI_SPAN=1 MAGI_HEAD_MAJOR=1 python -u exp/r4_magi45b_fwd.py
+# 8. quality-delta harness (bf16 vs int8 from identical weights) -> QUALITY_r03
+run quality          5400 python -u bench_quality.py
 
 echo "queue done $(date)" | tee -a exp/r6_results/queue.log
