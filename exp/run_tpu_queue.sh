@@ -22,8 +22,9 @@ run attn_tune        5400 python -u exp/r6_attn_tune.py
 # 4. the 39 ms attribution: elementwise ablation first (cheap), then trace
 run ablate           3600 python -u exp/r6_op_breakdown.py --ablate
 run op_breakdown     3600 python -u exp/r6_op_breakdown.py
-# 4b. cache-layout A/B: token-major vs head-major (kernel fold copy cost)
-run cache_layout     3600 python -u exp/r7_cache_layout.py
+# 4b. cache-layout A/B: token-major vs head-major (kernel fold copy cost);
+#     the engine probes compile 2 fresh head-major programs — budget high
+run cache_layout     9000 python -u exp/r7_cache_layout.py
 # 5. 24B per-chip AOT memory table (chipless compile through the tunnel)
 run mem24b           5400 python -u exp/r5_24b_mem.py --aot
 # 6. MAGI 4.5B serving forward: span grids on vs off (vs round-2 8.42 s)

@@ -66,6 +66,11 @@ class KVCacheManager:
     """Slot allocator over a batched functional KV cache."""
 
     def __init__(self, spec: KVCacheSpec):
+        if spec.head_major:
+            raise NotImplementedError(
+                "KVCacheManager indexes the token axis at position 2 "
+                "(get_range/set); head-major caches are an engine-forward "
+                "layout — use head_major=False for managed slabs")
         self.spec = spec
         self.max_requests = spec.batch
         self._slots: Dict[str, int] = {}

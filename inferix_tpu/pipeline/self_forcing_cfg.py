@@ -76,6 +76,7 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
         self.statics = make_statics(
             m, 2 * r.batch_size, m.num_frame_per_block, r.latent_height,
             r.latent_width, self._dtype,
+            kv_head_major=r.kv_head_major,
         )
         self.rope_tables = build_rope_tables(m.head_dim, m.rope_max_seq_len)
         self.frame_seq = self.statics.geo.frame_seq
