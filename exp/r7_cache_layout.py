@@ -128,9 +128,10 @@ def run_kernel(layout):
     return ms
 
 
-def run_engine(head_major, quant=True):
+def run_engine(head_major, quant=True, span_grid=False):
     """The decision number: real 1.3B clip f/s via SemiARGenerator with
-    RuntimeConfig.kv_head_major on/off (same protocol as bench.py)."""
+    RuntimeConfig.kv_head_major / span_grid toggled (same protocol as
+    bench.py) — one queue run settles both default-OFF flags."""
     from bench import run_config
     from inferix_tpu.core.config import EngineConfig
     from inferix_tpu.models.wan.causal_dit import init_params
@@ -138,12 +139,15 @@ def run_engine(head_major, quant=True):
 
     cfg = EngineConfig()
     cfg.runtime.kv_head_major = head_major
+    cfg.runtime.span_grid = span_grid
     params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
     if quant:
         cfg.quant.enabled = True
         params = quantize_params(params, cfg.quant)
     fps, ttfb = run_config(cfg, params, jnp.bfloat16)
     tag = "hm" if head_major else "tm"
+    if span_grid:
+        tag += "_span"
     print(json.dumps({"case": f"engine_{'int8' if quant else 'bf16'}_{tag}",
                       "frames_per_s": round(fps, 3),
                       "ttfb_s": round(ttfb, 3)}), flush=True)
@@ -155,7 +159,11 @@ if __name__ == "__main__":
         run_kernel(layout)
     for layout in ("bshd", "bhsd"):
         run_scan(layout)
+    # engine A/Bs, cheapest-information-first: the int8 headline in all
+    # four (head_major x span_grid) corners, then the bf16 layout pair
     for hm in (False, True):
         run_engine(hm, quant=True)
+    for hm in (False, True):
+        run_engine(hm, quant=True, span_grid=True)
     for hm in (False, True):
         run_engine(hm, quant=False)

@@ -187,3 +187,39 @@ def test_wan_semi_ar_pp2_matches_single_device():
     mesh = make_mesh(ParallelConfig(dp=1, sp=1, tp=1, pp=2, sp_mode="none"))
     got = run(mesh)
     np.testing.assert_allclose(got, base, rtol=5e-4, atol=5e-4)
+
+
+def test_magi_walk_pp2_head_major_matches_token_major():
+    """pp=2 over the HEAD-MAJOR window cache equals pp=2 over the
+    token-major cache bit-for-bit (the pp layer_state slices the batch
+    axis only; _magi_layer and sync_cache_rows handle the layout)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from inferix_tpu.models.magi.dit import (
+        init_magi_params, tiny_magi_config)
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    cfg = tiny_magi_config()
+    rt = MagiRuntimeConfig(num_steps=2, window_size=2, chunk_width=2,
+                           cfg_number=1)
+    params = init_magi_params(jax.random.key(0), cfg, jnp.float32)
+    cap = jax.random.normal(jax.random.key(1),
+                            (1, cfg.caption_max_length, cfg.caption_channels))
+    cmask = jnp.ones((1, cfg.caption_max_length))
+    mesh = make_mesh(ParallelConfig(dp=1, sp=1, tp=1, pp=2))
+
+    def run(rt_):
+        pipe = MagiPipeline(cfg, rt_, params=params, latent_h=8, latent_w=8,
+                            max_chunks=4, mesh=mesh)
+        return dict(pipe.generate_chunks(cap, cmask, chunk_num=3,
+                                         rng=jax.random.key(2)))
+
+    base = run(rt)
+    got = run(_dc.replace(rt, kv_head_major=True))
+    assert base.keys() == got.keys() and len(base) == 3
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(base[k]),
+                                      err_msg=f"chunk {k}")
