@@ -99,6 +99,33 @@ def kv_cache_pspec(head_major: bool = False) -> P:
     return P("pp", "dp", None, "tp", None)
 
 
+def wan_kv_cache_pspec(sp_mode: str = "none", head_major: bool = False,
+                       quantized_field: bool = False) -> P:
+    """At-rest sharding for the Wan engine's KV cache, matched to the SP
+    island that reads it so the carried cache never reshards between
+    forwards (ulysses: heads over the combined (tp, sp); ring: tokens
+    over sp, heads over tp; no island: heads over tp). Layers always ride
+    pp (size-1 axes are no-ops). Value fields are [L, B, S, H, D]
+    ([L, B, H, S, D] head-major); quantized_field selects the 4-dim
+    scale layout."""
+    if sp_mode == "ulysses":
+        heads = ("tp", "sp")
+        tokens = None
+    elif sp_mode in ("ring", "ring_pass_q"):
+        heads = "tp"
+        tokens = "sp"
+    else:
+        heads = "tp"
+        tokens = None
+    if head_major:
+        axes = ["pp", "dp", heads, tokens]
+    else:
+        axes = ["pp", "dp", tokens, heads]
+    if not quantized_field:
+        axes.append(None)
+    return P(*axes)
+
+
 def xattn_cache_pspec() -> P:
     """[L, B, text_len, H, D]: layers over pp, batch over dp, heads over tp."""
     return P("pp", "dp", None, "tp", None)

@@ -192,7 +192,24 @@ class SemiARGenerator:
     # -- public API ---------------------------------------------------------
 
     def init_cache(self) -> KVCache:
-        return init_kv_cache(self.statics.spec)
+        cache = init_kv_cache(self.statics.spec)
+        mesh = self.mesh
+        if mesh is not None and mesh.devices.size > 1:
+            # place the cache in the layout the forward holds it in (the
+            # SP island's in_specs / the pp stage split) — an unsharded
+            # entry buffer would be replicated per chip (full-cache HBM
+            # per device) and reshard on first use
+            from jax.sharding import NamedSharding
+
+            from ..parallel.mesh import wan_kv_cache_pspec
+
+            spec = self.statics.spec
+            cache = jax.device_put(cache, jax.tree.map(
+                lambda f: NamedSharding(mesh, wan_kv_cache_pspec(
+                    self.sp_mode, spec.head_major,
+                    quantized_field=f.ndim == 4)),
+                cache))
+        return cache
 
     def encode_text_context(self, context: jax.Array) -> CrossAttnCache:
         """context: [B, text_len, text_dim] text-encoder features."""
