@@ -27,8 +27,9 @@ def _common_parser(desc: str) -> argparse.ArgumentParser:
                    help="checkpoint dir or .pt file (random init if absent)")
     p.add_argument("--output", type=str, default="output.mp4")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--frames", type=int, default=21,
-                   help="latent frames to generate")
+    p.add_argument("--frames", type=int, default=None,
+                   help="latent frames to generate (default 21; 4 with "
+                   "--tiny, whose attention window holds 6 frames)")
     p.add_argument("--quant", choices=["none", "int8", "fp8"], default="none")
     p.add_argument("--quant-kv", action="store_true",
                    help="quantize the KV cache to int8")
@@ -66,6 +67,8 @@ def _build_config(args):
         cfg = tiny_test_config()
     else:
         cfg = EngineConfig()
+    if getattr(args, "frames", None) is None:
+        args.frames = 4 if args.tiny else 21
     if args.model_path:
         cfg.model_path = args.model_path
     cfg.runtime.seed = args.seed
