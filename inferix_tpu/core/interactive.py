@@ -26,6 +26,10 @@ from .types import (
     QueuedInput,
 )
 
+# multi-host broadcast payload buffer: every host must use the same static
+# shape, so the payload is bounded (oversize prompts are truncated)
+_BCAST_BYTES = 65536
+
 
 class InteractiveSession:
     """Owns the mutable interaction state around the functional generator."""
@@ -75,14 +79,31 @@ class InteractiveSession:
 
     # -- generation side (worker loop) -------------------------------------
 
+    def _policy_matches(self, pending: QueuedInput, boundary: str) -> bool:
+        """Whether the queued input's apply policy lets THIS boundary
+        consume it: IMMEDIATE applies at any checkpoint, NEXT_BLOCK at
+        block or segment boundaries, NEXT_SEGMENT only at segment
+        boundaries (the reference's InputApplyPolicy contract,
+        session.py apply-policy evaluation)."""
+        policy = pending.apply_policy or self.apply_policy
+        if policy == InputApplyPolicy.NEXT_SEGMENT:
+            return boundary == "segment"
+        return True  # IMMEDIATE / NEXT_BLOCK: any checkpoint qualifies
+
     def evaluate_checkpoint(self, boundary: str, index: int) -> CheckpointResult:
         """Called by the pipeline at segment/block boundaries. Consumes the
-        queued input (host 0) and broadcasts the decision to all hosts."""
+        queued input (host 0) when the boundary satisfies the input's
+        apply policy, and broadcasts the decision to all hosts."""
         if self._stop_event.is_set():
             result = CheckpointResult(command=GenerationCommand.STOP)
         else:
             with self._lock:
-                pending, self._pending = self._pending, None
+                pending = self._pending
+                if pending is not None and self._policy_matches(pending,
+                                                                boundary):
+                    self._pending = None
+                else:
+                    pending = None
             if pending is None:
                 result = CheckpointResult(command=GenerationCommand.CONTINUE)
             elif pending.prompt is not None:
@@ -147,7 +168,22 @@ class InteractiveSession:
             "new_prompt": result.new_prompt,
             "new_guidance": result.new_guidance,
         }).encode()
-        buf = np.zeros(4096, np.uint8)
+        while len(payload) > _BCAST_BYTES:
+            # every host must agree on the buffer shape, so oversize
+            # payloads cannot grow it mid-generation; truncate the PROMPT
+            # (re-encoding each time — json escaping makes byte math
+            # unreliable) rather than crash every host on a shape mismatch
+            prompt = (result.new_prompt or "")
+            result = CheckpointResult(
+                command=result.command,
+                new_prompt=prompt[: max(len(prompt) // 2, 0)] or None,
+                new_guidance=result.new_guidance)
+            payload = json.dumps({
+                "command": result.command.value,
+                "new_prompt": result.new_prompt,
+                "new_guidance": result.new_guidance,
+            }).encode()
+        buf = np.zeros(_BCAST_BYTES, np.uint8)
         buf[: len(payload)] = np.frombuffer(payload, np.uint8)
         out = multihost_utils.broadcast_one_to_all(buf)
         data = json.loads(bytes(np.asarray(out)).rstrip(b"\x00").decode())

@@ -93,8 +93,15 @@ class AsyncMemoryManager:
     def prefetch(self, name: str) -> None:
         """Start moving a component to device (async under the hood)."""
         with self._lock:
-            self._ensure_budget(self._components[name].nbytes, exclude=name)
-            self._move(self._components[name], to_device=True)
+            comp = self._components[name]
+            # a resident component brings ZERO new bytes — counting its
+            # nbytes again on top of device_bytes() (which already includes
+            # them) evicted every other component on each use() of a
+            # resident one. Budget enforcement still runs (registration can
+            # leave the pool over budget).
+            incoming = 0 if comp.on_device else comp.nbytes
+            self._ensure_budget(incoming, exclude=name)
+            self._move(comp, to_device=True)
 
     def _ensure_budget(self, incoming: int, exclude: str) -> None:
         if self.budget_bytes is None:

@@ -45,6 +45,25 @@ def _zero_layer_donated(cache, layer_idx: int):
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(3, 4))
 def _set_range_donated(cache, k_data, v_data, layer_idx: int, slot: int,
                        start=0):
+    if cache.k_scale is not None:
+        # int8 cache: quantize the float range and update the
+        # per-(token, head) scale rows — casting floats straight to int8
+        # would truncate [-1, 1] activations to {-1, 0, 1} and leave stale
+        # scales behind
+        from .cache import quantize_kv_block
+
+        k_q, k_s = quantize_kv_block(k_data[None])
+        v_q, v_s = quantize_kv_block(v_data[None])
+        return cache._replace(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, k_q[None], (layer_idx, slot, start, 0, 0)),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, v_q[None], (layer_idx, slot, start, 0, 0)),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, k_s[None], (layer_idx, slot, start, 0)),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, v_s[None], (layer_idx, slot, start, 0)),
+        )
     return cache._replace(
         k=jax.lax.dynamic_update_slice(
             cache.k, k_data[None, None].astype(cache.k.dtype),
@@ -66,11 +85,6 @@ class KVCacheManager:
     """Slot allocator over a batched functional KV cache."""
 
     def __init__(self, spec: KVCacheSpec):
-        if spec.head_major:
-            raise NotImplementedError(
-                "KVCacheManager indexes the token axis at position 2 "
-                "(get_range/set); head-major caches are an engine-forward "
-                "layout — use head_major=False for managed slabs")
         self.spec = spec
         self.max_requests = spec.batch
         self._slots: Dict[str, int] = {}
@@ -176,18 +190,38 @@ class KVCacheManager:
             return
         self._cache = _zero_layer_donated(self._cache, layer_idx)
 
+    def _check_token_axis_api(self, name: str) -> None:
+        if self.spec.head_major:
+            raise NotImplementedError(
+                f"KVCacheManager.{name} indexes the token axis at position "
+                "2; head-major caches are an engine-forward layout — use "
+                "head_major=False for token-range slab access (allocation/"
+                "free/offload work in either layout)")
+
     def get_range(self, request: KVCacheRequest, layer_idx: int,
                   start: int, length: int):
         """Read a token range of one request's cache at one layer:
-        (k, v) with shape [length, H, D]."""
+        (k, v) with shape [length, H, D]. Quantized caches are returned
+        DEQUANTIZED (f32) — raw int8 without the scales would be
+        meaningless to a caller."""
+        self._check_token_axis_api("get_range")
         slot = self.slot_of(request)
         c = self.cache
-        return (c.k[layer_idx, slot, start:start + length],
-                c.v[layer_idx, slot, start:start + length])
+        k = c.k[layer_idx, slot, start:start + length]
+        v = c.v[layer_idx, slot, start:start + length]
+        if c.k_scale is not None:
+            ks = c.k_scale[layer_idx, slot, start:start + length]
+            vs = c.v_scale[layer_idx, slot, start:start + length]
+            k = k.astype(jnp.float32) * ks[..., None]
+            v = v.astype(jnp.float32) * vs[..., None]
+        return k, v
 
     def set_range(self, request: KVCacheRequest, layer_idx: int,
                   start: int, k_data, v_data) -> None:
-        """Partial write into one request's cache (reference `set`)."""
+        """Partial write into one request's cache (reference `set`).
+        Quantized caches quantize the incoming floats and update the
+        per-(token, head) scale rows."""
+        self._check_token_axis_api("set_range")
         slot = self.slot_of(request)
         self._cache = _set_range_donated(
             self.cache, jnp.asarray(k_data), jnp.asarray(v_data),

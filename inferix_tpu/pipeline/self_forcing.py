@@ -122,10 +122,15 @@ class SelfForcingPipeline(AbstractInferencePipeline):
         t0 = time.perf_counter()
 
         def timed_callback(block_latent, idx):
+            # time_ms is the PER-BLOCK duration (the profiler summary /
+            # analyzer / extract_metrics contract), so reset the clock
+            # after each record
+            nonlocal t0
             self.profiler.record_block_computation(
                 idx, block_latent.shape[1],
                 (time.perf_counter() - t0) * 1e3,
             )
+            t0 = time.perf_counter()
             if block_callback is not None:
                 return block_callback(block_latent, idx)
 

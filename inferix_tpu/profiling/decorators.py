@@ -79,7 +79,13 @@ def profile_block(profiler: Optional[InferixProfiler] = None):
             t0 = time.perf_counter()
             out = fn(*args, **kwargs)
             if p is not None:
-                frames = getattr(out, "shape", (0, 1))[1] if out is not None else 1
+                # frames from the first array-like result's second axis;
+                # tuples (latents, cache) unwrap, 1-D/scalar outputs and
+                # non-arrays record 1 instead of crashing the pipeline
+                probe = out[0] if isinstance(out, tuple) and out else out
+                shape = getattr(probe, "shape", None)
+                frames = shape[1] if shape is not None and len(shape) > 1 \
+                    else 1
                 p.record_block_computation(
                     counter["i"], frames, (time.perf_counter() - t0) * 1e3
                 )

@@ -23,17 +23,18 @@ def extract_metrics(report_path: str) -> Dict[str, Any]:
         "stages_ms": summary.get("stages_ms", {}),
     }
     if blocks:
+        # time_ms is the PER-BLOCK duration (every producer resets its
+        # clock after recording — semi-AR block callback, MAGI walk,
+        # profile_block decorator)
         times = [b["time_ms"] for b in blocks]
         sizes = [b.get("frames", b.get("block_size", 0)) for b in blocks]
-        # recorded timestamps are cumulative-from-start: per-block latency is
-        # the successive difference
-        deltas = [times[0]] + [t1 - t0 for t0, t1 in zip(times, times[1:])]
-        out["avg_block_ms"] = sum(deltas) / len(deltas)
-        out["max_block_ms"] = max(deltas)
+        out["avg_block_ms"] = sum(times) / len(times)
+        out["max_block_ms"] = max(times)
         total_frames = sum(sizes)
         out["total_frames"] = total_frames
-        if times[-1] > 0:
-            out["frames_per_s"] = 1000.0 * total_frames / times[-1]
+        total_ms = sum(times)
+        if total_ms > 0:
+            out["frames_per_s"] = 1000.0 * total_frames / total_ms
     mem = data.get("memory", [])
     if mem:
         out["peak_device_bytes"] = max(

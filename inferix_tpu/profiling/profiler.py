@@ -73,6 +73,16 @@ class InferixProfiler:
     def start_session(self, name: str, **tags: Any) -> None:
         if not self.config.enabled:
             return
+        if self._trace_ctx is not None:
+            # a previous session never ended (exception skipped
+            # end_session, or back-to-back sessions): finalize its trace
+            # before reset() drops the handle — a leaked live trace makes
+            # the next jax.profiler.trace raise and loses the first file
+            try:
+                self._trace_ctx.__exit__(None, None, None)
+            except Exception:
+                pass
+            self._trace_ctx = None
         self.reset()
         self.session_name = name
         self.session_tags = tags

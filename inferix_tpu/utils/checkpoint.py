@@ -161,6 +161,23 @@ def convert_causal_wan_state_dict(
 
     stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
     params["blocks"] = stacked
+
+    if dtype == jnp.bfloat16:
+        # cast big weights to bf16 ON HOST before the device transfer —
+        # transferring f32 and casting on device would double both the
+        # transfer bytes and the transient HBM (f32 model resident until
+        # the cast completes). Policy matches load_self_forcing_checkpoint:
+        # ndim>=2 weights to bf16; 1-d params and the fp32-by-contract
+        # modulation / time embedders stay f32.
+        import ml_dtypes
+
+        def host_cast(path_parts, x):
+            name = "/".join(str(getattr(p, "key", p)) for p in path_parts)
+            if "time_" in name or "modulation" in name or x.ndim < 2:
+                return x
+            return x.astype(ml_dtypes.bfloat16)
+
+        params = jax.tree_util.tree_map_with_path(host_cast, params)
     return jax.tree.map(jnp.asarray, params)
 
 

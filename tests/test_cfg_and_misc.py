@@ -105,7 +105,11 @@ def test_interactive_session_thread_safety():
     from inferix_tpu.core.interactive import InteractiveSession
     from inferix_tpu.core.types import GenerationCommand
 
-    session = InteractiveSession()
+    from inferix_tpu.core.types import InputApplyPolicy
+
+    # IMMEDIATE: block checkpoints may consume (the default NEXT_SEGMENT
+    # policy would defer everything here to a segment boundary)
+    session = InteractiveSession(apply_policy=InputApplyPolicy.IMMEDIATE)
     errors = []
     stop_flag = threading.Event()
 
@@ -193,8 +197,10 @@ def test_extract_metrics_from_report(tmp_path):
     paths = prof.save_report(rank=0)
     m = extract_metrics(paths[0])
     assert m["num_blocks"] == 2
-    assert abs(m["avg_block_ms"] - 425.0) < 1e-6   # 400 + (850-400) deltas
-    assert abs(m["frames_per_s"] - 1000.0 * 6 / 850.0) < 1e-6
+    # time_ms is the PER-BLOCK duration (single definition across the
+    # producers, profiler.summary and extract_metrics)
+    assert abs(m["avg_block_ms"] - 625.0) < 1e-6
+    assert abs(m["frames_per_s"] - 1000.0 * 6 / 1250.0) < 1e-6
     agg = aggregate_metrics([paths[0], paths[0]])
     assert agg["ranks"] == 2
     assert agg["avg_block_ms"]["avg"] == m["avg_block_ms"]
@@ -235,3 +241,79 @@ def test_memory_analysis_chipless():
     # the donated 4 MiB buffer aliases the output on backends that support
     # buffer donation (TPU always; CPU reports 0 — accept either)
     assert m["output_gib"] >= 1024 * 1024 * 4 / 2**30 - 1e-6
+
+
+def test_interactive_apply_policy_boundaries():
+    """NEXT_SEGMENT input must NOT be consumed at block checkpoints; it
+    applies at the next segment boundary. NEXT_BLOCK applies at either."""
+    from inferix_tpu.core.interactive import InteractiveSession
+    from inferix_tpu.core.types import GenerationCommand, InputApplyPolicy
+
+    s1 = InteractiveSession(apply_policy=InputApplyPolicy.NEXT_SEGMENT)
+    s1.submit_input(prompt="later")
+    assert s1.evaluate_checkpoint("block", 0).command \
+        == GenerationCommand.CONTINUE
+    res = s1.evaluate_checkpoint("segment", 0)
+    assert res.command == GenerationCommand.UPDATE_PROMPT
+    assert res.new_prompt == "later"
+    # consumed exactly once
+    assert s1.evaluate_checkpoint("segment", 1).command \
+        == GenerationCommand.CONTINUE
+
+    s2 = InteractiveSession(apply_policy=InputApplyPolicy.NEXT_BLOCK)
+    s2.submit_input(prompt="now")
+    assert s2.evaluate_checkpoint("block", 0).command \
+        == GenerationCommand.UPDATE_PROMPT
+
+
+def test_kv_manager_quantized_set_get_range():
+    """set_range on an int8 cache must quantize + update the scale rows;
+    get_range must return dequantized values (raw int8 would be garbage)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inferix_tpu.kvcache.cache import KVCacheSpec
+    from inferix_tpu.kvcache.manager import KVCacheManager, KVCacheRequest
+
+    spec = KVCacheSpec(num_layers=2, batch=2, max_tokens=8, num_kv_heads=2,
+                       head_dim=4, dtype=jnp.float32, quantized=True)
+    mgr = KVCacheManager(spec)
+    req = KVCacheRequest("r1")
+    mgr.allocate_slots(req)
+    rng = np.random.default_rng(0)
+    kd = rng.standard_normal((4, 2, 4)).astype(np.float32) * 0.3
+    vd = rng.standard_normal((4, 2, 4)).astype(np.float32) * 0.3
+    mgr.set_range(req, layer_idx=1, start=2, k_data=kd, v_data=vd)
+    k, v = mgr.get_range(req, layer_idx=1, start=2, length=4)
+    # int8 quantization error bound: absmax/127 per (token, head) row
+    np.testing.assert_allclose(np.asarray(k), kd, atol=0.3 / 127 + 1e-6)
+    np.testing.assert_allclose(np.asarray(v), vd, atol=0.3 / 127 + 1e-6)
+    # the scale rows were actually written (not left at zero)
+    scales = np.asarray(mgr.cache.k_scale[1, 0, 2:6])
+    assert (scales > 0).all()
+
+
+def test_memory_manager_resident_use_does_not_evict():
+    """use() of an already-resident component must not evict others
+    (its bytes are already counted — the old double-count thrashed every
+    other component on each use)."""
+    import numpy as np
+
+    from inferix_tpu.core.memory import AsyncMemoryManager
+
+    mb = 1024 * 1024
+    mgr = AsyncMemoryManager(budget_bytes=16 * mb)
+    mgr.register("gen", {"w": np.zeros(9 * mb // 4, np.float32)})
+    mgr.register("text", {"w": np.zeros(3 * mb // 4, np.float32)})
+    with mgr.use("gen"):
+        pass
+    with mgr.use("text"):
+        pass
+    assert mgr._components["gen"].on_device
+    assert mgr._components["text"].on_device
+    # 9 + 3 = 12 < 16: using the resident generator again must keep the
+    # text encoder on device
+    with mgr.use("gen"):
+        pass
+    assert mgr._components["text"].on_device, (
+        "resident use() evicted another component (budget double-count)")
