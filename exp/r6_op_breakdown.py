@@ -196,9 +196,16 @@ def parse_xplane(trace_dir: str, top: int = 40):
 def ablate_mode(iters: int, tiny: bool = False):
     import inferix_tpu.models.wan.causal_dit as cd
 
+    import gc
+
     step = build_step(tiny=tiny)
     base = timed(step, iters)
     results = {"full_ms": round(base, 2)}
+    print(json.dumps(results), flush=True)  # partial record survives OOM
+    # drop the first build's params/cache/executable BEFORE building the
+    # ablated one — holding both OOMs the 16 GB chip (r6_results/ablate.log)
+    del step
+    gc.collect()
     saved = {}
 
     def patch(name, fn):
