@@ -31,7 +31,8 @@ import numpy as np
 TRACE_DIR = "/tmp/r6_trace"
 
 
-def build_step(quant: bool = True, tiny: bool = False):
+def build_step(quant: bool = True, tiny: bool = False, donate: bool = False,
+               alloc_pad: bool = False):
     """One full-cache denoise forward at the 1.3B serving geometry
     (tiny=True: the unit-test config, for CPU plumbing validation)."""
     import functools
@@ -54,7 +55,8 @@ def build_step(quant: bool = True, tiny: bool = False):
     fpb = m.num_frame_per_block
     # frames per dispatch = one block; the cache size comes from
     # cfg.attention_window_frames (the full 21-frame clip)
-    statics = make_statics(m, 1, fpb, r.latent_height, r.latent_width, dtype)
+    statics = make_statics(m, 1, fpb, r.latent_height, r.latent_width, dtype,
+                           kv_alloc_multiple=2048 if alloc_pad else 0)
     rope = build_rope_tables(m.head_dim, m.rope_max_seq_len)
     xattn = jax.jit(functools.partial(precompute_crossattn_cache, cfg=m))(
         params, context=jnp.zeros((1, m.text_len, m.text_dim), dtype))
@@ -65,12 +67,21 @@ def build_step(quant: bool = True, tiny: bool = False):
     t = jnp.full((1, fpb), 400.0, jnp.float32)
     # last block position: the full cache is live
     start = jnp.int32(statics.spec.max_tokens - statics.geo.tokens)
+    # donate=True is the PRODUCTION configuration: the engine donates the
+    # cache through every dispatch (verified in-place by the alias probe),
+    # where the plain probe's non-donated jit makes XLA insert defensive
+    # whole-cache copies (~18 ms/forward at this shape — %copy.62/63 in
+    # op_breakdown.log). persist_kv=False threads the buffers through
+    # unchanged, so re-passing the returned cache keeps the loop valid.
     fn = jax.jit(functools.partial(dit_forward_inference, statics=statics,
-                                   persist_kv=False))
+                                   persist_kv=False),
+                 donate_argnames=("cache",) if donate else ())
+    state = {"cache": cache}
 
     def step():
-        out, _ = fn(params, rope_tables=rope, x=x, t=t, xattn=xattn,
-                    cache=cache, current_start=start)
+        out, state["cache"] = fn(params, rope_tables=rope, x=x, t=t,
+                                 xattn=xattn, cache=state["cache"],
+                                 current_start=start)
         return out
 
     return step
@@ -231,6 +242,12 @@ def ablate_mode(iters: int, tiny: bool = False):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the cache through the jit (the production "
+                         "configuration — separates the plain probe's "
+                         "defensive whole-cache copies from real cost)")
+    ap.add_argument("--allocpad", action="store_true",
+                    help="pad-free cache allocation (kv_alloc_pad)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tiny", action="store_true",
                     help="unit-test config on CPU (plumbing validation)")
@@ -239,5 +256,10 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     if a.ablate:
         ablate_mode(a.iters, tiny=a.tiny)
+    elif a.donate or a.allocpad:
+        step = build_step(tiny=a.tiny, donate=a.donate, alloc_pad=a.allocpad)
+        ms = timed(step, a.iters)
+        print(json.dumps({"case": "forward", "donate": a.donate,
+                          "alloc_pad": a.allocpad, "ms": round(ms, 2)}))
     else:
         trace_mode(a.iters, tiny=a.tiny)

@@ -163,6 +163,20 @@ class RuntimeConfig:
     # until the A/B (exp/r7_cache_layout.py) is confirmed on hardware;
     # flip after measuring.
     kv_head_major: bool = False
+    # Pad-free cache allocation: round the PHYSICAL cache slot count up to
+    # a multiple of the flash kernel's kv_block so the kernel's per-layer
+    # K/V pads (2 x 100 MB rewrites/layer at the 1.3B full-cache shape,
+    # ~9 ms/forward in the round-3 trace — exp/r6_results/op_breakdown.log
+    # %pad.83/84) become no-ops. Slot arithmetic stays on the logical
+    # window, the extra rows are never written or attended, and generation
+    # is bit-equal (tests; the XLA fallback slices back to the logical
+    # window — cache_attention(logical_kv=...) — so even CPU runs are
+    # exact; the sp-island CPU fallbacks don't slice, so sp x alloc-pad
+    # on CPU meshes may differ from the exact-size run at reduction-order
+    # level only — TPU kernels are exact either way). Default OFF until
+    # the e2e A/B (exp/r8_alloc_pad.py) confirms a >1% win on hardware;
+    # flip after measuring.
+    kv_alloc_pad: bool = False
 
 
 @dataclasses.dataclass

@@ -66,6 +66,21 @@ class KVCacheSpec:
     # copies at int8 B=3 window-12 — the difference between B=1 and B=4
     # fitting on a 15.75 GB v5e; see BASELINE.md round-2 capacity notes).
     granule: int = 0
+    # Physical slot count (array S dim). 0 => max_tokens. Rounding this up
+    # to a multiple of the flash kernel's kv_block (2048) makes the kernel's
+    # per-layer K/V pad a NO-OP: at the 1.3B full-cache shape the pad ops
+    # rewrite 2 x 100 MB per layer and show up at ~9 ms/forward in the
+    # round-3 trace (exp/r6_results/op_breakdown.log %pad.83/84). Slots in
+    # [max_tokens, alloc_tokens) are never written and never attended (the
+    # kernels mask by the live-prefix bound, the XLA path by valid_mask), so
+    # generation is bit-equal either way. All ring/position arithmetic stays
+    # on the LOGICAL max_tokens.
+    alloc_tokens: int = 0
+
+    @property
+    def slots(self) -> int:
+        """Physical per-layer cache rows (>= max_tokens)."""
+        return self.alloc_tokens or self.max_tokens
 
     @property
     def ring_tokens(self) -> int:
@@ -92,14 +107,14 @@ def init_kv_cache(spec: KVCacheSpec) -> KVCache:
             spec.num_layers,
             spec.batch,
             spec.num_kv_heads,
-            spec.max_tokens,
+            spec.slots,
             spec.head_dim,
         )
     else:
         shape = (
             spec.num_layers,
             spec.batch,
-            spec.max_tokens,
+            spec.slots,
             spec.num_kv_heads,
             spec.head_dim,
         )
@@ -256,7 +271,7 @@ def valid_mask(
     """Which slots hold live tokens once positions [0, current_end) have been
     written. current_end scalar -> [S]; [B] vector -> [B, S] (continuous
     batching: each stream has its own live prefix)."""
-    idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
+    idx = jnp.arange(spec.slots, dtype=jnp.int32)
     end = jnp.asarray(current_end, jnp.int32)
     if end.ndim == 1:
         return idx[None, :] < jnp.minimum(end, spec.max_tokens)[:, None]

@@ -147,7 +147,8 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
                       dtype=jnp.bfloat16, mesh=None,
                       sp_mode: str = "none", kv_dtype=None,
                       quantize_kv: bool = False,
-                      kv_head_major: bool = False) -> MagiStatics:
+                      kv_head_major: bool = False,
+                      kv_alloc_multiple: int = 0) -> MagiStatics:
     """kv_dtype overrides the window cache's storage dtype (e.g.
     float8_e4m3fn: scale-free fp8, cast-only in-kernel dequant — halves the
     window cache, which is what lets the 4.5B reference window config
@@ -158,10 +159,14 @@ def make_magi_statics(cfg: MagiModelConfig, batch: int, latent_h: int,
     the 4.5B window shape, exp/r4_magi_attn.py) — the preferred serving
     cache on v5e."""
     geo = MagiGeometry(latent_h, latent_w, cfg.chunk_width, cfg.patch_size)
+    max_tokens = max_chunks * geo.chunk_tokens
+    alloc = (-(-max_tokens // kv_alloc_multiple) * kv_alloc_multiple
+             if kv_alloc_multiple else 0)
     spec = KVCacheSpec(
         num_layers=cfg.num_layers,
         batch=batch,
-        max_tokens=max_chunks * geo.chunk_tokens,
+        max_tokens=max_tokens,
+        alloc_tokens=alloc,
         num_kv_heads=cfg.num_query_groups,
         head_dim=cfg.kv_channels,
         dtype=kv_dtype if kv_dtype is not None else dtype,
@@ -597,10 +602,11 @@ def _magi_layer(
                         vd = jnp.swapaxes(vd, 1, 2)
                     kc = jnp.repeat(kd, rep, axis=2)
                     vc = jnp.repeat(vd, rep, axis=2)
-                    idx = jnp.arange(spec.max_tokens, dtype=jnp.int32)
+                    idx = jnp.arange(spec.slots, dtype=jnp.int32)
                     mask = (idx >= span[0]) & (idx < jnp.minimum(span[1],
                                                                  current_end))
-                    outs.append(cache_attention(qi, kc, vc, kv_mask=mask))
+                    outs.append(cache_attention(qi, kc, vc, kv_mask=mask,
+                                                logical_kv=spec.max_tokens))
             core = jnp.concatenate(outs, axis=1)       # [B, S, nh, hd]
 
     # --- cross attention (parallel branch, same ln input) ---

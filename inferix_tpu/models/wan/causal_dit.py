@@ -213,19 +213,27 @@ class DiTGeometry:
 
 def make_kv_spec(cfg: ModelConfig, batch: int, latent_h: int, latent_w: int,
                  dtype=jnp.bfloat16, quantized: bool = False,
-                 kv_dtype=None, head_major: bool = False) -> KVCacheSpec:
+                 kv_dtype=None, head_major: bool = False,
+                 alloc_multiple: int = 0) -> KVCacheSpec:
     """kv_dtype overrides the cache storage dtype (e.g. float8_e4m3fn for
     the scale-free fp8 KV cache — half HBM, cast-only in-kernel dequant);
     quantized=True selects the int8 + per-(token, head)-scale cache;
     head_major=True stores the cache [L, B, H, S, D] so the flash kernels'
-    fold is a free reshape (KVCacheSpec.head_major)."""
+    fold is a free reshape (KVCacheSpec.head_major); alloc_multiple rounds
+    the PHYSICAL slot count up to a multiple (the flash kernel's kv_block)
+    so the kernel's per-layer K/V pad becomes a no-op
+    (KVCacheSpec.alloc_tokens)."""
     geo = DiTGeometry(1, latent_h, latent_w, cfg.patch_size)
     frame_seq = geo.frame_seq
     window_frames = cfg.attention_window_frames
+    max_tokens = window_frames * frame_seq
+    alloc = (-(-max_tokens // alloc_multiple) * alloc_multiple
+             if alloc_multiple else 0)
     return KVCacheSpec(
+        alloc_tokens=alloc,
         num_layers=cfg.num_layers,
         batch=batch,
-        max_tokens=window_frames * frame_seq,
+        max_tokens=max_tokens,
         num_kv_heads=cfg.num_heads,
         head_dim=cfg.head_dim,
         sink_tokens=cfg.sink_size * frame_seq,
@@ -411,7 +419,8 @@ def block_forward(
         else:
             attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
                                    k_scale=ks_c, v_scale=vs_c,
-                                   max_span=max_span, kv_layout=kv_layout)
+                                   max_span=max_span, kv_layout=kv_layout,
+                                   logical_kv=spec.max_tokens)
         new_cache = (k_c, v_c, ks_c, vs_c)
     else:
         k_c, v_c = write_block(
@@ -424,7 +433,8 @@ def block_forward(
                                       kv_layout=kv_layout)
         else:
             attn = cache_attention(q, k_c, v_c, kv_mask=kv_mask,
-                                   max_span=max_span, kv_layout=kv_layout)
+                                   max_span=max_span, kv_layout=kv_layout,
+                                   logical_kv=spec.max_tokens)
         new_cache = (k_c, v_c)
     y = linear(sa["o"], attn.reshape(b, s, c))
     x = x + _gate(y, gate_msa, frames)
@@ -484,11 +494,13 @@ def make_statics(cfg: ModelConfig, batch: int, frames: int, latent_h: int,
                  latent_w: int, dtype=jnp.bfloat16,
                  quantized_kv: bool = False, mesh=None,
                  sp_mode: str = "none", kv_dtype=None,
-                 kv_head_major: bool = False) -> DiTStatics:
+                 kv_head_major: bool = False,
+                 kv_alloc_multiple: int = 0) -> DiTStatics:
     return DiTStatics(
         cfg=cfg,
         spec=make_kv_spec(cfg, batch, latent_h, latent_w, dtype, quantized_kv,
-                          kv_dtype=kv_dtype, head_major=kv_head_major),
+                          kv_dtype=kv_dtype, head_major=kv_head_major,
+                          alloc_multiple=kv_alloc_multiple),
         geo=DiTGeometry(frames, latent_h, latent_w, cfg.patch_size),
         mesh=mesh,
         sp_mode=sp_mode,

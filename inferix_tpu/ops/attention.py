@@ -148,6 +148,7 @@ def cache_attention(
     v_scale: Optional[jax.Array] = None,
     max_span: Optional[int] = None,
     kv_layout: str = "bshd",
+    logical_kv: Optional[int] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas flash kernel on TPU, chunked XLA elsewhere.
 
@@ -163,6 +164,26 @@ def cache_attention(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     kv_seq_axis = 2 if kv_layout == "bhsd" else 1
+
+    # logical_kv (static): the cache's LOGICAL window when its allocation is
+    # padded to a kv_block multiple (KVCacheSpec.alloc_tokens). The Pallas
+    # kernels see identical shapes either way (they pad to the same multiple
+    # in-kernel), but the XLA fallback's chunk partition — and with it the
+    # softmax reduction ORDER — would change with the padded length; slicing
+    # back to the logical window keeps the fallback bit-equal to the
+    # exact-size cache. Slots past logical_kv are never valid, so this drops
+    # only masked rows.
+    if (not use_pallas and logical_kv is not None
+            and logical_kv < k.shape[kv_seq_axis]):
+        sl = [slice(None)] * k.ndim
+        sl[kv_seq_axis] = slice(0, logical_kv)
+        k = k[tuple(sl)]
+        v = v[tuple(sl)]
+        if k_scale is not None:
+            k_scale = k_scale[tuple(sl[:-1])]
+            v_scale = v_scale[tuple(sl[:-1])]
+        if kv_mask is not None:
+            kv_mask = kv_mask[..., :logical_kv]
 
     if k_scale is not None:
         if use_pallas:

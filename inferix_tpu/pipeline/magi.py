@@ -30,6 +30,7 @@ from ..models.magi.dit import (
     make_magi_statics,
 )
 from ..models.magi.scheduler import ChunkSchedule, MagiScheduleConfig
+from ..ops.flash_attention import DEFAULT_KV_BLOCK
 from ..ops.rope import build_rope_tables
 from ..profiling.profiler import InferixProfiler
 
@@ -85,6 +86,13 @@ class MagiRuntimeConfig:
     # CSO/ulysses islands (cache pspecs move with the head axis). Default
     # OFF until the exp/r7_cache_layout.py A/B lands on hardware.
     kv_head_major: bool = False
+    # Pad-free window-cache allocation (KVCacheSpec.alloc_tokens): round the
+    # physical slot count up to the flash kernel's kv_block so its per-layer
+    # K/V pads become no-ops (the 4.5B window, 4 x 12150 = 48600 tokens,
+    # pads to 49152 inside the kernel every layer otherwise). Spans address
+    # logical tokens and the pad rows are never attended — bit-equal.
+    # Default OFF until the e2e A/B lands on hardware.
+    kv_alloc_pad: bool = False
 
 
 class MagiPipeline:
@@ -140,6 +148,8 @@ class MagiPipeline:
             mesh=mesh, sp_mode=sp_mode, kv_dtype=kv_dtype,
             quantize_kv=quantize_kv or runtime.quantize_kv,
             kv_head_major=runtime.kv_head_major,
+            kv_alloc_multiple=(DEFAULT_KV_BLOCK if runtime.kv_alloc_pad
+                               else 0),
         )
         if self.statics.sp_mode in ("cso", "ulysses"):
             from ..core.monitoring import print_rank_0

@@ -32,6 +32,7 @@ from ..models.wan.causal_dit import (
     init_params,
     make_statics,
 )
+from ..ops.flash_attention import DEFAULT_KV_BLOCK
 from ..ops.rope import build_rope_tables
 from ..profiling.profiler import InferixProfiler
 from .base import AbstractInferencePipeline
@@ -77,6 +78,7 @@ class CausalDiffusionPipeline(AbstractInferencePipeline):
             m, 2 * r.batch_size, m.num_frame_per_block, r.latent_height,
             r.latent_width, self._dtype,
             kv_head_major=r.kv_head_major,
+            kv_alloc_multiple=(DEFAULT_KV_BLOCK if r.kv_alloc_pad else 0),
         )
         self.rope_tables = build_rope_tables(m.head_dim, m.rope_max_seq_len)
         self.frame_seq = self.statics.geo.frame_seq

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core.config import EngineConfig
 from ..kvcache.cache import CrossAttnCache, KVCache, init_kv_cache
+from ..ops.flash_attention import DEFAULT_KV_BLOCK
 from ..models.schedulers.flow_match import FlowMatchSchedule, warp_denoising_steps
 from ..models.wan.causal_dit import (
     DiTStatics,
@@ -99,6 +100,7 @@ class SemiARGenerator:
             r.latent_width, dtype,
             quantized_kv=quantized_kv,
             kv_head_major=r.kv_head_major,
+            kv_alloc_multiple=(DEFAULT_KV_BLOCK if r.kv_alloc_pad else 0),
             # mesh always rides the statics: sp_mode selects the in-forward
             # SP attention islands; a pp>1 mesh (with sp_mode none) routes
             # the layer stack through the GPipe pipeline

@@ -395,3 +395,154 @@ def test_head_major_fp8_generation_matches():
     cfg_hm.runtime.kv_head_major = True
     got = gen(cfg_hm)
     np.testing.assert_array_equal(got, base)
+
+
+# ---------------------------------------------------------------------------
+# Pad-free allocation (KVCacheSpec.alloc_tokens): the physical slot count is
+# rounded up to the flash kernel's kv_block so the kernel's per-layer K/V
+# pads become no-ops (~9 ms/forward at the 1.3B full-cache shape,
+# exp/r6_results/op_breakdown.log %pad.83/84). The pad rows are never
+# written or attended, so generation must be bit-equal in every cache
+# configuration.
+# ---------------------------------------------------------------------------
+
+def _gen_wan(cfg, params):
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    g = SemiARGenerator(cfg, params, dtype=jnp.float32)
+    r, m = cfg.runtime, cfg.model
+    xattn = g.encode_text_context(
+        jax.random.normal(jax.random.key(7),
+                          (r.batch_size, m.text_len, m.text_dim)))
+    noise = jax.random.normal(
+        jax.random.key(1),
+        (r.batch_size, 3, r.latent_height, r.latent_width,
+         r.latent_channels))
+    latents, _ = g.generate(noise, xattn, jax.random.key(2))
+    return np.asarray(latents), g.statics.spec
+
+
+def test_alloc_pad_spec_rounding():
+    from inferix_tpu.models.wan.causal_dit import make_kv_spec
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.kvcache.cache import init_kv_cache
+
+    m = tiny_test_config().model
+    spec = make_kv_spec(m, 1, 8, 16, jnp.float32, alloc_multiple=2048)
+    assert spec.slots == 2048 and spec.slots >= spec.max_tokens
+    assert spec.alloc_tokens % 2048 == 0
+    c = init_kv_cache(spec)
+    assert c.k.shape[2] == spec.slots
+    # default: no padding, slots == logical window
+    spec0 = make_kv_spec(m, 1, 8, 16, jnp.float32)
+    assert spec0.slots == spec0.max_tokens and spec0.alloc_tokens == 0
+
+
+def test_alloc_pad_generation_matches():
+    """kv_alloc_pad=True (slots rounded to 2048) generates bit-identically
+    to the exact-size cache."""
+    import copy
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    base, spec0 = _gen_wan(cfg, params)
+    cfg_p = copy.deepcopy(cfg)
+    cfg_p.runtime.kv_alloc_pad = True
+    got, spec1 = _gen_wan(cfg_p, params)
+    assert spec1.slots > spec1.max_tokens == spec0.max_tokens
+    np.testing.assert_array_equal(got, base)
+
+
+def test_alloc_pad_composes_with_int8_head_major():
+    """alloc padding x int8(+scales) x head-major: all three cache options
+    together still generate bit-identically to the plain exact-size run's
+    quantized baseline."""
+    import copy
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+
+    cfg = tiny_test_config()
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    base, _ = _gen_wan(cfg, params)
+    cfg_p = copy.deepcopy(cfg)
+    cfg_p.runtime.kv_alloc_pad = True
+    cfg_p.runtime.kv_head_major = True
+    got, spec = _gen_wan(cfg_p, params)
+    assert spec.head_major and spec.slots > spec.max_tokens
+    assert spec.quantized
+    np.testing.assert_array_equal(got, base)
+
+
+def test_alloc_pad_rolling_window_matches():
+    """Ring cache + alloc padding: slot arithmetic stays on the LOGICAL
+    window (ring wraps at max_tokens, not at the padded slot count), so the
+    rolling-window generation is unchanged."""
+    import copy
+
+    from inferix_tpu.core.config import tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator
+
+    def gen(cfg, params):
+        g = SemiARGenerator(cfg, params, dtype=jnp.float32)
+        assert g.statics.spec.ring
+        r, m = cfg.runtime, cfg.model
+        xattn = g.encode_text_context(
+            jnp.zeros((1, m.text_len, m.text_dim)))
+        noise = jax.random.normal(
+            jax.random.key(1),
+            (1, 6, r.latent_height, r.latent_width, r.latent_channels),
+            jnp.float32)
+        latents, _ = g.generate(noise, xattn, jax.random.key(2))
+        return np.asarray(latents), g.statics.spec
+
+    cfg = tiny_test_config()
+    cfg.model.local_attn_size = 3
+    cfg.model.sink_size = 1
+    cfg.model.max_attention_frames = 3
+    params = init_params(jax.random.key(0), cfg.model, dtype=jnp.float32)
+    base, _ = gen(cfg, params)
+    cfg_p = copy.deepcopy(cfg)
+    cfg_p.runtime.kv_alloc_pad = True
+    got, spec = gen(cfg_p, params)
+    assert spec.slots > spec.max_tokens
+    np.testing.assert_array_equal(got, base)
+
+
+def test_magi_alloc_pad_walk_matches():
+    """MAGI windowed walk (incl. 3-CFG) with the padded int8 window cache is
+    bit-equal to the exact-size walk: spans address logical tokens only."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    mcfg = tiny_magi_config()
+    params = init_magi_params(jax.random.key(3), mcfg, jnp.float32)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                           cfg_number=3, quantize_kv=True)
+    base_pipe = MagiPipeline(mcfg, rt, params=params, latent_h=8,
+                             latent_w=8, max_chunks=6, dtype=jnp.float32)
+    base = [np.asarray(lat) for _, lat in
+            base_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    rt_p = _dc.replace(rt, kv_alloc_pad=True)
+    pad_pipe = MagiPipeline(mcfg, rt_p, params=params, latent_h=8,
+                            latent_w=8, max_chunks=6, dtype=jnp.float32)
+    spec = pad_pipe.statics.spec
+    assert spec.slots > spec.max_tokens
+    got = [np.asarray(lat) for _, lat in
+           pad_pipe.generate_chunks(cap, cmask, chunk_num=3)]
+    assert len(got) == len(base)
+    for a, g in zip(base, got):
+        np.testing.assert_array_equal(g, a)
