@@ -211,6 +211,68 @@ def run_magi_mesh(pcfg, cp_strategy: str = "none", steps: int = 2):
     }
 
 
+def magi_45b_wire_table():
+    """Ulysses-vs-CSO ICI decision data at the REAL MAGI-1 4.5B window shape
+    (VERDICT r3 item 9): per-device bytes-on-wire per layer/forward
+    (analytic — sp_comm_bytes_per_layer; hardware-independent) and the
+    per-window-forward collective COUNT structure (from the compiled
+    tiny-shape module, run_magi_mesh — structure is shape-independent).
+
+    4.5B geometry (example/magi/configs/4.5B/4.5B_config.json): 34 layers,
+    24 heads x d128, 8 kv groups, chunk_width 6 @ 720x720 -> 90x90 latents
+    = 12150 tokens/chunk, window 4 = 48600-token forwards; base config
+    cfg_number=3 => 3 window forwards per denoise step.
+    """
+    from inferix_tpu.parallel.distributed_attention import (
+        sp_comm_bytes_per_layer)
+
+    layers, heads, hd = 34, 24, 128
+    chunk_tokens, window = 12150, 4
+    wq = chunk_tokens * window  # 48600
+    rows = []
+    for mode in ("ulysses", "cso", "ring_pass_q"):
+        for sp, tp in ((2, 1), (2, 4), (4, 1), (4, 2), (8, 1)):
+            per_layer = sp_comm_bytes_per_layer(
+                mode if mode != "ring_pass_q" else "ring", sp, tp,
+                batch=1, block_tokens=wq, cache_tokens=wq,
+                num_heads=heads, head_dim=hd)
+            # collective events per layer per forward: ulysses = 1 a2a pair;
+            # cso = one pair per chunk (the chains that overlap per-chunk);
+            # ring = sp ppermute hops x 3 tensors
+            events = {"ulysses": 2, "cso": 2 * window,
+                      "ring_pass_q": 3 * sp}[mode]
+            rows.append({
+                "mode": mode, "sp": sp, "tp": tp,
+                "bytes_per_layer_fwd_MiB": round(per_layer / 2**20, 2),
+                "bytes_per_cfg3_step_GiB": round(
+                    per_layer * layers * 3 / 2**30, 3),
+                "collective_events_per_layer_fwd": events,
+                "avg_bytes_per_event_MiB": round(
+                    per_layer / max(events, 1) / 2**20, 2),
+            })
+    return {
+        "shape": {"layers": layers, "heads": heads, "head_dim": hd,
+                  "chunk_tokens": chunk_tokens, "window": window,
+                  "cfg_forwards": 3},
+        "note": ("ulysses and cso move IDENTICAL volume (the cso per-chunk "
+                 "chains are the same shard exchange split window-size "
+                 "ways); ring moves ~3x (f32 acc + stats hop every step)"),
+        "decision_rule": (
+            "pre-registered for the first real pod run: choose ULYSSES "
+            "when the per-layer a2a is latency-tolerable (volume/ICI_bw "
+            "dominates hop latency, i.e. avg event >= ~1 MiB — true at "
+            "every row here), because fewer, larger collectives waste "
+            "less sequencer/launch time and XLA already overlaps the "
+            "single pair with the layer's matmuls; choose CSO only if "
+            "profiling shows the ulysses a2a NOT overlapped (>5% of layer "
+            "time exposed) while the per-chunk chains would hide under "
+            "per-chunk attention — cso's win condition is overlap, not "
+            "volume. Measure both on 8 chips; the loser is deleted from "
+            "the serving config, not kept as an option."),
+        "rows": rows,
+    }
+
+
 def main():
     from inferix_tpu.core.config import ParallelConfig
 
@@ -261,7 +323,9 @@ def main():
             results.append(res)
             print(json.dumps(res))
 
-    if len(results) > 1:
+    wire = magi_45b_wire_table()
+    print(json.dumps({"magi_45b_wire_table": wire["rows"][:2]}))
+    if len(results) > 1 or wire:
         out = {
             "note": ("virtual-CPU relative overhead measurement: all "
                      "devices share the host cores, collectives are "
@@ -269,8 +333,9 @@ def main():
                      if _n_virtual else "real devices"),
             "host_cores": os.cpu_count(),
             "results": results,
+            "magi_45b_wire_table": wire,
         }
-        with open("SCALING_r03.json", "w") as f:
+        with open("SCALING_r04.json", "w") as f:
             json.dump(out, f, indent=1)
 
 

@@ -144,8 +144,13 @@ if WEIGHTS == "int8":
 _host.__exit__(None, None, None)
 params = jax.device_put(params, jax.devices()[0])  # one host->chip transfer
 
+# MAGI_CFG=3: the BASE (non-distilled) sampling config — 3 window forwards
+# per step (cond_pre_and_text/cond_pre batched rows + prefix-free uncond;
+# reference example/magi/configs/4.5B/4.5B_config.json cfg_number: 3).
+# Predicted ~2.5x the distilled forward (BASELINE.md round-3 item 4).
+CFG_N = int(os.environ.get("MAGI_CFG", "1"))
 rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
-                       cfg_number=1, noise2clean_kvrange=(5, 4, 3, 2),
+                       cfg_number=CFG_N, noise2clean_kvrange=(5, 4, 3, 2),
                        clean_chunk_kvrange=1,
                        # MAGI_SPAN=0 pins the full-cache grid (A/B for the
                        # span-sized-grid fix, exp/r5_span_grid.py)
@@ -166,7 +171,7 @@ pipe = MagiPipeline(
     max_chunks=W_CHUNKS, dtype=jnp.bfloat16,
     kv_dtype=jnp.float8_e4m3fn if KV == "fp8" else None,
     quantize_kv=(KV == "int8"))
-assert pipe.batch == 1, pipe.batch
+assert pipe.batch == (2 if CFG_N >= 2 else 1), pipe.batch
 
 from inferix_tpu.kvcache.cache import init_kv_cache
 
@@ -177,6 +182,9 @@ cmask = jnp.ones((1, cfg.caption_max_length))
 x_window = jnp.asarray(rng.standard_normal(
     (1, W_CHUNKS * rt.chunk_width, H, W, cfg.in_channels),
     np.float32).astype(ml_dtypes.bfloat16))
+# cfg>=2 runs the cond/uncond halves as batch rows sharing the x window
+# (generate_chunks does the same broadcast before _forward_window)
+x_window = jnp.broadcast_to(x_window, (pipe.batch, *x_window.shape[1:]))
 t_vals = np.array([0.9, 0.7, 0.4, 0.1])
 kv_ranges = np.stack([np.zeros(W_CHUNKS, np.int32),
                       np.arange(1, W_CHUNKS + 1, dtype=np.int32)], axis=1)
@@ -248,6 +256,7 @@ chunk_s = steps_per_chunk * fwd_s
 pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
 line = json.dumps({
     "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
+    "cfg_number": CFG_N,
     "weights": WEIGHTS, "kv_cache": KV, "layers": cfg.num_layers,
     "span_grid": rt.span_grid,
     "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),

@@ -113,6 +113,14 @@ class QuantConfig:
     # text_embedding / proj_out / head and first/last layer qkv)
     exclude: Tuple[str, ...] = ("text_embedding", "head", "patch_embedding", "time_")
     first_last_layer_excluded: bool = True
+    # Fused one-pass activation quantization (Pallas, ops/act_quant.py):
+    # quantize each int8 linear's input in a single read->s8 pass and fold
+    # the FFN gelu into fc2's quant, instead of XLA's multi-pass chain
+    # (~16 ms/forward at the 1.3B fc2 input, exp/r6_results/
+    # op_breakdown.log). Numerics: quant codes within +-1 where the gelu is
+    # folded (f32 vs bf16 tanh rounding), exact elsewhere. Default OFF
+    # pending the engine A/B (exp/r10_act_quant.py); flip after measuring.
+    fused_act_quant: bool = False
 
 
 @dataclasses.dataclass
@@ -173,10 +181,21 @@ class RuntimeConfig:
     # window — cache_attention(logical_kv=...) — so even CPU runs are
     # exact; the sp-island CPU fallbacks don't slice, so sp x alloc-pad
     # on CPU meshes may differ from the exact-size run at reduction-order
-    # level only — TPU kernels are exact either way). Default OFF until
-    # the e2e A/B (exp/r8_alloc_pad.py) confirms a >1% win on hardware;
-    # flip after measuring.
+    # level only). TPU kernels are exact at production shapes (logical
+    # window >= the 2048-token kv_block): there the padded and exact
+    # allocations tile identically. A logical window SMALLER than kv_block
+    # may tile differently when padded (the kernel sizes its kv grid from
+    # the physical S), allowing reduction-order-level drift on TPU too.
+    # Default OFF until the e2e A/B (exp/r8_alloc_pad.py) confirms a >1%
+    # win on hardware; flip after measuring.
     kv_alloc_pad: bool = False
+    # Rope via a constant +-1 rotation matmul (ops/rope.py set_rope_impl
+    # "mxu") instead of the interleaved-pair reshape whose [.., D//2, 2]
+    # tensors XLA lays out as T(2,128) (~3 ms/forward at the 1.3B shape,
+    # exp/r6_results/op_breakdown.log %subtract_convert_fusion.3). Same
+    # arithmetic term for term (the matmul extracts partner lanes exactly).
+    # Default OFF pending the engine A/B (exp/r10_act_quant.py).
+    rope_mxu: bool = False
 
 
 @dataclasses.dataclass

@@ -77,6 +77,15 @@ class KVCacheSpec:
     # on the LOGICAL max_tokens.
     alloc_tokens: int = 0
 
+    def __post_init__(self):
+        # A physical allocation SMALLER than the logical window would
+        # silently truncate the cache and break every write/mask bound.
+        if self.alloc_tokens and self.alloc_tokens < self.max_tokens:
+            raise ValueError(
+                f"alloc_tokens ({self.alloc_tokens}) must be 0 or >= "
+                f"max_tokens ({self.max_tokens})"
+            )
+
     @property
     def slots(self) -> int:
         """Physical per-layer cache rows (>= max_tokens)."""

@@ -381,16 +381,34 @@ def block_forward(
     shift_mlp, scale_mlp, gate_mlp = mod[:, :, 3], mod[:, :, 4], mod[:, :, 5]
 
     # --- self attention over KV cache ---
+    from ...quant.api import (quantized_linear_prequant, use_fused_prologue)
+
     sa = block["self_attn"]
-    h_in = _modulate(layer_norm(x, eps=cfg.eps), shift_msa, scale_msa, frames)
-    if "qkv" in sa:
-        # fused projection (see fuse_qkv_params): one [D, 3D] matmul
-        qkv = linear(sa["qkv"], h_in)
-        q_p, k_p, v_p = jnp.split(qkv, 3, axis=-1)
+    lead_p = sa["qkv"] if "qkv" in sa else sa["q"]
+    if use_fused_prologue(lead_p, x):
+        # fused LN+modulate+quant prologue (ops/act_quant.py): the bf16
+        # modulated tensor never round-trips HBM before the int8 matmul
+        from ...quant.api import adaln_quant
+
+        h_q, h_s = adaln_quant(x, shift_msa, scale_msa, cfg.eps)
+        if "qkv" in sa:
+            qkv = quantized_linear_prequant(sa["qkv"], h_q, h_s, x.dtype)
+            q_p, k_p, v_p = jnp.split(qkv, 3, axis=-1)
+        else:
+            q_p = quantized_linear_prequant(sa["q"], h_q, h_s, x.dtype)
+            k_p = quantized_linear_prequant(sa["k"], h_q, h_s, x.dtype)
+            v_p = quantized_linear_prequant(sa["v"], h_q, h_s, x.dtype)
     else:
-        q_p = linear(sa["q"], h_in)
-        k_p = linear(sa["k"], h_in)
-        v_p = linear(sa["v"], h_in)
+        h_in = _modulate(layer_norm(x, eps=cfg.eps), shift_msa, scale_msa,
+                         frames)
+        if "qkv" in sa:
+            # fused projection (see fuse_qkv_params): one [D, 3D] matmul
+            qkv = linear(sa["qkv"], h_in)
+            q_p, k_p, v_p = jnp.split(qkv, 3, axis=-1)
+        else:
+            q_p = linear(sa["q"], h_in)
+            k_p = linear(sa["k"], h_in)
+            v_p = linear(sa["v"], h_in)
     q = rms_norm(q_p, sa["norm_q"]["w"], cfg.eps)
     k = rms_norm(k_p, sa["norm_k"]["w"], cfg.eps)
     v = v_p.reshape(b, s, nh, hd)
@@ -441,9 +459,19 @@ def block_forward(
 
     # --- cross attention (cached text K/V; + image K/V for i2v) ---
     ca = block["cross_attn"]
-    h_x = layer_norm(x, block["norm3"]["w"], block["norm3"]["b"], cfg.eps) \
-        if cfg.cross_attn_norm else layer_norm(x, eps=cfg.eps)
-    cq = rms_norm(linear(ca["q"], h_x), ca["norm_q"]["w"], cfg.eps)
+    if use_fused_prologue(ca["q"], x):
+        from ...quant.api import ln_quant
+
+        w3 = block["norm3"]["w"] if cfg.cross_attn_norm else None
+        b3 = block["norm3"]["b"] if cfg.cross_attn_norm else None
+        hq2, hs2 = ln_quant(x.reshape(b * s, c), w3, b3, cfg.eps)
+        cq = quantized_linear_prequant(ca["q"], hq2, hs2, x.dtype)
+        cq = cq.reshape(b, s, c)
+    else:
+        h_x = layer_norm(x, block["norm3"]["w"], block["norm3"]["b"], cfg.eps) \
+            if cfg.cross_attn_norm else layer_norm(x, eps=cfg.eps)
+        cq = linear(ca["q"], h_x)
+    cq = rms_norm(cq, ca["norm_q"]["w"], cfg.eps)
     cq = cq.reshape(b, s, nh, hd)
     xa = cache_attention(cq, xattn_k, xattn_v)
     if xattn_img is not None:
@@ -453,9 +481,21 @@ def block_forward(
     x = x + linear(ca["o"], xa.reshape(b, s, c))
 
     # --- FFN ---
-    h_f = _modulate(layer_norm(x, eps=cfg.eps), shift_mlp, scale_mlp, frames)
-    y = linear(block["ffn"]["fc2"],
-               jax.nn.gelu(linear(block["ffn"]["fc1"], h_f), approximate=True))
+    # quantized_ffn folds the gelu into fc2's activation-quant pass when the
+    # fused act-quant kernel is enabled (never materializes the bf16 gelu
+    # tensor); identical to linear(fc2, gelu(linear(fc1, h))) otherwise.
+    from ...quant.api import quantized_ffn
+
+    if use_fused_prologue(block["ffn"]["fc1"], x):
+        from ...quant.api import adaln_quant
+
+        hq3, hs3 = adaln_quant(x, shift_mlp, scale_mlp, cfg.eps)
+        y = quantized_ffn(block["ffn"]["fc1"], block["ffn"]["fc2"],
+                          x_q=hq3, x_scale=hs3, out_dtype=x.dtype)
+    else:
+        h_f = _modulate(layer_norm(x, eps=cfg.eps), shift_mlp, scale_mlp,
+                        frames)
+        y = quantized_ffn(block["ffn"]["fc1"], block["ffn"]["fc2"], h_f)
     x = x + _gate(y, gate_mlp, frames)
     return x, new_cache
 

@@ -212,11 +212,6 @@ def cache_attention(
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
 
-    if k.dtype == jnp.float8_e4m3fn and not use_pallas:
-        # XLA fallback path: cast-only dequant of the fp8 KV cache
-        k = k.astype(q.dtype)
-        v = v.astype(q.dtype)
-
     # Small-KV attention (cross-attention over 512 text tokens) is cheaper as
     # fused XLA ops than as a Pallas kernel launch (measured 0.58 vs 0.75 ms
     # at kv=512): below this threshold the unfused logits fit comfortably and
@@ -224,13 +219,31 @@ def cache_attention(
     # f32 logits [B, H, Sq, Skv], so it is gated on that tensor's size too —
     # MAGI's window forward (Sq = 4x12150, 24 heads, 800 caption tokens) hit
     # a 3.48 GB logits temp here and OOM'd the 4.5B model off one v5e.
-    skv = k.shape[kv_seq_axis]
+    # The threshold uses the LOGICAL window when the allocation is padded
+    # (kv_alloc_pad): a small window stays on the fused-XLA path whether or
+    # not its allocation is rounded up, so padding never changes the compute
+    # path (and with it the reduction order) of a small-KV attention.
+    skv = k.shape[kv_seq_axis] if logical_kv is None else logical_kv
     logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * skv
     if use_pallas and (skv > 1024 or logits_bytes > 256 * 2**20):
         from .flash_attention import flash_attention as pallas_flash
 
         return pallas_flash(q, k, v, kv_mask=kv_mask, scale=scale,
                             max_span=max_span, kv_layout=kv_layout)
+    if use_pallas and logical_kv is not None and logical_kv < k.shape[kv_seq_axis]:
+        # Taking the fused-XLA path on TPU with a padded allocation: slice
+        # back to the logical window (same bit-equality argument as the
+        # fallback slice above — padded slots are never valid).
+        sl = [slice(None)] * k.ndim
+        sl[kv_seq_axis] = slice(0, logical_kv)
+        k = k[tuple(sl)]
+        v = v[tuple(sl)]
+        if kv_mask is not None:
+            kv_mask = kv_mask[..., :logical_kv]
+    if k.dtype == jnp.float8_e4m3fn:
+        # Non-kernel paths: cast-only dequant of the fp8 KV cache
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
     if kv_layout == "bhsd":
         # XLA paths take token-major [B, Skv, H, D] (CPU tests / tiny KV)
         k = jnp.swapaxes(k, 1, 2)

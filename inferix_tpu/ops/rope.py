@@ -92,6 +92,38 @@ def rope_angles(
     return out.reshape(f * h * w, c_t + c_h + c_w)
 
 
+# Global rope implementation switch (trace-time static; pipelines set it
+# from RuntimeConfig.rope_mxu at init). "pairs" is the original interleaved
+# even/odd formulation; "mxu" computes the identical rotation as
+# x*cosF + (x@R)*sinF with a constant +-1 rotation matrix R [D, D] — the
+# pair shuffle becomes a tiny MXU matmul instead of a [.., D//2, 2]
+# reshape, which XLA lays out as T(2,128) and burns ~3 ms/forward on at
+# the 1.3B shape (exp/r6_results/op_breakdown.log
+# %subtract_convert_fusion.3).
+_ROPE_IMPL = "pairs"
+
+
+def set_rope_impl(impl: str) -> None:
+    global _ROPE_IMPL
+    assert impl in ("pairs", "mxu")
+    _ROPE_IMPL = impl
+
+
+@functools.lru_cache(maxsize=8)
+def _rope_rotation_matrix(d: int) -> np.ndarray:
+    """R such that (x @ R)[2j] = -x[2j+1], (x @ R)[2j+1] = x[2j].
+
+    Cached as HOST numpy (a jnp constant created inside a trace would be
+    cached as a tracer and leak into later traces); jnp.asarray at the use
+    site embeds it as a compile-time constant.
+    """
+    r = np.zeros((d, d), np.float32)
+    for j in range(d // 2):
+        r[2 * j + 1, 2 * j] = -1.0
+        r[2 * j, 2 * j + 1] = 1.0
+    return r
+
+
 def apply_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
     """Rotate adjacent (even, odd) pairs of the head dim.
 
@@ -100,8 +132,24 @@ def apply_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
     Computation in float32, result cast back to x.dtype.
     """
     orig_dtype = x.dtype
+    *lead, s, nh, d = x.shape
+    if _ROPE_IMPL == "mxu":
+        # out[2j]   = x[2j]*cos - x[2j+1]*sin
+        # out[2j+1] = x[2j]*sin + x[2j+1]*cos
+        # == x * cosF + (x @ R) * sinF with cos/sin repeated per pair.
+        # The +-1 matmul extracts the partner values EXACTLY (f32
+        # accumulation of single +-bf16 terms), so the arithmetic matches
+        # the pairs formulation term for term.
+        cosf = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, None, :]  # [S,1,D]
+        sinf = jnp.repeat(jnp.sin(angles), 2, axis=-1)[:, None, :]
+        xr = jax.lax.dot_general(
+            x, jnp.asarray(_rope_rotation_matrix(d), x.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = x.astype(jnp.float32) * cosf + xr * sinf
+        return out.astype(orig_dtype)
     xf = x.astype(jnp.float32)
-    *lead, s, nh, d = xf.shape
     xf = xf.reshape(*lead, s, nh, d // 2, 2)
     x_even = xf[..., 0]
     x_odd = xf[..., 1]

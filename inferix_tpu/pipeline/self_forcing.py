@@ -61,9 +61,14 @@ class SelfForcingPipeline(AbstractInferencePipeline):
                     dtype=self._dtype,
                 )
         if cfg.quant.enabled:
-            from ..quant.api import quantize_params
+            from ..quant.api import quantize_params, set_fused_act_quant
 
             self._params = quantize_params(self._params, cfg.quant)
+            set_fused_act_quant(cfg.quant.fused_act_quant)
+        if cfg.runtime.rope_mxu:
+            from ..ops.rope import set_rope_impl
+
+            set_rope_impl("mxu")
         self.generator = SemiARGenerator(cfg, self._params, dtype=self._dtype)
         self.kv_manager = KVCacheManager(self.generator.statics.spec)
         if self._vae is None and cfg.runtime.decode_mode != DecodeMode.NO_DECODE:

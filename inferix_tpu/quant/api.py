@@ -44,6 +44,33 @@ _BLOCK_LINEARS = (
     "ffn/fc1", "ffn/fc2",
 )
 
+# Fused one-pass activation quantization (ops/act_quant.py Pallas kernel).
+# Engine-level switch (static at trace time): the XLA chain materializes
+# extra HBM passes around every dynamic per-token quant — ~14 ms/forward at
+# the 1.3B fc2 input alone (exp/r6_results/op_breakdown.log %fusion.317/318).
+# Pipelines set this from QuantConfig.fused_act_quant at init.
+_FUSED_ACT_QUANT = False
+_FUSED_ACT_QUANT_INTERPRET = False
+
+
+def set_fused_act_quant(enabled: bool, interpret: bool = False) -> None:
+    global _FUSED_ACT_QUANT, _FUSED_ACT_QUANT_INTERPRET
+    _FUSED_ACT_QUANT = enabled
+    _FUSED_ACT_QUANT_INTERPRET = interpret
+
+
+def _quantize_act(x2: jax.Array, act: Optional[str] = None):
+    """Per-token int8 quant of [M, K] activations, optional pre-activation."""
+    if _FUSED_ACT_QUANT and x2.shape[-1] % 128 == 0:
+        from ..ops.act_quant import quantize_rows_int8
+
+        return quantize_rows_int8(
+            x2, act=act, interpret=_FUSED_ACT_QUANT_INTERPRET
+        )
+    if act == "gelu":
+        x2 = jax.nn.gelu(x2, approximate=True)
+    return quantize_act_int8_per_token(x2)
+
 
 def quantized_linear(p: Params, x: jax.Array, use_pallas: Optional[bool] = None
                      ) -> jax.Array:
@@ -61,7 +88,7 @@ def quantized_linear(p: Params, x: jax.Array, use_pallas: Optional[bool] = None
     x2 = x.reshape(-1, k)
     w_q, scale = p["w_q"], p["scale"]
     if w_q.dtype == jnp.int8:
-        x_q, x_scale = quantize_act_int8_per_token(x2)
+        x_q, x_scale = _quantize_act(x2)
         if use_pallas:
             out = int8_matmul(x_q, w_q, x_scale, scale, out_dtype=x.dtype)
         else:
@@ -79,6 +106,88 @@ def quantized_linear(p: Params, x: jax.Array, use_pallas: Optional[bool] = None
             out = (jnp.dot(x2, wf).astype(jnp.float32)
                    * scale.astype(jnp.float32).reshape(1, -1)).astype(x.dtype)
     out = out + p["b"].astype(out.dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def use_fused_prologue(p: Params, x: jax.Array) -> bool:
+    """True when the fused LN[/modulate]+quant prologue can feed linear p."""
+    return (_FUSED_ACT_QUANT and isinstance(p, dict) and "w_q" in p
+            and p["w_q"].dtype == jnp.int8 and x.shape[-1] % 128 == 0)
+
+
+def adaln_quant(x, shift, scale_mod, eps):
+    """Fused LN+modulate+quant prologue (threads the interpret flag)."""
+    from ..ops.act_quant import adaln_quantize_rows_int8
+
+    return adaln_quantize_rows_int8(
+        x, shift, scale_mod, eps=eps, interpret=_FUSED_ACT_QUANT_INTERPRET)
+
+
+def ln_quant(x2, weight, bias, eps):
+    """Fused LN(+affine)+quant prologue (threads the interpret flag)."""
+    from ..ops.act_quant import ln_quantize_rows_int8
+
+    return ln_quantize_rows_int8(
+        x2, weight, bias, eps=eps, interpret=_FUSED_ACT_QUANT_INTERPRET)
+
+
+def quantized_linear_prequant(
+    p: Params, x_q: jax.Array, x_scale: jax.Array, out_dtype
+) -> jax.Array:
+    """int8 linear with a pre-quantized input (from a fused prologue).
+
+    x_q: [..., K] int8; x_scale: [..., 1] f32 per-token. Same dequant
+    epilogue as quantized_linear's XLA path.
+    """
+    *lead, k = x_q.shape
+    acc = jax.lax.dot_general(
+        x_q.reshape(-1, k), p["w_q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * x_scale.reshape(-1, 1).astype(jnp.float32)
+           * p["scale"].astype(jnp.float32).reshape(1, -1)).astype(out_dtype)
+    out = out + p["b"].astype(out.dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def quantized_ffn(
+    fc1: Params, fc2: Params, x: Optional[jax.Array] = None,
+    x_q: Optional[jax.Array] = None, x_scale: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """fc2(gelu(fc1(x))) with the gelu folded into fc2's activation quant.
+
+    With the fused act-quant enabled and int8 fc2 weights, the gelu runs
+    inside the one-pass quant kernel (ops/act_quant.py act="gelu"), so the
+    bf16 gelu tensor — the largest activation in the block, [M, ffn_dim] —
+    is never written to HBM between the two matmuls. Falls back to the
+    plain chain (bit-identical to quantized_linear(fc2, gelu(fc1(x))))
+    whenever the fused path is off or fc2 isn't int8. Reference analog:
+    DAX fuses the same dynamic-quant epilogue on GPU.
+    """
+    if x_q is not None:
+        # input arrives pre-quantized from the fused AdaLN prologue
+        h = quantized_linear_prequant(fc1, x_q, x_scale, out_dtype)
+    elif "w_q" in fc1:
+        h = quantized_linear(fc1, x)
+    else:
+        h = jnp.dot(x, fc1["w"].astype(x.dtype)) + fc1["b"].astype(x.dtype)
+    if not (_FUSED_ACT_QUANT and "w_q" in fc2
+            and fc2["w_q"].dtype == jnp.int8 and h.shape[-1] % 128 == 0):
+        h = jax.nn.gelu(h, approximate=True)
+        if "w_q" in fc2:
+            return quantized_linear(fc2, h)
+        return jnp.dot(h, fc2["w"].astype(h.dtype)) + fc2["b"].astype(h.dtype)
+    *lead, k = h.shape
+    h2 = h.reshape(-1, k)
+    x_q, x_scale = _quantize_act(h2, act="gelu")
+    acc = jax.lax.dot_general(
+        x_q, fc2["w_q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * x_scale.astype(jnp.float32)
+           * fc2["scale"].astype(jnp.float32).reshape(1, -1)).astype(h.dtype)
+    out = out + fc2["b"].astype(out.dtype)
     return out.reshape(*lead, out.shape[-1])
 
 

@@ -145,3 +145,24 @@ def test_attention_lse_merge():
     )
     np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rope_mxu_matches_pairs():
+    """The +-1-matmul rope formulation equals the interleaved-pair one."""
+    from inferix_tpu.ops.rope import set_rope_impl
+
+    tables = build_rope_tables(128, max_pos=64)
+    ang = rope_angles(tables, 3, 4, 5, 7)
+    x32 = np.random.default_rng(1).standard_normal((2, 60, 6, 128))
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(x32, dt)
+        ref = apply_rope(x, ang)
+        try:
+            set_rope_impl("mxu")
+            got = apply_rope(x, ang)
+        finally:
+            set_rope_impl("pairs")
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-6, atol=1e-6,
+        )
