@@ -132,7 +132,13 @@ def arith():
     return rows
 
 
-def aot():
+def aot(per_chunk=False, batch=2):
+    """per_chunk=True compiles the window_dispatch='per_chunk' program
+    (ONE chunk per dispatch, the engine's 24B configuration after the
+    round-4 memory lever — pipeline/magi.py MagiRuntimeConfig) instead of
+    the whole-window program whose tp4 x sp2 x pp2 AOT came back 9.86 GiB
+    of temp / fits=false (exp/r6_results/mem24b.log). batch=1 compiles the
+    distilled (cfg_number=1) serving shape."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -161,10 +167,10 @@ def aot():
         # runs 48//tp q heads though the island would run 48//(tp*sp)
         # (temp over) — both second-order vs the GiB-scale terms.
         lat_h, lat_w = 90, 160 // sp
-        statics = make_magi_statics(cfg, 2, lat_h, lat_w, 9 * sp,
+        statics = make_magi_statics(cfg, batch, lat_h, lat_w, 9 * sp,
                                     jnp.bfloat16, quantize_kv=True)
         geo = statics.geo
-        n_chunks = 4
+        n_chunks = 1 if per_chunk else 4
         # abstract params in the int8 serving layout: eval_shape avoids
         # materializing a single byte of the 24B parameter set; block
         # linears are rewritten to the {w_q int8, scale[out]} layout
@@ -193,19 +199,20 @@ def aot():
         cache = jax.eval_shape(lambda: init_kv_cache(statics.spec))
         args = dict(
             params=params,
-            x_window=jnp.zeros((2, n_chunks * 6, lat_h, lat_w, 16),
+            x_window=jnp.zeros((batch, n_chunks * 6, lat_h, lat_w, 16),
                                jnp.bfloat16),
-            t=jnp.zeros((2, n_chunks), jnp.float32),
-            captions=jnp.zeros((2, n_chunks, 800, 4096), jnp.bfloat16),
-            caption_mask=jnp.ones((2, n_chunks, 800), jnp.float32),
+            t=jnp.zeros((batch, n_chunks), jnp.float32),
+            captions=jnp.zeros((batch, n_chunks, 800, 4096), jnp.bfloat16),
+            caption_mask=jnp.ones((batch, n_chunks, 800), jnp.float32),
             cache=cache,
             slice_point=jnp.int32(5),
             kv_ranges=jnp.zeros((n_chunks, 2), jnp.int32),
-            caption_dropout=jnp.zeros((2,), bool),
+            caption_dropout=jnp.zeros((batch,), bool),
         )
         fn = jax.jit(functools.partial(
             magi_forward, statics=statics, rope_tables=None,
-            sync_kv_rows=True), donate_argnames=("cache",))
+            sync_kv_rows=batch == 2 and not per_chunk),
+            donate_argnames=("cache",))
         try:
             m = analyze_program(fn, **{k: abstractify(v)
                                        for k, v in args.items()})
@@ -226,9 +233,11 @@ def aot():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--aot", action="store_true")
+    ap.add_argument("--per-chunk", action="store_true")
+    ap.add_argument("--batch", type=int, default=2)
     args = ap.parse_args()
     if args.aot:
-        out = aot()
+        out = aot(per_chunk=args.per_chunk, batch=args.batch)
     else:
         out = arith()
     for r in out:

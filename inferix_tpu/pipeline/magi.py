@@ -28,6 +28,7 @@ from ..models.magi.dit import (
     magi_forward,
     magi_forward_uncond,
     make_magi_statics,
+    sync_cache_rows,
 )
 from ..models.magi.scheduler import ChunkSchedule, MagiScheduleConfig
 from ..ops.flash_attention import DEFAULT_KV_BLOCK
@@ -93,6 +94,18 @@ class MagiRuntimeConfig:
     # logical tokens and the pad rows are never attended — bit-equal.
     # Default OFF until the e2e A/B lands on hardware.
     kv_alloc_pad: bool = False
+    # Window dispatch granularity. "whole" (default) runs one forward over
+    # all window chunks; "per_chunk" dispatches the window as chunk_count
+    # sequential single-chunk forwards chained through the cache — the
+    # SAME math (chunk i's kv_range covers only chunks <= i, whose KV the
+    # earlier dispatches already wrote; equality-tested), at ~1/window the
+    # activation live set. This is the 24B memory lever: the tp4 x sp2 x
+    # pp2 whole-window program AOT-compiled to 9.86 GiB of XLA temp —
+    # fits=false on v5e (exp/r6_results/mem24b.log); the per-chunk program
+    # shrinks the dominant [window_tokens, ffn] temps by the window factor.
+    # Costs: window_size dispatches per forward instead of one, and the
+    # 3-CFG uncond rows run per-chunk too.
+    window_dispatch: str = "whole"
 
 
 class MagiPipeline:
@@ -208,6 +221,23 @@ class MagiPipeline:
                               rope_tables=self.rope_tables,
                               sync_kv_rows=runtime.cfg_number >= 2),
             static_argnames=("static_kv_spans",),
+            donate_argnames=("cache",),
+        )
+        # per-chunk window dispatch: the row-sync must happen ONCE after the
+        # whole window (inside the chunk loop, later chunks' cond+text row
+        # must still attend earlier chunks' OWN row-0 KV, as in the batched
+        # whole-window forward) — so the loop uses a sync-free forward and
+        # the window span is synced afterwards
+        self._fwd_nosync = jax.jit(
+            functools.partial(fwd_impl, statics=self.statics,
+                              rope_tables=self.rope_tables,
+                              sync_kv_rows=False),
+            static_argnames=("static_kv_spans",),
+            donate_argnames=("cache",),
+        )
+        self._sync_window = jax.jit(
+            functools.partial(sync_cache_rows, self.statics.spec),
+            static_argnames=("length",),
             donate_argnames=("cache",),
         )
 
@@ -557,19 +587,50 @@ class MagiPipeline:
                 m = max(1, int((kv_ranges[:, 1] - kv_ranges[:, 0]).max()))
                 m = 1 << (m - 1).bit_length() if m > 1 else 1
                 spans = (m,) * len(kv_ranges)
-        velocity, cache = self._fwd(
-            self.params,
-            x_window=x_window,
-            t=t,
-            captions=caps.astype(self.dtype),
-            caption_mask=masks,
-            cache=cache,
-            slice_point=jnp.int32(slice_point),
-            kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
-            caption_dropout=dropout,
-            distill_dt_factor=ddt,
-            static_kv_spans=spans,
-        )
+        if rt.window_dispatch == "per_chunk" and n_chunks > 1:
+            # sequential single-chunk dispatches chained through the cache:
+            # chunk i's kv_range covers only chunks <= i, whose KV earlier
+            # dispatches wrote — identical math at ~1/window the activation
+            # live set (the 24B fit lever; see MagiRuntimeConfig)
+            vels = []
+            for ci in range(n_chunks):
+                v_i, cache = self._fwd_nosync(
+                    self.params,
+                    x_window=x_window[:, ci * cw:(ci + 1) * cw],
+                    t=t[:, ci:ci + 1],
+                    captions=caps[:, ci:ci + 1].astype(self.dtype),
+                    caption_mask=masks[:, ci:ci + 1],
+                    cache=cache,
+                    slice_point=jnp.int32(slice_point) + ci,
+                    kv_ranges=jnp.asarray(kv_ranges[ci:ci + 1], jnp.int32),
+                    caption_dropout=dropout,
+                    distill_dt_factor=ddt,
+                    static_kv_spans=(spans[ci:ci + 1]
+                                     if spans is not None else None),
+                )
+                vels.append(v_i)
+            velocity = jnp.concatenate(vels, axis=1)
+            if rt.cfg_number >= 2:
+                ct_ = self.statics.geo.chunk_tokens
+                cache = self._sync_window(
+                    cache=cache,
+                    start=jnp.int32(slice_point) * ct_,
+                    length=n_chunks * ct_,
+                )
+        else:
+            velocity, cache = self._fwd(
+                self.params,
+                x_window=x_window,
+                t=t,
+                captions=caps.astype(self.dtype),
+                caption_mask=masks,
+                cache=cache,
+                slice_point=jnp.int32(slice_point),
+                kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
+                caption_dropout=dropout,
+                distill_dt_factor=ddt,
+                static_kv_spans=spans,
+            )
         if nearly_clean:
             # mix the nearly-clean chunk's with-prefix and prefix-free
             # velocities, drop the extra chunk (dit_model.py:566-576)
@@ -636,11 +697,25 @@ class MagiPipeline:
             d = row[n_clean * cw:]
             return d.reshape(n_den, cw, *d.shape[1:])
 
-        comb = self._fwd_uncond_combine(
-            self.params, x_den, t_u, caps_u, masks_u,
-            chunks_of(velocity[0]), chunks_of(velocity[1]),
-            jnp.asarray(prev_s), jnp.asarray(text_s),
-            distill_dt_factor=distill_dt_factor)
+        if self.rt.window_dispatch == "per_chunk" and n_den > 1:
+            # the prefix-free uncond rows are independent — dispatch them
+            # one chunk at a time for the same live-set reduction as the
+            # main per-chunk window loop
+            v_t, v_p = chunks_of(velocity[0]), chunks_of(velocity[1])
+            comb = jnp.concatenate([
+                self._fwd_uncond_combine(
+                    self.params, x_den[i:i + 1], t_u[i:i + 1],
+                    caps_u[i:i + 1], masks_u[i:i + 1],
+                    v_t[i:i + 1], v_p[i:i + 1],
+                    jnp.asarray(prev_s[i:i + 1]), jnp.asarray(text_s[i:i + 1]),
+                    distill_dt_factor=distill_dt_factor)
+                for i in range(n_den)], axis=0)
+        else:
+            comb = self._fwd_uncond_combine(
+                self.params, x_den, t_u, caps_u, masks_u,
+                chunks_of(velocity[0]), chunks_of(velocity[1]),
+                jnp.asarray(prev_s), jnp.asarray(text_s),
+                distill_dt_factor=distill_dt_factor)
         comb = comb.reshape(1, n_den * cw, *comb.shape[2:])
         # splice the combined denoising span back; clean prefix part is
         # discarded by the caller (velocity[:, cw:] under fwd_extra)
