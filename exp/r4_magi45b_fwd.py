@@ -158,7 +158,11 @@ rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        # MAGI_HEAD_MAJOR=1: head-major window cache (the
                        # kernel-fold transpose-copy A/B, exp/r7_cache_layout)
                        kv_head_major=os.environ.get(
-                           "MAGI_HEAD_MAJOR", "0") == "1")
+                           "MAGI_HEAD_MAJOR", "0") == "1",
+                       # MAGI_ACTQUANT=1: fused one-pass act-quant kernels
+                       # (round-4 A/B, ops/act_quant.py)
+                       fused_act_quant=os.environ.get(
+                           "MAGI_ACTQUANT", "0") == "1")
 W_CHUNKS = rt.window_size
 # Quantized window cache (bf16 KV at 6.32 G doesn't fit next to the
 # weights). MAGI_KV=int8 (default): int8 + per-(token,head) scales — the

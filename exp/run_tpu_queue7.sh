@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-4 queue #7 (chains on queue6): the new fused-elementwise corners,
-# the first MAGI base-config (cfg_number=3) measurement, and the on-chip
-# VDE artifact. Serialized — one 16 GB chip. Warm-process protocol
-# (BASELINE.md): the MAGI cfg3 program is new (~355 MB class), so it runs
-# twice — the first invocation pays the compile and its numbers are
-# DISCARDED; the second (fresh process, warm persistent cache) is the
-# recorded number. The 1.3B r10 corners compile in seconds and are
-# recorded directly.
+# Round-4 queue #7 (chains on queue6). FIRST: fresh-process re-measures of
+# the MAGI span/nospan/head-major configs — queue3's "warm" runs
+# recompiled in-process (the round-4 dispatcher/cache edits changed the
+# program hashes: 28.8-30.5 s/fwd carries the documented 3-4x
+# compiling-process inflation, exactly the round-3 32.5 s signature), so
+# the programs are cached NOW and these reruns give the real numbers.
+# Then the fused-elementwise corners, the first MAGI cfg3 measurement, and
+# the on-chip VDE artifact. Serialized — one 16 GB chip.
 set -u
 cd /root/repo
 mkdir -p exp/r6_results
@@ -20,6 +20,11 @@ run() {
   timeout "$tmo" "$@" > "exp/r6_results/$name.log" 2>&1
   echo "$name rc=$? ($(date +%H:%M:%S))" | tee -a exp/r6_results/queue7.log
 }
+
+# fresh-process warm-cache re-measures (programs compiled by queue3's runs)
+run magi45b_nospan_warm2 2700 env MAGI_WEIGHTS=int8 MAGI_SPAN=0 python -u exp/r4_magi45b_fwd.py
+run magi45b_span_warm2   2700 env MAGI_WEIGHTS=int8 MAGI_SPAN=1 python -u exp/r4_magi45b_fwd.py
+run magi45b_hm_warm2     2700 env MAGI_WEIGHTS=int8 MAGI_SPAN=1 MAGI_HEAD_MAJOR=1 python -u exp/r4_magi45b_fwd.py
 
 # fused act-quant / MXU-rope / alloc-pad corners (donated 1.3B forward;
 # baseline 259.8 ms = exp/r6_results/fwd_donate.log)

@@ -346,6 +346,29 @@ def _qdq_e4m3(x: jax.Array) -> jax.Array:
     return c.astype(jnp.float8_e4m3fn).astype(x.dtype)
 
 
+def magi_int8_linear(p: Params, x: jax.Array,
+                     act: Optional[str] = None) -> jax.Array:
+    """W8A8 int8 linear (the MAGI serving path), optionally folding the
+    mlp activation (gelu_exact / SwiGLU silu_mul) into the per-token
+    activation-quant pass. The dynamic quant routes through
+    `quant.api._quantize_act`: with the fused kernel enabled it is ONE
+    Pallas pass (read bf16 -> write s8 + scale) instead of the XLA chain
+    that materializes the activation in f32 first (the same cost class the
+    round-3 trace named on Wan — op_breakdown.log %multiply_reduce /
+    %fusion.317)."""
+    from ...quant.api import _quantize_act
+
+    *lead, k = x.shape
+    x_q, x_scale = _quantize_act(x.reshape(-1, k), act=act)
+    acc = jax.lax.dot_general(
+        x_q, p["w_q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * x_scale.astype(jnp.float32)
+           * p["scale"].astype(jnp.float32).reshape(1, -1))
+    return out.astype(x.dtype).reshape(*lead, out.shape[-1])
+
+
 def magi_linear(p: Params, x: jax.Array) -> jax.Array:
     """Plain / fp8 distill-quant / int8 W8A8 linear.
 
@@ -362,18 +385,7 @@ def magi_linear(p: Params, x: jax.Array) -> jax.Array:
     activation quantization (the Wan W8A8 recipe)."""
     if "w_q" in p:
         if p["w_q"].dtype == jnp.int8:
-            from ...quant.kernels import quantize_act_int8_per_token
-
-            *lead, k = x.shape
-            x_q, x_scale = quantize_act_int8_per_token(
-                x.reshape(-1, k).astype(jnp.float32))
-            acc = jax.lax.dot_general(
-                x_q, p["w_q"], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            out = (acc.astype(jnp.float32) * x_scale.astype(jnp.float32)
-                   * p["scale"].astype(jnp.float32).reshape(1, -1))
-            return out.astype(x.dtype).reshape(*lead, out.shape[-1])
+            return magi_int8_linear(p, x)
         xf = x.astype(jnp.float32)
         if "smooth_scale" in p:
             xq = _qdq_e4m3(xf / p["smooth_scale"]) * p["input_scale"]
@@ -655,15 +667,22 @@ def _magi_layer(
     residual = h_x
     mlp_in = _ln(blk["mlp_ln"], h_x, eps).astype(h_x.dtype)
     ff_in = magi_linear(blk["fc1"], mlp_in)
-    if cfg.gated_linear_unit:
-        # 24B SwiGLU (CustomMLP + flashinfer silu_and_mul,
-        # dit_module.py:528-553): fc1 -> 2*ffn, silu(gate) * up
-        d = cfg.ffn_hidden_size
-        act = (jax.nn.silu(ff_in[..., :d].astype(jnp.float32))
-               .astype(ff_in.dtype) * ff_in[..., d:])
+    act_name = "silu_mul" if cfg.gated_linear_unit else "gelu_exact"
+    if "w_q" in blk["fc2"] and blk["fc2"]["w_q"].dtype == jnp.int8:
+        # activation folded into fc2's quant pass (one Pallas read of the
+        # [tokens, ffn(x2)] tensor when the fused kernel is on; exact XLA
+        # chain otherwise — quant.api.apply_act)
+        ff = magi_int8_linear(blk["fc2"], ff_in, act=act_name)
     else:
-        act = jax.nn.gelu(ff_in, approximate=False)
-    ff = magi_linear(blk["fc2"], act)
+        if cfg.gated_linear_unit:
+            # 24B SwiGLU (CustomMLP + flashinfer silu_and_mul,
+            # dit_module.py:528-553): fc1 -> 2*ffn, silu(gate) * up
+            d = cfg.ffn_hidden_size
+            act = (jax.nn.silu(ff_in[..., :d].astype(jnp.float32))
+                   .astype(ff_in.dtype) * ff_in[..., d:])
+        else:
+            act = jax.nn.gelu(ff_in, approximate=False)
+        ff = magi_linear(blk["fc2"], act)
     h_x = bias_modulate_add(ff, residual, g_mlp, blk["mlp_post_norm"])
     return h_x, new_cache
 

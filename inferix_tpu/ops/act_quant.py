@@ -51,6 +51,18 @@ def _quant_kernel(x_ref, q_ref, s_ref, *, act: Optional[str], in_dtype):
         # match the engine's `jax.nn.gelu(bf16) -> bf16` producer: compute in
         # f32, round to the activation dtype, quantize from those values
         xf = _gelu_tanh_f32(xf).astype(in_dtype).astype(jnp.float32)
+    elif act == "gelu_exact":
+        # MAGI mlp: jax.nn.gelu(approximate=False) — erf formulation
+        xf = (0.5 * xf * (1.0 + jax.lax.erf(xf * jnp.float32(0.7071067811865476)))
+              ).astype(in_dtype).astype(jnp.float32)
+    elif act == "silu_mul":
+        # 24B SwiGLU: silu(gate f32) rounded to the act dtype, times up —
+        # replicates the chain at models/magi/dit.py mlp tail exactly
+        d = xf.shape[-1] // 2
+        gate = xf[:, :d]
+        gate = (gate * jax.nn.sigmoid(gate)).astype(in_dtype)  # silu -> bf16
+        up = xf[:, d:].astype(in_dtype)  # exact: xf came from in_dtype
+        xf = (gate * up).astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax / INT8_MAX, 1e-8)
     q_ref[...] = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
@@ -66,9 +78,15 @@ def quantize_rows_int8(
     block_rows: int = 0,          # 0 => auto from K
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One-pass per-token int8 quant: (x_q s8 [M, K], scale f32 [M, 1])."""
+    """One-pass per-token int8 quant: (x_q s8 [M, K'], scale f32 [M, 1]).
+
+    K' = K except act="silu_mul" (SwiGLU: K' = K // 2 — the kernel consumes
+    [gate | up] and quantizes silu(gate) * up).
+    """
     m, k = x.shape
-    assert k % 128 == 0, "feature axis must be lane-aligned (caller gates)"
+    out_k = k // 2 if act == "silu_mul" else k
+    assert k % 128 == 0 and out_k % 128 == 0, \
+        "feature axis must be lane-aligned (caller gates)"
     if block_rows == 0:
         # keep in+out+double-buffering well under VMEM: bf16 in + s8 out is
         # 3 bytes/elem; 128 rows x 8960 cols x 3 x 2(buf) ~= 6.9 MB
@@ -82,18 +100,19 @@ def quantize_rows_int8(
         grid=(mp // bm,),
         in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0))],
         out_specs=[
-            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((bm, out_k), lambda i: (i, 0)),
             pl.BlockSpec((bm, 1), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, k), jnp.int8),
+            jax.ShapeDtypeStruct((mp, out_k), jnp.int8),
             jax.ShapeDtypeStruct((mp, 1), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * k,
-            bytes_accessed=mp * k * x.dtype.itemsize + mp * k + mp * 4,
-            transcendentals=mp * k if act == "gelu" else 0,
+            bytes_accessed=mp * k * x.dtype.itemsize + mp * out_k + mp * 4,
+            transcendentals=mp * k if act in ("gelu", "gelu_exact",
+                                              "silu_mul") else 0,
         ),
     )(x)
     return q[:m], s[:m]

@@ -94,6 +94,12 @@ class MagiRuntimeConfig:
     # logical tokens and the pad rows are never attended — bit-equal.
     # Default OFF until the e2e A/B lands on hardware.
     kv_alloc_pad: bool = False
+    # Fused one-pass activation quantization for the int8 linears (the
+    # Pallas kernel of ops/act_quant.py; quant.api.set_fused_act_quant) —
+    # incl. folding the mlp gelu/SwiGLU into fc2's quant pass. Same flip
+    # protocol as the Wan flag (QuantConfig.fused_act_quant): default OFF
+    # until the hardware A/B.
+    fused_act_quant: bool = False
     # Window dispatch granularity. "whole" (default) runs one forward over
     # all window chunks; "per_chunk" dispatches the window as chunk_count
     # sequential single-chunk forwards chained through the cache — the
@@ -127,6 +133,10 @@ class MagiPipeline:
         self.rt = runtime
         self.dtype = dtype
         self.profiler = profiler or InferixProfiler()
+        if runtime.fused_act_quant:
+            from ..quant.api import set_fused_act_quant
+
+            set_fused_act_quant(True)
         # batch 2 = (conditional, unconditional) halves, reference x.chunk(2).
         # The distilled path (cfg_number == 1) runs a SINGLE conditional
         # forward like the reference dispatcher (dit_model.py:537-596) —

@@ -59,17 +59,35 @@ def set_fused_act_quant(enabled: bool, interpret: bool = False) -> None:
     _FUSED_ACT_QUANT_INTERPRET = interpret
 
 
+def fused_act_quant_on() -> bool:
+    return _FUSED_ACT_QUANT
+
+
+def apply_act(x2: jax.Array, act: Optional[str]) -> jax.Array:
+    """The XLA activation chains the fused kernel folds (exact fallbacks)."""
+    if act is None:
+        return x2
+    if act == "gelu":
+        return jax.nn.gelu(x2, approximate=True)
+    if act == "gelu_exact":
+        return jax.nn.gelu(x2, approximate=False)
+    if act == "silu_mul":
+        d = x2.shape[-1] // 2
+        return (jax.nn.silu(x2[..., :d].astype(jnp.float32))
+                .astype(x2.dtype) * x2[..., d:])
+    raise ValueError(f"unknown act {act!r}")
+
+
 def _quantize_act(x2: jax.Array, act: Optional[str] = None):
     """Per-token int8 quant of [M, K] activations, optional pre-activation."""
-    if _FUSED_ACT_QUANT and x2.shape[-1] % 128 == 0:
+    out_k = x2.shape[-1] // 2 if act == "silu_mul" else x2.shape[-1]
+    if (_FUSED_ACT_QUANT and x2.shape[-1] % 128 == 0 and out_k % 128 == 0):
         from ..ops.act_quant import quantize_rows_int8
 
         return quantize_rows_int8(
             x2, act=act, interpret=_FUSED_ACT_QUANT_INTERPRET
         )
-    if act == "gelu":
-        x2 = jax.nn.gelu(x2, approximate=True)
-    return quantize_act_int8_per_token(x2)
+    return quantize_act_int8_per_token(apply_act(x2, act))
 
 
 def quantized_linear(p: Params, x: jax.Array, use_pallas: Optional[bool] = None

@@ -189,3 +189,71 @@ def test_block_forward_fused_prologues_match_engine():
         api.set_fused_act_quant(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("act", ["gelu_exact", "silu_mul"])
+def test_magi_act_variants_match_chain(act):
+    """The MAGI activation folds (exact gelu, SwiGLU silu*up) equal the
+    XLA chain they replace (quant.api.apply_act)."""
+    from inferix_tpu.ops.act_quant import quantize_rows_int8
+    from inferix_tpu.quant.api import apply_act
+
+    k = 512 if act == "silu_mul" else 384
+    x = jax.random.normal(jax.random.PRNGKey(20), (64, k), jnp.bfloat16) * 2.0
+    q, s = quantize_rows_int8(x, act=act, interpret=True)
+    q_ref, s_ref = quantize_act_int8_per_token(apply_act(x, act))
+    assert q.shape == q_ref.shape
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)
+    dq = np.asarray(q, np.float32) * np.asarray(s)
+    dq_ref = np.asarray(q_ref, np.float32) * np.asarray(s_ref)
+    np.testing.assert_allclose(dq, dq_ref, atol=2.5 * float(np.max(s_ref)))
+
+
+def test_magi_int8_walk_fused_act_quant_matches():
+    """MAGI walk with int8 W8A8 linears: fused act-quant on vs off."""
+    from inferix_tpu.models.magi.dit import (init_magi_params,
+                                             tiny_magi_config)
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+    from inferix_tpu.quant import api
+
+    mcfg = tiny_magi_config()
+    params = init_magi_params(jax.random.PRNGKey(0), mcfg, jnp.float32)
+
+    # quantize the mid-block linears to the int8 serving layout
+    def int8ify(tree, path=""):
+        if isinstance(tree, dict):
+            if ("w" in tree and getattr(tree["w"], "ndim", 0) >= 2
+                    and "blocks_mid" in path
+                    and path.rsplit("/", 1)[-1] in
+                    ("q", "qx", "k", "v", "proj", "fc1", "fc2")):
+                w = tree["w"]
+                absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+                scale = jnp.maximum(absmax / 127.0, 1e-8)
+                wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+                return {"w_q": wq, "scale": scale.squeeze(-2)}
+            return {k: int8ify(v, f"{path}/{k}") for k, v in tree.items()}
+        return tree
+
+    qparams = int8ify(params)
+    cap = jnp.ones((1, mcfg.caption_max_length, mcfg.caption_channels),
+                   jnp.float32) * 0.1
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    def run(fused):
+        rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2)
+        pipe = MagiPipeline(mcfg, rt, params=qparams, latent_h=8, latent_w=8,
+                            max_chunks=6, dtype=jnp.float32)
+        try:
+            api.set_fused_act_quant(fused, interpret=True)
+            return [np.asarray(l) for _, l in
+                    pipe.generate_chunks(cap, cmask, chunk_num=2)]
+        finally:
+            api.set_fused_act_quant(False)
+
+    ref = run(False)
+    got = run(True)
+    for g, r in zip(got, ref):
+        assert np.isfinite(g).all()
+        # int8 code flips from the f32-vs-bf16 activation rounding bound the
+        # delta at the quant-step scale
+        np.testing.assert_allclose(g, r, atol=2e-2, rtol=2e-2)
