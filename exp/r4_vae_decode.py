@@ -25,7 +25,12 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig, set_vae_conv_impl
+
+# VAE_CONV=shifted_matmul: the MXU conv formulation A/B (exp/r12_vae_conv.py)
+import os as _os
+_IMPL = _os.environ.get("VAE_CONV", "xla")
+set_vae_conv_impl(_IMPL)
 
 
 def _sync(x):
@@ -61,7 +66,7 @@ blocks_per_chunk = T / 3
 combined = pix_frames / (gen_s_per_block * blocks_per_chunk + dt)
 
 line = json.dumps({
-    "exp": "vae_decode_480x832_bf16",
+    "exp": "vae_decode_480x832_bf16", "conv_impl": _IMPL,
     "latent_frames_per_dispatch": T,
     "ms_per_chunk": round(dt * 1e3, 1),
     "ms_per_latent_frame": round(dt * 1e3 / T, 1),

@@ -87,9 +87,60 @@ def _conv_init(key, kt, kh, kw, cin, cout, dtype=jnp.float32):
     }
 
 
+# Conv implementation switch (trace-time static; set before building the
+# jitted decode). "xla" = conv_general_dilated (41 TF/s at the decode's
+# finest-level 3x3x3 shape — exp/conv3d.log). "shifted_matmul" reformulates
+# stride-1 convs as a sum of tap-shifted [M, Cin] x [Cin, Cout] MXU matmuls
+# on slices of one padded input — no conv lowering at all; the candidate
+# from exp/r12_vae_conv.py for the VAE-bound TRUE_STREAMING wall (VERDICT
+# r3 weak #6). Flip only on a measured win.
+_CONV_IMPL = "xla"
+
+
+def set_vae_conv_impl(impl: str) -> None:
+    global _CONV_IMPL
+    assert impl in ("xla", "shifted_matmul")
+    _CONV_IMPL = impl
+
+
+def _spatial_pads(kh, kw, spatial_pad):
+    if spatial_pad == "same":
+        return [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
+    if spatial_pad == "down":  # ZeroPad2d((0,1,0,1)) as in Resample
+        return [(0, 1), (0, 1)]
+    return [(0, 0), (0, 0)]
+
+
+def _conv3d_shifted_matmul(p, x, spatial_pad):
+    """Stride-1 conv as 27 (kt*kh*kw) tap-shifted MXU matmuls, f32 accum.
+    Temporal axis is VALID (the causal caller prepends kt-1 frames)."""
+    kt, kh, kw, cin, cout = p["w"].shape
+    (ph0, ph1), (pw0, pw1) = _spatial_pads(kh, kw, spatial_pad)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    b, tp_, hp, wp, _ = xp.shape
+    t_out, h_out, w_out = tp_ - (kt - 1), hp - (kh - 1), wp - (kw - 1)
+    m = b * t_out * h_out * w_out
+    acc = jnp.zeros((m, cout), jnp.float32)
+    w = p["w"].astype(x.dtype)
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw in range(kw):
+                xs = jax.lax.dynamic_slice(
+                    xp, (0, dt, dh, dw, 0), (b, t_out, h_out, w_out, cin)
+                ).reshape(m, cin)
+                acc = acc + jax.lax.dot_general(
+                    xs, w[dt, dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    out = acc.reshape(b, t_out, h_out, w_out, cout)
+    return (out + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
 def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
     """x: [B,T,H,W,C]; temporal padding handled by the caller (causal)."""
     kt, kh, kw = p["w"].shape[:3]
+    if (_CONV_IMPL == "shifted_matmul" and t_stride == 1 and s_stride == 1
+            and kt * kh * kw > 1):
+        return _conv3d_shifted_matmul(p, x, spatial_pad)
     if spatial_pad == "same":
         pads = [(0, 0), ((kh - 1) // 2, (kh - 1) // 2),
                 ((kw - 1) // 2, (kw - 1) // 2)]

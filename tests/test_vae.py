@@ -133,3 +133,27 @@ def test_block_decode_matches_per_frame_streaming():
     assert blk.shape == ref.shape == (1, 21, 32, 32, 3)
     assert float(jnp.abs(ref - blk).max()) < 1e-5
     assert float(jnp.abs(vae.decode(z) - jnp.clip(ref, -1, 1)).max()) < 1e-5
+
+
+def test_shifted_matmul_conv_impl_matches_xla():
+    """The MXU shifted-matmul conv formulation (set_vae_conv_impl) equals
+    the XLA conv through a full streaming decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inferix_tpu.models.wan.vae import (CausalVAE, VAEConfig,
+                                            set_vae_conv_impl)
+
+    cfg = VAEConfig(dim=16, z_dim=8, dim_mult=(1, 2), num_res_blocks=1,
+                    temperal_downsample=(True,))
+    vae = CausalVAE(cfg, key=jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (1, 3, 8, 8, cfg.z_dim))
+    ref = np.asarray(vae.decode(z))
+    try:
+        set_vae_conv_impl("shifted_matmul")
+        got = np.asarray(vae.decode(z))
+    finally:
+        set_vae_conv_impl("xla")
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
