@@ -229,26 +229,22 @@ class MUSIQClarity:
 
 class AMTMotionSmoothness:
     """motion smoothness via AMT-S interpolation (reference
-    metrics.py:195-204, vbench MotionSmoothness). Defers to the vbench
-    package; `flow_metrics.optical_flow_motion_smoothness` is the
-    weight-free default."""
+    metrics.py:195-204, vbench MotionSmoothness) — served by the IN-REPO
+    AMT-S re-derivation (`eval/amt.py`, oracle-parity-tested against the
+    reference's vendored implementation in tests/test_amt.py). Loads the
+    official amt-s.pth; `flow_metrics.optical_flow_motion_smoothness` is
+    the weight-free default. [r4: the vbench-package import dependency is
+    gone.]"""
 
-    def __init__(self, config: str, ckpt: str, device: str = "cpu"):
-        try:
-            from vbench.motion_smoothness import MotionSmoothness
-        except ImportError as e:
-            raise ImportError(
-                "AMT motion smoothness needs the vbench package (not "
-                "shipped); use the optical_flow_motion_smoothness proxy"
-            ) from e
-        self.motion = MotionSmoothness(config, ckpt, device=device)
+    def __init__(self, ckpt: str, device: str = "cpu", config: str = ""):
+        from .amt import MotionSmoothnessAMT
+
+        # `config` accepted for reference-CLI compatibility (AMT-S.yaml
+        # only names the architecture; the in-repo class IS AMT-S)
+        self.motion = MotionSmoothnessAMT(ckpt, device=device)
 
     def __call__(self, chunk: np.ndarray) -> float:
-        import torch
-
-        x = torch.from_numpy(np.ascontiguousarray(chunk)).float()
-        x = x.permute(0, 3, 1, 2) * 255.0
-        return float(self.motion.motion_score(x))
+        return float(self.motion(chunk))
 
 
 REAL_METRIC_BUILDERS: Dict[str, Callable[..., MetricFn]] = {

@@ -385,7 +385,12 @@ def block_forward(
 
     sa = block["self_attn"]
     lead_p = sa["qkv"] if "qkv" in sa else sa["q"]
-    if use_fused_prologue(lead_p, x):
+    # the fused Pallas prologues cannot be GSPMD-auto-partitioned: gate them
+    # off whenever a multi-device mesh drives this forward (multi-chip runs
+    # keep the XLA chain; the Pallas attention already lives in shard_map
+    # islands for the same reason)
+    single_dev = mesh is None or mesh.devices.size == 1
+    if single_dev and use_fused_prologue(lead_p, x):
         # fused LN+modulate+quant prologue (ops/act_quant.py): the bf16
         # modulated tensor never round-trips HBM before the int8 matmul
         from ...quant.api import adaln_quant
@@ -459,7 +464,7 @@ def block_forward(
 
     # --- cross attention (cached text K/V; + image K/V for i2v) ---
     ca = block["cross_attn"]
-    if use_fused_prologue(ca["q"], x):
+    if single_dev and use_fused_prologue(ca["q"], x):
         from ...quant.api import ln_quant
 
         w3 = block["norm3"]["w"] if cfg.cross_attn_norm else None
@@ -486,7 +491,7 @@ def block_forward(
     # tensor); identical to linear(fc2, gelu(linear(fc1, h))) otherwise.
     from ...quant.api import quantized_ffn
 
-    if use_fused_prologue(block["ffn"]["fc1"], x):
+    if single_dev and use_fused_prologue(block["ffn"]["fc1"], x):
         from ...quant.api import adaln_quant
 
         hq3, hs3 = adaln_quant(x, shift_mlp, scale_mlp, cfg.eps)

@@ -96,9 +96,12 @@ def test_raft_flow_shape_and_static_scene(tmp_path):
     assert torch.isfinite(flow).all()
 
 
-def test_musiq_and_amt_gated():
-    """MUSIQ/AMT plug-ins defer to pyiqa / vbench; absent packages raise a
-    clear ImportError (never a silent fallback)."""
+def test_musiq_gated_and_amt_weight_gated():
+    """MUSIQ defers to pyiqa (the REFERENCE consumes it from pyiqa too —
+    LV-Bench/metrics.py:178 — so the gated import is exact parity); absent
+    package raises a clear ImportError, never a silent fallback. AMT is
+    now IN-REPO (eval/amt.py, r4): it is gated only on the amt-s.pth
+    weight file."""
     from inferix_tpu.eval.vbench_real import AMTMotionSmoothness, MUSIQClarity
 
     try:
@@ -109,14 +112,8 @@ def test_musiq_and_amt_gated():
     if not has_pyiqa:
         with pytest.raises(ImportError, match="pyiqa"):
             MUSIQClarity()
-    try:
-        import vbench  # noqa: F401
-        has_vbench = True
-    except ImportError:
-        has_vbench = False
-    if not has_vbench:
-        with pytest.raises(ImportError, match="vbench"):
-            AMTMotionSmoothness("cfg.yaml", "ckpt.pth")
+    with pytest.raises((FileNotFoundError, OSError)):
+        AMTMotionSmoothness("/nonexistent/amt-s.pth")
 
 
 def test_register_real_metrics_swaps_proxies(tmp_path):
