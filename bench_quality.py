@@ -7,7 +7,7 @@ relative per-metric divergence of the decoded videos (quality_delta from
 `eval/vde.py`, including the optical-flow + MUSIQ-style plug-ins). With
 identical weights the true content is identical — any delta is pure
 numerical divergence introduced by quantization, which is exactly the
-quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r03.json and
+quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r04.json and
 prints one JSON line.
 """
 import json
@@ -97,6 +97,28 @@ def main():
     fast_deltas = quality_delta(vid_a, vid_f, n_chunks=3, metrics=metrics)
     fast_lat_rel = float(np.abs(lat_fast - lat_bf16).mean()
                          / (np.abs(lat_bf16).mean() + 1e-8))
+
+    # fused act-quant kernels (r4, ops/act_quant.py): same int8 recipe, the
+    # one-pass Pallas quant vs the XLA chain — the delta bounds the +-1
+    # quant-code flips from the f32-vs-bf16 activation rounding
+    from inferix_tpu.quant.api import set_fused_act_quant
+
+    aqcfg = EngineConfig()
+    aqcfg.quant.enabled = True
+    aqcfg.quant.fused_act_quant = True
+    try:
+        # SemiARGenerator is driven directly here (no pipeline init), so
+        # apply the trace-time switch explicitly
+        set_fused_act_quant(True)
+        lat_aq = generate(aqcfg, quantize_params(params, aqcfg.quant),
+                          jnp.bfloat16)
+    finally:
+        set_fused_act_quant(False)
+    vid_q = np.asarray(vae.decode(jnp.asarray(lat_aq)))[0] * 0.5 + 0.5
+    vid_q = np.clip(vid_q, 0, 1)
+    aq_deltas = quality_delta(vid_b, vid_q, n_chunks=3, metrics=metrics)
+    aq_lat_rel = float(np.abs(lat_aq - lat_int8).mean()
+                       / (np.abs(lat_int8).mean() + 1e-8))
     out = {
         "metric": "quant_quality_delta",
         "latent_mean_rel_diff": round(lat_rel, 4),
@@ -106,11 +128,14 @@ def main():
         "fast_context_per_metric_rel_delta": {
             k: round(v, 4) for k, v in fast_deltas.items()},
         "fast_context_max_metric_delta": round(max(fast_deltas.values()), 4),
+        "fused_act_quant_vs_int8_latent_rel_diff": round(aq_lat_rel, 4),
+        "fused_act_quant_vs_int8_max_metric_delta": round(
+            max(aq_deltas.values()), 4),
         "note": ("random-init weights (no checkpoints in this env): deltas "
                  "measure pure quantization-induced numerical divergence "
                  "on identical content"),
     }
-    with open("QUALITY_r03.json", "w") as f:
+    with open("QUALITY_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
