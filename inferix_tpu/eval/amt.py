@@ -65,7 +65,7 @@ def _lookup(volume, coords, radius):
     pixels."""
     r = radius
     b, h1, w1, _ = coords.shape
-    d = torch.linspace(-r, r, 2 * r + 1)
+    d = torch.linspace(-r, r, 2 * r + 1, device=coords.device)
     # the official window enumeration stacks the (dy, dx) meshgrid and adds
     # component 0 to x — reproduce exactly (the flattened feature order is
     # what the update blocks' conv weights were trained on)

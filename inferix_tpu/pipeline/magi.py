@@ -133,13 +133,15 @@ class MagiPipeline:
         self.rt = runtime
         self.dtype = dtype
         self.profiler = profiler or InferixProfiler()
-        if runtime.fused_act_quant:
-            from ..quant.api import set_fused_act_quant
+        from ..quant.api import set_fused_act_quant
 
-            # the fused Pallas quant cannot be GSPMD-auto-partitioned: only
-            # single-device MAGI serving takes it (multi-chip keeps the XLA
-            # chain — the int8 linears there are tp-sharded GSPMD matmuls)
-            set_fused_act_quant(mesh is None or mesh.devices.size == 1)
+        # set UNCONDITIONALLY (no stale inheritance from a previous
+        # pipeline in this process). The fused Pallas quant cannot be
+        # GSPMD-auto-partitioned: only single-device MAGI serving takes it
+        # (multi-chip keeps the XLA chain — the int8 linears there are
+        # tp-sharded GSPMD matmuls).
+        set_fused_act_quant(runtime.fused_act_quant
+                            and (mesh is None or mesh.devices.size == 1))
         # batch 2 = (conditional, unconditional) halves, reference x.chunk(2).
         # The distilled path (cfg_number == 1) runs a SINGLE conditional
         # forward like the reference dispatcher (dit_model.py:537-596) —

@@ -61,14 +61,17 @@ class SelfForcingPipeline(AbstractInferencePipeline):
                     dtype=self._dtype,
                 )
         if cfg.quant.enabled:
-            from ..quant.api import quantize_params, set_fused_act_quant
+            from ..quant.api import quantize_params
 
             self._params = quantize_params(self._params, cfg.quant)
-            set_fused_act_quant(cfg.quant.fused_act_quant)
-        if cfg.runtime.rope_mxu:
-            from ..ops.rope import set_rope_impl
+        # trace-time globals are set UNCONDITIONALLY (True or False) so a
+        # second pipeline in the same process can never inherit a previous
+        # pipeline's setting (in-process A/Bs depend on this)
+        from ..ops.rope import set_rope_impl
+        from ..quant.api import set_fused_act_quant
 
-            set_rope_impl("mxu")
+        set_fused_act_quant(cfg.quant.enabled and cfg.quant.fused_act_quant)
+        set_rope_impl("mxu" if cfg.runtime.rope_mxu else "pairs")
         self.generator = SemiARGenerator(cfg, self._params, dtype=self._dtype)
         self.kv_manager = KVCacheManager(self.generator.statics.spec)
         if self._vae is None and cfg.runtime.decode_mode != DecodeMode.NO_DECODE:

@@ -56,6 +56,21 @@ class SemiARGenerator:
         self.dtype = dtype
         m, r = cfg.model, cfg.runtime
 
+        # the fused Pallas act-quant cannot be GSPMD-auto-partitioned:
+        # force the global OFF for multi-device generators regardless of
+        # who set it (this constructor is the chokepoint for every Wan
+        # forward — pipelines, bench, dryrun). Single-device generators
+        # leave the process-wide setting alone (pipelines own it).
+        if mesh is not None and mesh.devices.size > 1:
+            from ..quant.api import fused_act_quant_on, set_fused_act_quant
+
+            if fused_act_quant_on():
+                from ..core.monitoring import print_rank_0
+
+                print_rank_0("[quant] fused act-quant disabled: multi-"
+                             "device mesh (Pallas is not GSPMD-shardable)")
+                set_fused_act_quant(False)
+
         # fuse self-attn q/k/v into one [D, 3D] projection (numerically
         # identical, one MXU dispatch per layer). Kept separate under tp>1:
         # the head-sharded TP layout splits each projection's output axis.

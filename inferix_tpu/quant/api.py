@@ -78,10 +78,18 @@ def apply_act(x2: jax.Array, act: Optional[str]) -> jax.Array:
     raise ValueError(f"unknown act {act!r}")
 
 
+def _fused_active() -> bool:
+    """The fused kernel runs only where Pallas can: on the TPU backend, or
+    anywhere in interpret mode (tests). CPU runs with the flag set fall
+    back to the XLA chain instead of failing to lower."""
+    return _FUSED_ACT_QUANT and (
+        _FUSED_ACT_QUANT_INTERPRET or jax.default_backend() == "tpu")
+
+
 def _quantize_act(x2: jax.Array, act: Optional[str] = None):
     """Per-token int8 quant of [M, K] activations, optional pre-activation."""
     out_k = x2.shape[-1] // 2 if act == "silu_mul" else x2.shape[-1]
-    if (_FUSED_ACT_QUANT and x2.shape[-1] % 128 == 0 and out_k % 128 == 0):
+    if (_fused_active() and x2.shape[-1] % 128 == 0 and out_k % 128 == 0):
         from ..ops.act_quant import quantize_rows_int8
 
         return quantize_rows_int8(
@@ -129,7 +137,7 @@ def quantized_linear(p: Params, x: jax.Array, use_pallas: Optional[bool] = None
 
 def use_fused_prologue(p: Params, x: jax.Array) -> bool:
     """True when the fused LN[/modulate]+quant prologue can feed linear p."""
-    return (_FUSED_ACT_QUANT and isinstance(p, dict) and "w_q" in p
+    return (_fused_active() and isinstance(p, dict) and "w_q" in p
             and p["w_q"].dtype == jnp.int8 and x.shape[-1] % 128 == 0)
 
 
@@ -190,7 +198,7 @@ def quantized_ffn(
         h = quantized_linear(fc1, x)
     else:
         h = jnp.dot(x, fc1["w"].astype(x.dtype)) + fc1["b"].astype(x.dtype)
-    if not (_FUSED_ACT_QUANT and "w_q" in fc2
+    if not (_fused_active() and "w_q" in fc2
             and fc2["w_q"].dtype == jnp.int8 and h.shape[-1] % 128 == 0):
         h = jax.nn.gelu(h, approximate=True)
         if "w_q" in fc2:

@@ -150,10 +150,15 @@ def test_shifted_matmul_conv_impl_matches_xla():
     vae = CausalVAE(cfg, key=jax.random.key(0))
     z = jax.random.normal(jax.random.key(1), (1, 3, 8, 8, cfg.z_dim))
     ref = np.asarray(vae.decode(z))
+    # the conv impl is a TRACE-time switch: it must be set before the VAE
+    # builds its jitted decode (reusing `vae` here would hit the jit cache
+    # and compare the XLA result to itself)
     try:
         set_vae_conv_impl("shifted_matmul")
-        got = np.asarray(vae.decode(z))
+        vae2 = CausalVAE(cfg, params=vae.params)
+        got = np.asarray(vae2.decode(z))
     finally:
         set_vae_conv_impl("xla")
     assert np.isfinite(got).all()
+    assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
