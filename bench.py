@@ -15,6 +15,7 @@ vs_baseline compares the QUANTIZED path against the reference's stated
 JSON line.
 """
 import json
+import os
 import time
 
 import jax
@@ -89,7 +90,7 @@ def run_window_config(qparams) -> float:
     from inferix_tpu.core.config import EngineConfig
     from inferix_tpu.pipeline.semi_ar import SemiARGenerator
 
-    cfg = EngineConfig()
+    cfg = _cfg()
     cfg.model.local_attn_size = 12
     cfg.model.sink_size = 1
     cfg.quant.enabled = True
@@ -123,6 +124,26 @@ def run_window_config(qparams) -> float:
     _sync(x0)
     _sync(cache.k)
     return n * fpb / (time.perf_counter() - t0)
+
+
+# INFERIX_BENCH_FLAGS='{"fused_act_quant": true, ...}': apply quant/runtime
+# field overrides to every config (A/B harness for default-flip decisions —
+# the committed defaults stay the headline)
+_FLAGS = json.loads(os.environ.get("INFERIX_BENCH_FLAGS", "{}"))
+
+
+def _cfg():
+    from inferix_tpu.core.config import EngineConfig
+
+    c = EngineConfig()
+    for k, v in _FLAGS.items():
+        if hasattr(c.quant, k):
+            setattr(c.quant, k, v)
+        elif hasattr(c.runtime, k):
+            setattr(c.runtime, k, v)
+        else:
+            raise ValueError(f"unknown bench flag {k!r}")
+    return c
 
 
 LAST_RESULT_PATH = "/root/repo/.bench_last.json"
@@ -187,7 +208,7 @@ def main() -> None:
     from inferix_tpu.models.wan.causal_dit import init_params
     from inferix_tpu.quant.api import quantize_params
 
-    cfg = EngineConfig()  # Wan 1.3B shapes, 21 frames, 3-frame blocks
+    cfg = _cfg()  # Wan 1.3B shapes, 21 frames, 3-frame blocks
     params = init_params(jax.random.key(0), cfg.model, dtype=jnp.bfloat16)
 
     bf16_fps, bf16_ttfb = run_config(cfg, params, jnp.bfloat16)
@@ -197,7 +218,7 @@ def main() -> None:
     # bf16 on v5e (7.11 vs 6.54 ms at full cache — dequant VPU tax exceeds
     # the int8-MXU gain), so the quantized KV cache is a CAPACITY feature
     # (half HBM -> 2 concurrent streams below), not a speed feature.
-    qcfg = EngineConfig()
+    qcfg = _cfg()
     qcfg.quant.enabled = True
     qcfg.quant.dtype = "int8"
     qcfg.quant.granularity = "per_channel"
@@ -213,7 +234,7 @@ def main() -> None:
 
     del params
     gc.collect()
-    q2cfg = EngineConfig()
+    q2cfg = _cfg()
     q2cfg.quant.enabled = True
     q2cfg.quant.dtype = "int8"
     q2cfg.quant.granularity = "per_channel"
@@ -226,7 +247,7 @@ def main() -> None:
     # forwards/block instead of 5. Opt-in (slightly noisier context KV;
     # quality delta measured by bench_quality.py), reported alongside the
     # reference-semantics headline.
-    fcfg = EngineConfig()
+    fcfg = _cfg()
     fcfg.quant.enabled = True
     fcfg.quant.dtype = "int8"
     fcfg.quant.granularity = "per_channel"

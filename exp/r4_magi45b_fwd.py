@@ -162,7 +162,14 @@ rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        # MAGI_ACTQUANT=1: fused one-pass act-quant kernels
                        # (round-4 A/B, ops/act_quant.py)
                        fused_act_quant=os.environ.get(
-                           "MAGI_ACTQUANT", "0") == "1")
+                           "MAGI_ACTQUANT", "0") == "1",
+                       # MAGI_DISPATCH=per_chunk: sequential single-chunk
+                       # window dispatches (the 24B memory lever; also the
+                       # only way the cfg3 batch-2 whole-window program fits
+                       # through the compile helper — its whole-window
+                       # compile came back HTTP 500)
+                       window_dispatch=os.environ.get(
+                           "MAGI_DISPATCH", "whole"))
 W_CHUNKS = rt.window_size
 # Quantized window cache (bf16 KV at 6.32 G doesn't fit next to the
 # weights). MAGI_KV=int8 (default): int8 + per-(token,head) scales — the
@@ -262,7 +269,7 @@ line = json.dumps({
     "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
     "cfg_number": CFG_N,
     "weights": WEIGHTS, "kv_cache": KV, "layers": cfg.num_layers,
-    "span_grid": rt.span_grid,
+    "span_grid": rt.span_grid, "dispatch": rt.window_dispatch,
     "fwd_s": round(fwd_s, 3), "s_per_chunk": round(chunk_s, 2),
     "pixel_frames_per_s": round(pixel_frames_per_chunk / chunk_s, 3),
     "finite": bool(np.isfinite(np.asarray(

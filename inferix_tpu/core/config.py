@@ -191,11 +191,14 @@ class RuntimeConfig:
     kv_alloc_pad: bool = False
     # Rope via a constant +-1 rotation matmul (ops/rope.py set_rope_impl
     # "mxu") instead of the interleaved-pair reshape whose [.., D//2, 2]
-    # tensors XLA lays out as T(2,128) (~3 ms/forward at the 1.3B shape,
-    # exp/r6_results/op_breakdown.log %subtract_convert_fusion.3). Same
-    # arithmetic term for term (the matmul extracts partner lanes exactly).
-    # Default OFF pending the engine A/B (exp/r10_act_quant.py).
-    rope_mxu: bool = False
+    # tensors XLA lays out as T(2,128). Same arithmetic term for term (the
+    # matmul extracts partner lanes exactly; parity-tested to 1e-6).
+    # Default ON [r4]: the donated-forward A/B measured 247.8 ms vs the
+    # 259.8 ms baseline (-4.6%, exp/r6_results/r10_rope.log) — far past
+    # the >1% flip rule; the win exceeds the ~3 ms the trace attributed to
+    # the pair-interleave (%subtract_convert_fusion.3) because the
+    # T(2,128) layouts also poisoned neighboring fusions.
+    rope_mxu: bool = True
 
 
 @dataclasses.dataclass

@@ -141,10 +141,13 @@ def _ln_mod_quant_kernel(x_ref, *refs, eps, mode, in_dtype):
     ln = xc * jax.lax.rsqrt(var + eps)               # f32 [bs, C]
     if mode == "modulate":
         sh_ref, sc_ref, q_ref, s_ref = refs
-        # match layer_norm's bf16 cast, then _modulate's bf16 arithmetic
+        # match layer_norm's bf16 cast, then _modulate's bf16 arithmetic.
+        # mod blocks are [1, 1, C] (a 2-D [1, C] block on a [B*F, C] array
+        # violates Mosaic's 8-sublane rule; with the extra unit dim the
+        # block EQUALS the array dims, which Mosaic accepts)
         h = ln.astype(in_dtype)
-        sc = (1.0 + sc_ref[0].astype(jnp.float32)).astype(in_dtype)
-        sh = sh_ref[0].astype(in_dtype)
+        sc = (1.0 + sc_ref[0, 0].astype(jnp.float32)).astype(in_dtype)
+        sh = sh_ref[0, 0].astype(in_dtype)
         h = h * sc[None, :] + sh[None, :]
     elif mode == "affine":
         w_ref, b_ref, q_ref, s_ref = refs
@@ -201,16 +204,16 @@ def adaln_quantize_rows_int8(
         q, sc = quantize_act_int8_per_token(h)
         return q.reshape(b, s, c), sc.reshape(b, s, 1)
     xr = x.reshape(b * f, fs, c)
-    shr = shift.reshape(b * f, c)
-    scr = scale_mod.reshape(b * f, c)
+    shr = shift.reshape(b * f, 1, c)
+    scr = scale_mod.reshape(b * f, 1, c)
     q, sc = pl.pallas_call(
         functools.partial(_ln_mod_quant_kernel, eps=eps, mode="modulate",
                           in_dtype=x.dtype),
         grid=(b * f, fs // bs),
         in_specs=[
             pl.BlockSpec((1, bs, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bs, c), lambda i, j: (i, j, 0)),

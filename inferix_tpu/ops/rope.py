@@ -140,8 +140,11 @@ def apply_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
         # The +-1 matmul extracts the partner values EXACTLY (f32
         # accumulation of single +-bf16 terms), so the arithmetic matches
         # the pairs formulation term for term.
-        cosf = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, None, :]  # [S,1,D]
-        sinf = jnp.repeat(jnp.sin(angles), 2, axis=-1)[:, None, :]
+        # [..., S, 1, D] — angles may carry leading batch dims (continuous
+        # batching passes per-stream angle tables), same broadcast as the
+        # pairs path below
+        cosf = jnp.repeat(jnp.cos(angles), 2, axis=-1)[..., :, None, :]
+        sinf = jnp.repeat(jnp.sin(angles), 2, axis=-1)[..., :, None, :]
         xr = jax.lax.dot_general(
             x, jnp.asarray(_rope_rotation_matrix(d), x.dtype),
             (((x.ndim - 1,), (0,)), ((), ())),

@@ -56,20 +56,24 @@ class SemiARGenerator:
         self.dtype = dtype
         m, r = cfg.model, cfg.runtime
 
-        # the fused Pallas act-quant cannot be GSPMD-auto-partitioned:
-        # force the global OFF for multi-device generators regardless of
-        # who set it (this constructor is the chokepoint for every Wan
-        # forward — pipelines, bench, dryrun). Single-device generators
-        # leave the process-wide setting alone (pipelines own it).
-        if mesh is not None and mesh.devices.size > 1:
-            from ..quant.api import fused_act_quant_on, set_fused_act_quant
+        # Trace-time globals are applied HERE, from the config — this
+        # constructor is the chokepoint for every Wan forward (pipelines,
+        # bench, dryrun, batcher) — and UNCONDITIONALLY, so no generator
+        # inherits a previous one's setting. The fused Pallas act-quant
+        # cannot be GSPMD-auto-partitioned, so multi-device meshes force it
+        # off regardless of the config.
+        from ..ops.rope import set_rope_impl
+        from ..quant.api import set_fused_act_quant
 
-            if fused_act_quant_on():
-                from ..core.monitoring import print_rank_0
+        single_dev = mesh is None or mesh.devices.size == 1
+        want_fused = (cfg.quant.enabled and cfg.quant.fused_act_quant)
+        if want_fused and not single_dev:
+            from ..core.monitoring import print_rank_0
 
-                print_rank_0("[quant] fused act-quant disabled: multi-"
-                             "device mesh (Pallas is not GSPMD-shardable)")
-                set_fused_act_quant(False)
+            print_rank_0("[quant] fused act-quant disabled: multi-device "
+                         "mesh (Pallas is not GSPMD-shardable)")
+        set_fused_act_quant(want_fused and single_dev)
+        set_rope_impl("mxu" if cfg.runtime.rope_mxu else "pairs")
 
         # fuse self-attn q/k/v into one [D, 3D] projection (numerically
         # identical, one MXU dispatch per layer). Kept separate under tp>1:

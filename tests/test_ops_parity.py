@@ -166,3 +166,23 @@ def test_rope_mxu_matches_pairs():
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_rope_mxu_batched_angles():
+    """mxu rope with per-stream (batched) angle tables — the continuous
+    batching path — equals the pairs formulation."""
+    from inferix_tpu.ops.rope import set_rope_impl
+
+    tables = build_rope_tables(64, max_pos=32)
+    angs = jnp.stack([rope_angles(tables, 2, 2, 4, s) for s in (0, 3)])
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 16, 3, 64)),
+        jnp.float32)
+    ref = apply_rope(x, angs)
+    try:
+        set_rope_impl("mxu")
+        got = apply_rope(x, angs)
+    finally:
+        set_rope_impl("pairs")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
