@@ -250,6 +250,23 @@ _sync(velocity)
 _sync(cache.k)
 
 n = 6
+# MAGI_TRACE=1: capture a profiler trace of 2 warm forwards and print the
+# top device ops (per-op attribution for the 27.4-vs-8.4 s investigation —
+# exp/r6_op_breakdown.py's xplane walker)
+if os.environ.get("MAGI_TRACE") == "1" and not TINY:
+    sys.path.insert(0, "/root/repo/exp")
+    from r6_op_breakdown import parse_xplane
+
+    with jax.profiler.trace("/tmp/magi_trace"):
+        for _ in range(2):
+            velocity, cache = pipe._forward_window(
+                x_window, t_vals, cap, cmask, cache, slice_point=0,
+                kv_ranges=kv_ranges)
+        _sync(velocity)
+        _sync(cache.k)
+    print(json.dumps({"magi_top_ops_ms_per_2fwd":
+                      parse_xplane("/tmp/magi_trace", top=30)}, indent=1),
+          flush=True)
 t0 = time.perf_counter()
 for _ in range(n):
     velocity, cache = pipe._forward_window(x_window, t_vals, cap, cmask,
