@@ -100,18 +100,22 @@ class MagiRuntimeConfig:
     # protocol as the Wan flag (QuantConfig.fused_act_quant): default OFF
     # until the hardware A/B.
     fused_act_quant: bool = False
-    # Window dispatch granularity. "whole" (default) runs one forward over
-    # all window chunks; "per_chunk" dispatches the window as chunk_count
-    # sequential single-chunk forwards chained through the cache — the
-    # SAME math (chunk i's kv_range covers only chunks <= i, whose KV the
-    # earlier dispatches already wrote; equality-tested), at ~1/window the
-    # activation live set. This is the 24B memory lever: the tp4 x sp2 x
-    # pp2 whole-window program AOT-compiled to 9.86 GiB of XLA temp —
-    # fits=false on v5e (exp/r6_results/mem24b.log); the per-chunk program
-    # shrinks the dominant [window_tokens, ffn] temps by the window factor.
-    # Costs: window_size dispatches per forward instead of one, and the
-    # 3-CFG uncond rows run per-chunk too.
-    window_dispatch: str = "whole"
+    # Window dispatch granularity. "per_chunk" (default [r4]) dispatches
+    # the window as chunk_count sequential single-chunk forwards chained
+    # through the cache — the SAME math (chunk i's kv_range covers only
+    # chunks <= i, whose KV the earlier dispatches already wrote;
+    # equality-tested), at ~1/window the activation live set. MEASURED 4x
+    # FASTER than the whole-window program at the 4.5B serving shape on
+    # one v5e: 6.99 vs 27.5-28.2 s/forward fresh-process warm-cache
+    # (exp/r6_results/magi45b_pc_final.log vs magi45b_{span,nospan,hm}_
+    # final.log) — the 48600-token whole-window program thrashes HBM
+    # (XLA spills at that live set), and it also beats the round-2
+    # 8.42 s record. It is additionally the 24B memory lever (the
+    # whole-window tp4 x sp2 x pp2 AOT came back 9.86 GiB of temp,
+    # fits=false) and the only cfg_number=3 configuration the remote
+    # compile helper can build at 4.5B. "whole" remains available for
+    # A/Bs; with n_chunks==1 the two are identical.
+    window_dispatch: str = "per_chunk"
 
 
 class MagiPipeline:
