@@ -169,7 +169,7 @@ rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
                        # through the compile helper — its whole-window
                        # compile came back HTTP 500)
                        window_dispatch=os.environ.get(
-                           "MAGI_DISPATCH", "whole"))
+                           "MAGI_DISPATCH", "per_chunk"))
 W_CHUNKS = rt.window_size
 # Quantized window cache (bf16 KV at 6.32 G doesn't fit next to the
 # weights). MAGI_KV=int8 (default): int8 + per-(token,head) scales — the

@@ -45,6 +45,24 @@ def _gelu_tanh_f32(x: jax.Array) -> jax.Array:
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
+def _erf_f32(x: jax.Array) -> jax.Array:
+    """erf from Mosaic-supported primitives (Abramowitz-Stegun 7.1.26,
+    |err| <= 1.5e-7): Mosaic has no erf lowering (the MAGI aq run failed
+    with 'Unimplemented primitive: erf'). The residual vs lax.erf is below
+    one bf16 ulp, inside the fused path's quant-step tolerance budget."""
+    a1 = jnp.float32(0.254829592)
+    a2 = jnp.float32(-0.284496736)
+    a3 = jnp.float32(1.421413741)
+    a4 = jnp.float32(-1.453152027)
+    a5 = jnp.float32(1.061405429)
+    p = jnp.float32(0.3275911)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t \
+        * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
 def _quant_kernel(x_ref, q_ref, s_ref, *, act: Optional[str], in_dtype):
     xf = x_ref[...].astype(jnp.float32)
     if act == "gelu":
@@ -53,7 +71,8 @@ def _quant_kernel(x_ref, q_ref, s_ref, *, act: Optional[str], in_dtype):
         xf = _gelu_tanh_f32(xf).astype(in_dtype).astype(jnp.float32)
     elif act == "gelu_exact":
         # MAGI mlp: jax.nn.gelu(approximate=False) — erf formulation
-        xf = (0.5 * xf * (1.0 + jax.lax.erf(xf * jnp.float32(0.7071067811865476)))
+        # (in-kernel polynomial erf; Mosaic has no erf primitive)
+        xf = (0.5 * xf * (1.0 + _erf_f32(xf * jnp.float32(0.7071067811865476)))
               ).astype(in_dtype).astype(jnp.float32)
     elif act == "silu_mul":
         # 24B SwiGLU: silu(gate f32) rounded to the act dtype, times up —
