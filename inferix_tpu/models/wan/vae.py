@@ -99,7 +99,7 @@ _CONV_IMPL = "xla"
 
 def set_vae_conv_impl(impl: str) -> None:
     global _CONV_IMPL
-    assert impl in ("xla", "shifted_matmul")
+    assert impl in ("xla", "shifted_matmul", "halo")
     _CONV_IMPL = impl
 
 
@@ -138,6 +138,19 @@ def _conv3d_shifted_matmul(p, x, spatial_pad):
 def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
     """x: [B,T,H,W,C]; temporal padding handled by the caller (causal)."""
     kt, kh, kw = p["w"].shape[:3]
+    # Halo routing is gated to the 3D 3x3x3 class: the amortized A/B
+    # (exp/r6_results/r13_halo_v4.log) has the Pallas kernel winning every
+    # kt==3 shape (res_L3 13.2 vs 15.6 ms, L1b 3.61 vs 3.77, L2 tie) and
+    # LOSING the kt==1 upsample conv (9.1 vs 8.3) — XLA's 2D conv lowering
+    # is already good there.
+    if (_CONV_IMPL == "halo" and t_stride == 1 and s_stride == 1
+            and kt == 3 and kh == 3 and kw == 3 and spatial_pad == "same"
+            and x.shape[2] * x.shape[3] >= 256):
+        from ...ops.halo_conv import halo_conv3d
+        interp = jax.default_backend() != "tpu"
+        return jnp.stack(
+            [halo_conv3d(x[i], p["w"], p["b"], interpret=interp)
+             for i in range(x.shape[0])], axis=0)
     if (_CONV_IMPL == "shifted_matmul" and t_stride == 1 and s_stride == 1
             and kt * kh * kw > 1):
         return _conv3d_shifted_matmul(p, x, spatial_pad)
