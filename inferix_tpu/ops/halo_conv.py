@@ -37,17 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_bh(h_out: int, wp: int, c_pad: int, kt: int, kw: int,
-             cout_blk: int, vmem_budget: int = 13 * 2**20) -> int:
+             cout_blk: int, vmem_budget: int = 13 * 2**20,
+             itemsize: int = 2) -> int:
     """Largest H-block in {16, 8, 4, 2, 1} whose double-buffered halo block
-    + kw f32 accumulators + weight block fit the VMEM budget."""
+    + kw f32/i32 products + weight block fit the VMEM budget."""
     co_lanes = math.ceil(cout_blk / 128) * 128
     for bh in (16, 8, 4, 2, 1):
         if bh > h_out:
             continue
-        need = (2 * kt * (bh + 2) * wp * c_pad * 2          # x double buffer
-                + bh * wp * kt * 3 * c_pad * 2              # im2col panel
+        need = (2 * kt * (bh + 2) * wp * c_pad * itemsize   # x double buffer
+                + bh * wp * kt * 3 * c_pad * itemsize       # im2col panel
                 + kw * bh * wp * co_lanes * 4               # per-dw products
-                + 2 * kw * kt * 3 * c_pad * co_lanes * 2)   # weight block x2
+                + 2 * kw * kt * 3 * c_pad * co_lanes * itemsize)  # weights x2
         if need <= vmem_budget:
             return bh
     return 1
@@ -105,6 +106,117 @@ def _halo_conv_kernel(x_hbm, w_ref, b_ref, out_ref, xbuf, sems, *,
          for dw in range(kw)]
     out = sum(y[1:], y[0]) + b_ref[:].astype(jnp.float32)
     out_ref[:] = out.reshape(1, bh, w_out, cout_blk).astype(out_ref.dtype)
+
+
+def _halo_conv_kernel_i8(x_hbm, w_ref, sv_ref, b_ref, out_ref, xbuf, sems, *,
+                         kt: int, kh: int, kw: int, bh: int, w_out: int,
+                         n_h: int, n_t: int):
+    """int8 x int8 -> int32 variant: same halo/im2col structure, MXU runs at
+    the 2x int8 rate; the per-cout scale vector (s_x * s_w) is applied once
+    on the combined i32 products."""
+    t = pl.program_id(0)
+    hb = pl.program_id(1)
+    co = pl.program_id(2)
+    step = t * n_h + hb
+    n_steps = n_t * n_h
+
+    def dma(slot, tt, hh):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tt, kt), pl.ds(hh * bh, bh + kh - 1)],
+            xbuf.at[slot], sems.at[slot])
+
+    cur = step % 2
+
+    @pl.when((step == 0) & (co == 0))
+    def _warmup():
+        dma(cur, t, hb).start()
+
+    @pl.when(co == 0)
+    def _wait_cur():
+        dma(cur, t, hb).wait()
+
+    @pl.when((co == 0) & (step + 1 < n_steps))
+    def _prefetch_next():
+        nstep = step + 1
+        dma((cur + 1) % 2, nstep // n_h, nstep % n_h).start()
+
+    wp = xbuf.shape[3]
+    cp = xbuf.shape[4]
+    cout_blk = out_ref.shape[-1]
+    lhs = jnp.concatenate(
+        [xbuf[cur, dt, dh:dh + bh, :, :].reshape(bh * wp, cp)
+         for dt in range(kt) for dh in range(kh)], axis=1)
+    y = [jax.lax.dot_general(lhs, w_ref[dw], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+         .reshape(bh, wp, cout_blk)[:, dw:dw + w_out, :]
+         for dw in range(kw)]
+    acc = sum(y[1:], y[0]).astype(jnp.float32)
+    out = acc * sv_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    out_ref[:] = out.reshape(1, bh, w_out, cout_blk).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def halo_conv3d_w8a8(x: jax.Array, w: jax.Array, b: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """W8A8 halo conv: per-tensor activation scale, per-output-channel
+    weight scale, int8 MXU (2x the bf16 rate on v5e), f32 epilogue.
+
+    Same contract as halo_conv3d. Quantization error is bounded by the
+    quality harness (bench_quality VAE gate), not hidden: per-tensor
+    activation quant of VAE decode activations is the coarsest recipe —
+    tighten to per-row in-kernel if real-weight deltas demand it."""
+    kt, kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3, "halo kernel is specialized to 3x3 spatial"
+    tin, h, wdim, _ = x.shape
+    t_out = tin - (kt - 1)
+    # int8 VMEM tiles are (32, 128): Wp must cover whole 32-sublane tiles
+    wp = -(-(wdim + kw - 1) // 32) * 32
+    cout_blk = 128 if (cout > 128 and cout % 128 == 0) else cout
+    n_co = cout // cout_blk
+    c_pad = -(-cin // 128) * 128
+    bh = _pick_bh(h, wp, c_pad, kt, kw, cout_blk, itemsize=1)
+    n_h = -(-h // bh)
+    h_pad = n_h * bh
+
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    xp = jnp.pad(xq, ((0, 0), (1, 1 + (h_pad - h)),
+                      (1, wp - wdim - 1), (0, c_pad - cin)))
+
+    wf = w.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2, 3)), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+    w2 = jnp.pad(wq, ((0, 0),) * 3 + ((0, c_pad - cin), (0, 0)))
+    w2 = w2.transpose(2, 0, 1, 3, 4).reshape(kw, kt * kh * c_pad, cout)
+    sv = (s_x * s_w).reshape(1, cout).astype(jnp.float32)
+    b2 = b.reshape(1, cout).astype(jnp.float32)
+
+    kern = functools.partial(
+        _halo_conv_kernel_i8, kt=kt, kh=kh, kw=kw, bh=bh, w_out=wdim,
+        n_h=n_h, n_t=t_out)
+    out = pl.pallas_call(
+        kern,
+        grid=(t_out, n_h, n_co),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((kw, kt * kh * c_pad, cout_blk),
+                         lambda t, hb, co: (0, 0, co)),
+            pl.BlockSpec((1, cout_blk), lambda t, hb, co: (0, co)),
+            pl.BlockSpec((1, cout_blk), lambda t, hb, co: (0, co)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, wdim, cout_blk),
+                               lambda t, hb, co: (t, hb, 0, co)),
+        out_shape=jax.ShapeDtypeStruct((t_out, h_pad, wdim, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kt, bh + kh - 1, wp, c_pad), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )(xp, w2, sv, b2)
+    return out[:, :h]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
