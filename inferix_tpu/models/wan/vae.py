@@ -95,12 +95,16 @@ def _conv_init(key, kt, kh, kw, cin, cout, dtype=jnp.float32):
 # from exp/r12_vae_conv.py for the VAE-bound TRUE_STREAMING wall (VERDICT
 # r3 weak #6). Flip only on a measured win.
 _CONV_IMPL = "xla"
+# Tests opt in to running the halo kernel in Pallas interpret mode on CPU
+# (orders of magnitude slower than XLA conv — never the production route).
+_HALO_INTERPRET_OK = False
 
 
-def set_vae_conv_impl(impl: str) -> None:
-    global _CONV_IMPL
+def set_vae_conv_impl(impl: str, interpret_ok: bool = False) -> None:
+    global _CONV_IMPL, _HALO_INTERPRET_OK
     assert impl in ("xla", "shifted_matmul", "halo")
     _CONV_IMPL = impl
+    _HALO_INTERPRET_OK = interpret_ok
 
 
 def _spatial_pads(kh, kw, spatial_pad):
@@ -146,11 +150,15 @@ def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
     if (_CONV_IMPL == "halo" and t_stride == 1 and s_stride == 1
             and kt == 3 and kh == 3 and kw == 3 and spatial_pad == "same"
             and x.shape[2] * x.shape[3] >= 256):
-        from ...ops.halo_conv import halo_conv3d
         interp = jax.default_backend() != "tpu"
-        return jnp.stack(
-            [halo_conv3d(x[i], p["w"], p["b"], interpret=interp)
-             for i in range(x.shape[0])], axis=0)
+        # Off-TPU the Pallas kernel only runs in interpret mode, which is
+        # orders of magnitude slower than XLA conv — fall through unless a
+        # test explicitly opted in (set_vae_conv_impl interpret_ok=True).
+        if not interp or _HALO_INTERPRET_OK:
+            from ...ops.halo_conv import halo_conv3d
+            return jnp.stack(
+                [halo_conv3d(x[i], p["w"], p["b"], interpret=interp)
+                 for i in range(x.shape[0])], axis=0)
     if (_CONV_IMPL == "shifted_matmul" and t_stride == 1 and s_stride == 1
             and kt * kh * kw > 1):
         return _conv3d_shifted_matmul(p, x, spatial_pad)

@@ -45,6 +45,8 @@ def _pick_bh(h_out: int, wp: int, c_pad: int, kt: int, kw: int,
     for bh in (16, 8, 4, 2, 1):
         if bh > h_out:
             continue
+        # itemsize follows the actual input dtype (bf16/f32/int8) — an f32
+        # input doubles the halo buffer, im2col panel, and weight terms.
         need = (2 * kt * (bh + 2) * wp * c_pad * itemsize   # x double buffer
                 + bh * wp * kt * 3 * c_pad * itemsize       # im2col panel
                 + kw * bh * wp * co_lanes * 4               # per-dw products
@@ -199,7 +201,7 @@ def halo_conv3d_w8a8(x: jax.Array, w: jax.Array, b: jax.Array,
         kern,
         grid=(t_out, n_h, n_co),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((kw, kt * kh * c_pad, cout_blk),
                          lambda t, hb, co: (0, 0, co)),
             pl.BlockSpec((1, cout_blk), lambda t, hb, co: (0, co)),
@@ -243,7 +245,8 @@ def halo_conv3d(x: jax.Array, w: jax.Array, b: jax.Array,
     cout_blk = 128 if (cout > 128 and cout % 128 == 0) else cout
     n_co = cout // cout_blk
     c_pad = -(-cin // 128) * 128
-    bh = _pick_bh(h, wp, c_pad, kt, kw, cout_blk)
+    bh = _pick_bh(h, wp, c_pad, kt, kw, cout_blk,
+                  itemsize=jnp.dtype(x.dtype).itemsize)
     n_h = -(-h // bh)
     h_pad = n_h * bh
     # Cin rounded to the 128-lane tile: the halo DMA's source slice must
@@ -268,7 +271,7 @@ def halo_conv3d(x: jax.Array, w: jax.Array, b: jax.Array,
         kern,
         grid=(t_out, n_h, n_co),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((kw, kt * kh * c_pad, cout_blk),
                          lambda t, hb, co: (0, 0, co)),
             pl.BlockSpec((1, cout_blk), lambda t, hb, co: (0, co)),

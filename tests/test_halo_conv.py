@@ -77,9 +77,63 @@ def test_vae_decode_conv_impl_halo_matches_xla():
 
     try:
         ref = run()
-        set_vae_conv_impl("halo")
+        set_vae_conv_impl("halo", interpret_ok=True)
         out = run()
     finally:
         set_vae_conv_impl("xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_vae_halo_without_interpret_ok_falls_back_to_xla_off_tpu():
+    """On a non-TPU backend, conv_impl='halo' without the test opt-in must
+    route to the XLA conv (running the Pallas kernel in interpret mode in
+    production would be orders of magnitude slower)."""
+    from inferix_tpu.models.wan import vae as vae_mod
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("fallback only applies off-TPU")
+    calls = []
+    orig = halo_conv3d
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    x = jnp.zeros((1, 5, 20, 24, 96), jnp.float32)
+    p = {"w": jnp.zeros((3, 3, 3, 96, 96), jnp.float32),
+         "b": jnp.zeros((96,), jnp.float32)}
+    try:
+        vae_mod.set_vae_conv_impl("halo")  # no interpret_ok
+        import inferix_tpu.ops.halo_conv as hc
+        hc_orig = hc.halo_conv3d
+        hc.halo_conv3d = spy
+        out = vae_mod._conv3d(p, x)
+    finally:
+        hc.halo_conv3d = hc_orig
+        vae_mod.set_vae_conv_impl("xla")
+    assert out.shape == (1, 3, 20, 24, 96)
+    assert not calls, "halo kernel must not run in interpret mode by default"
+
+
+@pytest.mark.parametrize("tin,h,w,cin,cout", [
+    (4, 12, 20, 96, 96),        # single cout block
+    (3, 7, 104, 384, 384),      # cout blocking (n_co > 1)
+])
+def test_halo_conv_w8a8_matches_oracle(tin, h, w, cin, cout):
+    """W8A8 halo conv vs the f32 oracle at quantization-appropriate
+    tolerance (per-tensor act scale + per-channel weight scale => relative
+    error ~1/127 of the activation/weight dynamic range)."""
+    from inferix_tpu.ops.halo_conv import halo_conv3d_w8a8
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((tin, h, w, cin)) * 0.1, jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.05,
+                     jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+    out = halo_conv3d_w8a8(x, wt, b, interpret=True)
+    ref = _oracle(x, wt, b)
+    assert out.shape == ref.shape
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() <= 0.05 * scale, (err.max(), scale)
