@@ -88,7 +88,7 @@ class ParallelConfig:
     sp: int = 1      # sequence parallel (tokens within a frame's HW)
     tp: int = 1      # tensor parallel (heads / ffn hidden)
     pp: int = 1      # pipeline stages (layer ranges)
-    sp_mode: str = "ulysses"  # "ulysses" | "ring" | "auto"
+    sp_mode: str = "ulysses"  # "ulysses" | "ring"/"ring_pass_q" | "ring_pass_kv" | "auto"
 
     @property
     def world_size(self) -> int:

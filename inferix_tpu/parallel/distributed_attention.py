@@ -307,6 +307,121 @@ def ring_pass_q_cache_attention(
 
 
 # ---------------------------------------------------------------------------
+# Ring pass-kv: the cache slices rotate, queries stay resident
+# ---------------------------------------------------------------------------
+
+def _ring_pass_kv_cache_body(q, k, v, kv_mask, k_scales=None, v_scales=None,
+                             kv_layout="bshd"):
+    """Classic ring attention (reference ring_attention_forward_pass_kv,
+    `inferix/models/attention/distributed.py:564-712`): the K/V cache
+    slices — with their validity-mask slice and, for the int8 cache, their
+    scale slices — rotate around the ring with `ppermute`; the queries and
+    their online-softmax accumulators (acc, m, l) stay RESIDENT and merge
+    each arriving slice with the standard flash LSE correction.
+
+    Wire volume per layer is sp hops x O(cache/sp) = O(cache) vs pass-q's
+    O(block): for cached semi-AR (cache 32760 tokens vs 4680-token blocks)
+    pass-kv moves ~7x more bytes, which is why pass-q is the default ring
+    mode (BASELINE SCALING_r04 wire table). pass-kv wins only when the
+    live block dominates the cache (Sq >> Smax/sp: prefill-style calls,
+    very short windows) — the same regime split the reference's
+    `_select_strategy` heuristic encodes (`distributed.py:96-131`)."""
+    sp = jax.lax.psum(1, "sp")
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+    b, s_loc, h, d = q.shape
+    quant = k_scales is not None
+
+    def step(carry, _):
+        if quant:
+            (k_cur, v_cur, mask_cur, ks_cur, vs_cur,
+             acc, m_run, l_run) = carry
+        else:
+            k_cur, v_cur, mask_cur, acc, m_run, l_run = carry
+            ks_cur = vs_cur = None
+        out_i, lse_i = _local_attn_lse(q, k_cur, v_cur, mask_cur,
+                                       ks_cur, vs_cur, kv_layout=kv_layout)
+        m_new = jnp.maximum(m_run, lse_i)
+        # fully-masked remote slices yield lse = -inf; guard the exp terms
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        w_old = jnp.where(jnp.isfinite(m_run),
+                          jnp.exp(m_run - m_safe), 0.0)
+        w_new = jnp.where(jnp.isfinite(lse_i),
+                          jnp.exp(lse_i - m_safe), 0.0)
+        acc = acc * w_old.transpose(0, 2, 1)[..., None] \
+            + out_i.astype(jnp.float32) * w_new.transpose(0, 2, 1)[..., None]
+        l_new = l_run * w_old + w_new
+        hop = lambda x: jax.lax.ppermute(x, "sp", perm)
+        if quant:
+            return (hop(k_cur), hop(v_cur), hop(mask_cur), hop(ks_cur),
+                    hop(vs_cur), acc, m_new, l_new), None
+        return (hop(k_cur), hop(v_cur), hop(mask_cur),
+                acc, m_new, l_new), None
+
+    acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
+    m0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
+    carry0 = (k, v, kv_mask) + ((k_scales, v_scales) if quant else ()) \
+        + (acc0, m0, l0)
+    carry, _ = jax.lax.scan(step, carry0, None, length=sp)
+    acc, l_f = carry[-3], carry[-1]
+    out = acc / jnp.maximum(l_f, 1e-30).transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+def ring_pass_kv_cache_attention(
+    mesh: Mesh,
+    q: jax.Array,        # [B, Sq, H, D] tokens over sp
+    k: jax.Array,        # [B, Smax, H, D] cache, TOKENS over sp
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,  # [B, Smax, H] f32 (int8 cache;
+                                           # [B, H, Smax] when kv_layout)
+    v_scales: Optional[jax.Array] = None,
+    kv_layout: str = "bshd",               # 'bhsd': head-major cache
+) -> jax.Array:
+    """Same sharding contract as `ring_pass_q_cache_attention` (cache tokens
+    over sp, q tokens over sp, heads over tp); only the rotation direction
+    of the ring differs — see `_ring_pass_kv_cache_body`."""
+    sp = mesh.shape["sp"]
+    kv_seq_axis = 2 if kv_layout == "bhsd" else 1
+    assert q.shape[1] % sp == 0 and k.shape[kv_seq_axis] % sp == 0
+    if kv_mask is None:
+        kv_mask = jnp.ones((k.shape[0], k.shape[kv_seq_axis]), dtype=bool)
+    if kv_mask.ndim == 1:
+        mask_spec = P("sp")
+    else:
+        mask_spec = P("dp", "sp")
+    if kv_layout == "bhsd":
+        cache_spec = P("dp", "tp", "sp", None)
+        scale_spec = P("dp", "tp", "sp")
+    else:
+        cache_spec = P("dp", "sp", "tp", None)
+        scale_spec = P("dp", "sp", "tp")
+
+    extra_args, extra_specs = [], []
+    if k_scales is not None:
+        extra_args += [k_scales, v_scales]
+        extra_specs += [scale_spec] * 2
+
+    def body(q_, k_, v_, mask_, *scales):
+        ks_, vs_ = scales if scales else (None, None)
+        return _ring_pass_kv_cache_body(q_, k_, v_, mask_, ks_, vs_,
+                                        kv_layout=kv_layout)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            P("dp", "sp", "tp", None),
+            cache_spec,
+            cache_spec,
+            mask_spec,
+        ) + tuple(extra_specs),
+        out_specs=P("dp", "sp", "tp", None),
+        check_vma=False,
+    )(q, k, v, kv_mask, *extra_args)
+
+
+# ---------------------------------------------------------------------------
 # CSO: per-chunk shuffled Ulysses pipeline (MAGI multi-range denoising)
 # ---------------------------------------------------------------------------
 
@@ -486,6 +601,10 @@ def sp_cache_attention(
         return ring_pass_q_cache_attention(mesh, q, k, v, kv_mask,
                                            k_scales, v_scales,
                                            kv_layout=kv_layout)
+    if mode == "ring_pass_kv":
+        return ring_pass_kv_cache_attention(mesh, q, k, v, kv_mask,
+                                            k_scales, v_scales,
+                                            kv_layout=kv_layout)
     raise ValueError(f"unknown sp attention mode {mode!r}")
 
 
@@ -506,6 +625,13 @@ def sp_comm_bytes_per_layer(
         # chunk-i kernel overlaps the chunk-i+1 exchange)
         local = batch * (block_tokens // sp) * h_loc * head_dim * itemsize
         return 2 * local * (sp - 1) // sp * sp  # both directions, all hops
+    if mode == "ring_pass_kv":
+        # K/V cache slices (+ mask) hop sp times: O(cache) total vs
+        # pass-q's O(block) — the wire-table reason pass-q is the default
+        kv_bytes = 2 * batch * (cache_tokens // sp) * h_loc * head_dim \
+            * itemsize
+        mask_bytes = batch * (cache_tokens // sp)
+        return sp * (kv_bytes + mask_bytes)
     # ring pass-q: q + acc(f32) + m/l(f32) hop sp times
     q_bytes = batch * (block_tokens // sp) * h_loc * head_dim * itemsize
     acc_bytes = batch * (block_tokens // sp) * h_loc * head_dim * 4

@@ -88,8 +88,8 @@ class SemiARGenerator:
         # when a mesh with sp>1 is supplied and the parallel config names a
         # mode; otherwise single-device attention + GSPMD handles sharding
         sp_mode = "none"
-        if mesh is not None and cfg.parallel.sp_mode in ("ulysses", "ring",
-                                                         "ring_pass_q"):
+        if mesh is not None and cfg.parallel.sp_mode in (
+                "ulysses", "ring", "ring_pass_q", "ring_pass_kv"):
             if mesh.shape.get("sp", 1) > 1:
                 sp_mode = cfg.parallel.sp_mode
             elif mesh.shape.get("tp", 1) > 1 \

@@ -37,6 +37,8 @@ def _generate(cfg, params, mesh=None, frames=3):
     ("ulysses", 2, 2),
     ("ring", 2, 1),
     ("ring_pass_q", 4, 1),
+    ("ring_pass_kv", 2, 1),
+    ("ring_pass_kv", 4, 1),
 ])
 def test_sp_attention_matches_single_device(mode, sp, tp):
     cfg = tiny_test_config()
@@ -60,6 +62,11 @@ def test_sp_attention_matches_single_device(mode, sp, tp):
     # the cache (a replicated-heads scale spec would mis-pair scales with
     # head shards)
     ("ring_pass_q", 2, 2),
+    # pass-kv rotates the int8 cache slices WITH their scale slices; a
+    # mis-paired hop (scales resident while k/v rotate) would dequantize
+    # remote slices with local scales
+    ("ring_pass_kv", 2, 1),
+    ("ring_pass_kv", 2, 2),
 ])
 def test_sp_attention_composes_with_int8_kv(mode, sp, tp):
     """sp x int8-KV composition (VERDICT round-2 weak #3): the islands shard
