@@ -1,0 +1,329 @@
+"""First-real-pod measurement driver (VERDICT r4 item 4).
+
+One subcommand per question the first 8-chip session must answer; every
+run appends one JSON line to exp/pod_results/pod.jsonl so an unattended
+queue (exp/run_pod_queue.sh) collects everything even if a later step
+fails. Pass/fail criteria are PRE-REGISTERED in exp/POD_RUNBOOK.md and
+BASELINE.md — do not move the goalposts after the numbers land.
+
+Subcommands:
+  sanity                 device census + tiny sharded all-reduce
+  wan_sp SP [MODE]       Wan 1.3B REAL shape, int8+int8KV serving config,
+                         sp-sharded denoise block (MODE ulysses|ring_pass_q,
+                         default ulysses); SP=1 records the baseline row
+  magi_ab SP STRATEGY    MAGI 4.5B REAL shape (34L/h3072/24h/8g, 12150-token
+                         chunks, window 4, int8 W8A8 + int8 KV, per-chunk
+                         dispatch), one window's forwards at cp=STRATEGY
+                         (ulysses|cso); TRACE=1 captures a profiler trace
+                         and reports exposed all-to-all time
+  magi24b TP SP PP       24B base config (48L/h6144/48h/8g, SwiGLU via the
+                         gate/up split, x_rescale, GQA), cfg3 per-chunk,
+                         ONE window forward on the composed mesh
+                         (validated factorizations: 4 1 2 and 2 2 2)
+
+Plumbing validation without a pod: POD_VIRTUAL=8 runs every subcommand on
+8 virtual CPU devices at tiny shapes (wall times are then meaningless —
+the flag exists so the queue is known-good before chips are attached).
+"""
+import json
+import os
+import sys
+import time
+
+_virtual = int(os.environ.get("POD_VIRTUAL", "0"))
+if _virtual:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_virtual}").strip()
+
+import jax
+
+if _virtual:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = "/root/repo/exp/pod_results"
+TRACE_DIR = "/tmp/pod_trace"
+
+
+def emit(rec):
+    os.makedirs(RESULTS, exist_ok=True)
+    rec["virtual"] = bool(_virtual)
+    rec["n_devices"] = jax.device_count()
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(os.path.join(RESULTS, "pod.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+
+def _sync(tree):
+    np.asarray(jax.device_get(jax.tree.leaves(tree)[0].ravel()[0]))
+
+
+# ---------------------------------------------------------------------------
+
+def sanity():
+    devs = jax.devices()
+    from inferix_tpu.core.config import ParallelConfig
+    from inferix_tpu.parallel.mesh import make_mesh
+
+    n = len(devs)
+    pcfg = ParallelConfig(dp=1, sp=1, tp=n, pp=1)
+    mesh = make_mesh(pcfg)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jax.device_put(jnp.arange(n * 128.0).reshape(n, 128),
+                       NamedSharding(mesh, P("tp", None)))
+    s = jax.jit(lambda x: jnp.sum(x))(x)
+    emit({"probe": "sanity", "devices": [str(d) for d in devs],
+          "allreduce_ok": bool(np.isfinite(float(s)))})
+
+
+def wan_sp(sp: int, mode: str = "ulysses"):
+    """Real-shape Wan 1.3B denoise block, int8 linears + int8 KV, tokens/s.
+
+    PRE-REGISTERED pass rule (BASELINE.md target): tokens_per_s(sp=N) /
+    (N * tokens_per_s(sp=1)) >= 0.80 for N in {2, 4}."""
+    import functools
+
+    from jax.sharding import NamedSharding
+
+    from inferix_tpu.core.config import EngineConfig, ParallelConfig, \
+        tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.parallel.mesh import (
+        make_mesh, param_pspecs, to_named, wan_kv_cache_pspec, latent_pspec,
+        xattn_cache_pspec)
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator, \
+        _denoise_block_impl
+    from inferix_tpu.quant.api import quantize_params
+
+    cfg = tiny_test_config() if _virtual else EngineConfig()
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    pcfg = ParallelConfig(dp=1, sp=sp, tp=1, pp=1, sp_mode=mode)
+    cfg.parallel = pcfg
+    mesh = make_mesh(pcfg) if sp > 1 else None
+    dtype = jnp.float32 if _virtual else jnp.bfloat16
+    params = quantize_params(
+        init_params(jax.random.key(0), cfg.model, dtype=dtype), cfg.quant)
+    gen = SemiARGenerator(cfg, params, dtype=dtype, mesh=mesh)
+    m, r = cfg.model, cfg.runtime
+
+    cache = gen.init_cache()
+    xattn = gen.encode_text_context(
+        jnp.zeros((1, m.text_len, m.text_dim), dtype))
+    noisy = jax.random.normal(
+        jax.random.key(1), (1, m.num_frame_per_block, r.latent_height,
+                            r.latent_width, r.latent_channels)).astype(dtype)
+    if mesh is not None:
+        gen.params = jax.device_put(
+            gen.params, to_named(param_pspecs(gen.params), mesh))
+        spec_v = wan_kv_cache_pspec(mode, quantized_field=False)
+        spec_s = wan_kv_cache_pspec(mode, quantized_field=True)
+        cache = jax.device_put(cache, jax.tree.map(
+            lambda f: NamedSharding(mesh, spec_s if f.ndim == 4 else spec_v),
+            cache))
+        xattn = jax.device_put(xattn, jax.tree.map(
+            lambda _: NamedSharding(
+                mesh, xattn_cache_pspec()), xattn))
+        from jax.sharding import NamedSharding as NS
+        noisy = jax.device_put(noisy, NS(mesh, latent_pspec()))
+
+    fn = jax.jit(functools.partial(
+        _denoise_block_impl, statics=gen.statics, steps=gen.denoising_steps,
+        context_noise=gen.context_noise), donate_argnames=("cache",))
+
+    def step(key):
+        nonlocal cache
+        x0, cache = fn(gen.params, gen.rope_tables, gen.schedule, cache,
+                       xattn, noisy, key, jnp.int32(0))
+        return x0
+
+    ctx = mesh or jax.sharding.Mesh(
+        np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1),
+        ("dp", "sp", "tp", "pp"))
+    with ctx:
+        x0 = step(jax.random.key(2))
+        _sync(x0)
+        n_steps = 3 if _virtual else 8
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            x0 = step(jax.random.key(3 + i))
+        _sync(x0)
+        dt = (time.perf_counter() - t0) / n_steps
+
+    tokens = m.num_frame_per_block * (r.latent_height // 2) \
+        * (r.latent_width // 2)
+    emit({"probe": "wan_sp", "sp": sp, "mode": mode,
+          "block_ms": round(dt * 1e3, 2),
+          "tokens_per_s": round(tokens / dt, 1)})
+
+
+def _build_magi45b(cp_strategy: str, sp: int, tp: int = 1, pp: int = 1):
+    import dataclasses as _dc
+
+    from inferix_tpu.core.config import ParallelConfig
+    from inferix_tpu.models.magi.dit import (MagiModelConfig,
+                                             init_magi_params,
+                                             tiny_magi_config)
+    from inferix_tpu.parallel.mesh import make_mesh
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    if _virtual:
+        mcfg = _dc.replace(tiny_magi_config(), num_attention_heads=4,
+                           num_query_groups=4)
+        lat_h = lat_w = 8
+        rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                               cp_strategy=cp_strategy, cfg_number=3,
+                               quantize_kv=True,
+                               window_dispatch="per_chunk")
+        max_chunks = 6
+    else:
+        mcfg = MagiModelConfig()           # defaults ARE 4.5B
+        lat_h = lat_w = 90                 # 720x720
+        rt = MagiRuntimeConfig(num_steps=64, window_size=4, chunk_width=6,
+                               cp_strategy=cp_strategy, cfg_number=3,
+                               quantize_kv=True, span_grid=True,
+                               window_dispatch="per_chunk",
+                               noise2clean_kvrange=(5, 4, 3, 2))
+        max_chunks = 9
+    mesh = make_mesh(ParallelConfig(dp=1, sp=sp, tp=tp, pp=pp)) \
+        if sp * tp * pp > 1 else None
+    dtype = jnp.float32 if _virtual else jnp.bfloat16
+    params = init_magi_params(jax.random.key(0), mcfg, dtype)
+    if not _virtual:
+        # W8A8 int8 serving weights (same layout the distill-quant
+        # requantization produces)
+        from inferix_tpu.quant.api import magi_quantize_params_int8
+
+        params = magi_quantize_params_int8(params)
+    pipe = MagiPipeline(mcfg, rt, params=params, latent_h=lat_h,
+                        latent_w=lat_w, max_chunks=max_chunks, dtype=dtype,
+                        mesh=mesh)
+    return mcfg, pipe
+
+
+def magi_ab(sp: int, strategy: str):
+    """4.5B real-shape window walk at cp=STRATEGY over sp chips.
+
+    PRE-REGISTERED decision rule (SCALING_r04.json): serve ULYSSES unless
+    the trace shows its per-layer a2a pair NOT overlapped (>5% of layer
+    time exposed) while CSO's per-chunk chains hide under per-chunk
+    attention."""
+    mcfg, pipe = _build_magi45b(strategy, sp)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels),
+                    pipe.dtype)
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    n_chunks = 2 if _virtual else 3
+    t0 = time.perf_counter()
+    trace = os.environ.get("TRACE", "0") == "1"
+    chunks = []
+    if trace:
+        os.makedirs(TRACE_DIR, exist_ok=True)
+        with jax.profiler.trace(TRACE_DIR):
+            for c, lat in pipe.generate_chunks(cap, cmask,
+                                               chunk_num=n_chunks):
+                chunks.append((c, lat))
+            _sync(chunks[-1][1])
+    else:
+        for c, lat in pipe.generate_chunks(cap, cmask, chunk_num=n_chunks):
+            chunks.append((c, lat))
+        _sync(chunks[-1][1])
+    dt = time.perf_counter() - t0
+
+    rec = {"probe": "magi_ab", "sp": sp, "strategy": strategy,
+           "chunks": n_chunks, "walk_s": round(dt, 2),
+           "s_per_chunk": round(dt / n_chunks, 2),
+           "finite": bool(np.isfinite(np.asarray(chunks[-1][1])).all())}
+    if trace:
+        try:
+            sys.path.insert(0, "/root/repo/exp")
+            from r6_op_breakdown import parse_xplane
+
+            rows = parse_xplane(TRACE_DIR, top=200)
+            a2a = sum(r["ms_total"] for r in rows
+                      if "op" in r and "all-to-all" in r["op"])
+            total = sum(r["ms_total"] for r in rows if "op" in r)
+            rec["a2a_ms_total"] = round(a2a, 1)
+            rec["device_ms_total"] = round(total, 1)
+            rec["a2a_share"] = round(a2a / max(total, 1e-9), 4)
+        except Exception as e:  # noqa: BLE001
+            rec["trace_error"] = str(e)[:200]
+    emit(rec)
+
+
+def magi24b(tp: int, sp: int, pp: int):
+    """24B base config, cfg3 per-chunk, one window forward on the composed
+    mesh. PRE-REGISTERED fit claim to confirm (BASELINE.md round-4 AOT):
+    tp4 x pp2 13.88 GiB/chip, tp2 x sp2 x pp2 14.67 GiB/chip."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import MagiModelConfig, tiny_magi_config
+
+    if _virtual:
+        base = _dc.replace(tiny_magi_config(), num_attention_heads=8,
+                           num_query_groups=8, gated_linear_unit=True,
+                           x_rescale_factor=0.1)
+    else:
+        base = MagiModelConfig(
+            num_layers=48, hidden_size=6144, ffn_hidden_size=16384,
+            num_attention_heads=48, num_query_groups=8,
+            gated_linear_unit=True, x_rescale_factor=0.1,
+            half_channel_vae=True)
+
+    import inferix_tpu.models.magi.dit as dit_mod
+    from inferix_tpu.core.config import ParallelConfig
+    from inferix_tpu.parallel.mesh import make_mesh
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    rt = MagiRuntimeConfig(
+        num_steps=4 if _virtual else 64,
+        window_size=2 if _virtual else 4,
+        chunk_width=2 if _virtual else 6,
+        cp_strategy="cso", cfg_number=3, quantize_kv=True,
+        window_dispatch="per_chunk")
+    lat = 8 if _virtual else 90
+    params = dit_mod.init_magi_params(
+        jax.random.key(0), base, jnp.float32 if _virtual else jnp.bfloat16)
+    if not _virtual:
+        from inferix_tpu.quant.api import magi_quantize_params_int8
+
+        params = magi_quantize_params_int8(params)
+    mesh = make_mesh(ParallelConfig(dp=1, sp=sp, tp=tp, pp=pp))
+    pipe = MagiPipeline(base, rt, params=params, latent_h=lat, latent_w=lat,
+                        max_chunks=6 if _virtual else 9,
+                        dtype=jnp.float32 if _virtual else jnp.bfloat16,
+                        mesh=mesh)
+    cap = jnp.zeros((1, base.caption_max_length, base.caption_channels),
+                    pipe.dtype)
+    cmask = jnp.ones((1, base.caption_max_length), jnp.int32)
+    t0 = time.perf_counter()
+    chunks = list(pipe.generate_chunks(cap, cmask, chunk_num=1))
+    _sync(chunks[-1][1])
+    dt = time.perf_counter() - t0
+    emit({"probe": "magi24b", "tp": tp, "sp": sp, "pp": pp,
+          "first_chunk_s": round(dt, 2),
+          "finite": bool(np.isfinite(np.asarray(chunks[-1][1])).all())})
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "sanity":
+        sanity()
+    elif cmd == "wan_sp":
+        wan_sp(int(sys.argv[2]),
+               sys.argv[3] if len(sys.argv) > 3 else "ulysses")
+    elif cmd == "magi_ab":
+        magi_ab(int(sys.argv[2]), sys.argv[3])
+    elif cmd == "magi24b":
+        magi24b(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")

@@ -346,6 +346,48 @@ def _qdq_e4m3(x: jax.Array) -> jax.Array:
     return c.astype(jnp.float8_e4m3fn).astype(x.dtype)
 
 
+def split_gated_fc1(params: Params, ffn_hidden_size: int) -> Params:
+    """Rewrite every block's gated fc1 from the concatenated [h, gate|up]
+    layout into gate/up-SEPARATE leaves ("fc1" -> gate, "fc1_up" -> up).
+
+    Deployment transform for tensor-parallel gated MLPs (24B SwiGLU): with
+    fc1's output dim tp-sharded, slicing the [.., 2*ffn] activation into
+    halves crosses shard boundaries and GSPMD inserts collective-permutes
+    — wasted wire at best, and a rendezvous deadlock inside the partially-
+    manual pp pipeline (exp/r17_pp_compose_bisect.py). Separate leaves make
+    silu(gate)*up fully shard-local. Identical math; applied by
+    MagiPipeline when the mesh has tp>1 and the config is gated. Splits any
+    fc1 leaf whose last dim is 2*ffn (w / w_q / per-out-channel scale);
+    input-dim or scalar leaves (act_scale, smooth_scale, input_scale) are
+    shared by both halves."""
+    def split_block(blk):
+        if not isinstance(blk, dict) or "fc1" not in blk \
+                or "fc1_up" in blk:
+            return blk
+        gate, up = {}, {}
+        for name, leaf in blk["fc1"].items():
+            if getattr(leaf, "ndim", 0) >= 1 \
+                    and leaf.shape[-1] == 2 * ffn_hidden_size:
+                gate[name] = leaf[..., :ffn_hidden_size]
+                up[name] = leaf[..., ffn_hidden_size:]
+            else:
+                gate[name] = leaf
+                up[name] = leaf
+        out = dict(blk)
+        out["fc1"] = gate
+        out["fc1_up"] = up
+        return out
+
+    out = dict(params)
+    for key in ("blocks", "blocks_mid", "blocks_first", "blocks_last"):
+        if key in out:
+            if isinstance(out[key], list):
+                out[key] = [split_block(b) for b in out[key]]
+            else:
+                out[key] = split_block(out[key])
+    return out
+
+
 def magi_int8_linear(p: Params, x: jax.Array,
                      act: Optional[str] = None) -> jax.Array:
     """W8A8 int8 linear (the MAGI serving path), optionally folding the
@@ -666,6 +708,20 @@ def _magi_layer(
 
     residual = h_x
     mlp_in = _ln(blk["mlp_ln"], h_x, eps).astype(h_x.dtype)
+    if "fc1_up" in blk:
+        # gate/up-SEPARATE tensor layout (split_gated_fc1): both matmuls and
+        # the silu*mul are tp-shard-local. The concatenated [gate|up] layout
+        # slices a tp-sharded dim, which makes GSPMD insert cross-shard
+        # collective-permutes — inside the partially-manual pp body those
+        # deadlock the pp ppermute rendezvous (measured, r17 bisect), and
+        # even at pp=1 they are wasted wire. Required for the composed
+        # tp x pp 24B deployments; identical math to the concat layout.
+        gate = magi_linear(blk["fc1"], mlp_in)
+        up = magi_linear(blk["fc1_up"], mlp_in)
+        act = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+        ff = magi_linear(blk["fc2"], act)
+        h_x = bias_modulate_add(ff, residual, g_mlp, blk["mlp_post_norm"])
+        return h_x, new_cache
     ff_in = magi_linear(blk["fc1"], mlp_in)
     act_name = "silu_mul" if cfg.gated_linear_unit else "gelu_exact"
     if "w_q" in blk["fc2"] and blk["fc2"]["w_q"].dtype == jnp.int8:
@@ -974,16 +1030,25 @@ def magi_forward_pp(
     from ...parallel.pipeline_parallel import pp_pipeline
 
     assert "blocks" in params, "pp path requires the uniform blocks layout"
-    if statics.spec.quantized:
-        raise NotImplementedError(
-            "quantized MAGI KV cache is not wired through the pp pipeline "
-            "(use quantize_kv=False with pp>1)")
     cfg, spec, geo = statics.cfg, statics.spec, statics.geo
     b = x_window.shape[0]
     n_chunks = t.shape[1]
     cw, ct = geo.chunk_width, geo.chunk_tokens
     eps = cfg.layernorm_epsilon
+    # composed deployment (the 24B per-chunk AOT table: tp4 x pp2 /
+    # tp2 x sp2 x pp2): the pipeline runs partially manual (pp only) so the
+    # stage matmuls stay GSPMD tensor-sharded over tp and the attention runs
+    # in nested (tp, sp) islands inside the stage body
+    compose = (mesh.shape.get("tp", 1) > 1 or mesh.shape.get("sp", 1) > 1)
+    sp_mode = statics.sp_mode if compose else "none"
+    quantized = spec.quantized
+    if quantized and not compose:
+        raise NotImplementedError(
+            "quantized MAGI KV cache through the fully-manual pp pipeline "
+            "is not wired (use a tp/sp>1 mesh — composed mode — or "
+            "quantize_kv=False)")
 
+    # batch rows (the cond/uncond CFG halves) are the microbatches
     tokens, cond, y, angles = _embed_window_inputs(
         params, statics, x_window, t, captions, slice_point,
         caption_dropout, distill_dt_factor)
@@ -998,34 +1063,43 @@ def magi_forward_pp(
         "cmask": caption_mask[:, None],
     }
     layer_state = {"k": cache.k, "v": cache.v}
+    if quantized:
+        layer_state["ks"] = cache.k_scale
+        layer_state["vs"] = cache.v_scale
 
     def layer_fn(blk, state, x, mb_idx):
-        k_row = jax.lax.dynamic_slice_in_dim(state["k"], mb_idx, 1, 0)
-        v_row = jax.lax.dynamic_slice_in_dim(state["v"], mb_idx, 1, 0)
-        h_new, (k_new, v_new) = _magi_layer(
-            blk, x["h"], x["cond"], x["y"], x["cmask"], (k_row, v_row),
+        rows = tuple(
+            jax.lax.dynamic_slice_in_dim(state[f], mb_idx, 1, 0)
+            for f in (("k", "v", "ks", "vs") if quantized else ("k", "v")))
+        h_new, new_rows = _magi_layer(
+            blk, x["h"], x["cond"], x["y"], x["cmask"], rows,
             cfg=cfg, spec=spec, n_chunks=n_chunks, ct=ct, angles=angles,
             token_ranges=token_ranges, current_start=current_start,
             current_end=current_end, static_kv_spans=static_kv_spans,
+            mesh=mesh if compose else None, sp_mode=sp_mode,
         )
         new_state = {
-            "k": jax.lax.dynamic_update_slice_in_dim(
-                state["k"], k_new.astype(state["k"].dtype), mb_idx, 0),
-            "v": jax.lax.dynamic_update_slice_in_dim(
-                state["v"], v_new.astype(state["v"].dtype), mb_idx, 0),
+            f: jax.lax.dynamic_update_slice_in_dim(
+                state[f], r.astype(state[f].dtype), mb_idx, 0)
+            for f, r in zip(
+                ("k", "v", "ks", "vs") if quantized else ("k", "v"),
+                new_rows)
         }
         return {**x, "h": h_new}, new_state
 
     outs, new_state = pp_pipeline(
         mesh, layer_fn, params["blocks"], microbatches,
         layer_state=layer_state, pass_mb_index=True,
+        compose_auto=compose,
     )
     h_x = outs["h"][:, 0]
 
     h_out = _ln(params["final_layernorm"], h_x.astype(jnp.float32), eps)
     out = magi_linear(params["final_linear"], h_out)
     velocity = _postprocess_velocity(cfg, geo, out, n_chunks * cw)
-    new_cache = KVCache(k=new_state["k"], v=new_state["v"])
+    new_cache = KVCache(k=new_state["k"], v=new_state["v"],
+                        k_scale=new_state.get("ks"),
+                        v_scale=new_state.get("vs"))
     if sync_kv_rows:
         assert b == 2, "sync_kv_rows is the 3-CFG batched-forward contract"
         new_cache = sync_cache_rows(spec, new_cache, current_start,

@@ -101,8 +101,16 @@ _HALO_INTERPRET_OK = False
 
 
 def set_vae_conv_impl(impl: str, interpret_ok: bool = False) -> None:
+    """"xla" | "shifted_matmul" | "halo" | "halo_w8a8".
+
+    halo_w8a8 runs the 3x3x3 convs as int8 x int8 MXU matmuls (per-tensor
+    activation scale, per-cout weight scale — ops/halo_conv.py
+    halo_conv3d_w8a8): measured -28..-37% vs the XLA conv on every decode
+    res-conv class (exp/r6_results/r14_decode_profile.log). It is a LOSSY
+    serving mode — the quality harness (bench_quality) bounds the decode
+    delta; default stays the lossless impl."""
     global _CONV_IMPL, _HALO_INTERPRET_OK
-    assert impl in ("xla", "shifted_matmul", "halo")
+    assert impl in ("xla", "shifted_matmul", "halo", "halo_w8a8")
     _CONV_IMPL = impl
     _HALO_INTERPRET_OK = interpret_ok
 
@@ -147,7 +155,8 @@ def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
     # kt==3 shape (res_L3 13.2 vs 15.6 ms, L1b 3.61 vs 3.77, L2 tie) and
     # LOSING the kt==1 upsample conv (9.1 vs 8.3) — XLA's 2D conv lowering
     # is already good there.
-    if (_CONV_IMPL == "halo" and t_stride == 1 and s_stride == 1
+    if (_CONV_IMPL in ("halo", "halo_w8a8") and t_stride == 1
+            and s_stride == 1
             and kt == 3 and kh == 3 and kw == 3 and spatial_pad == "same"
             and x.shape[2] * x.shape[3] >= 256):
         interp = jax.default_backend() != "tpu"
@@ -155,9 +164,11 @@ def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
         # orders of magnitude slower than XLA conv — fall through unless a
         # test explicitly opted in (set_vae_conv_impl interpret_ok=True).
         if not interp or _HALO_INTERPRET_OK:
-            from ...ops.halo_conv import halo_conv3d
+            from ...ops.halo_conv import halo_conv3d, halo_conv3d_w8a8
+            kern = (halo_conv3d_w8a8 if _CONV_IMPL == "halo_w8a8"
+                    else halo_conv3d)
             return jnp.stack(
-                [halo_conv3d(x[i], p["w"], p["b"], interpret=interp)
+                [kern(x[i], p["w"], p["b"], interpret=interp)
                  for i in range(x.shape[0])], axis=0)
     if (_CONV_IMPL == "shifted_matmul" and t_stride == 1 and s_stride == 1
             and kt * kh * kw > 1):
@@ -268,16 +279,29 @@ def init_attn_block(key, dim):
 
 
 def attn_block(p, x):
-    """Single-head per-frame spatial attention (vae.py:221-259)."""
+    """Single-head per-frame spatial attention (vae.py:221-259).
+
+    At the decode-real shape (480x832 latents -> HW=6240 tokens) the naive
+    einsum materializes a [T, 6240, 6240] f32 logits tensor (467 MB) — the
+    r16 decode trace attributes ~50 ms/chunk to its fusions. Large frames
+    route through the flash/chunked attention dispatcher instead (the same
+    numerics to online-softmax reassociation); tiny test shapes keep the
+    exact reference formulation."""
     b, t, h, w, c = x.shape
     y = rms_norm_spatial(p["norm"], x)
     qkv = _conv3d(p["qkv"], y)                      # [B,T,H,W,3C]
     qkv = qkv.reshape(b * t, h * w, 3, c)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                        preferred_element_type=jnp.float32) * (c ** -0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o = jnp.einsum("bqk,bkc->bqc", probs, v)
+    if h * w >= 4096:
+        from ...ops.attention import cache_attention
+
+        o = cache_attention(q[:, :, None], k[:, :, None], v[:, :, None])
+        o = o[:, :, 0]
+    else:
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32) * (c ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bqk,bkc->bqc", probs, v)
     o = o.reshape(b, t, h, w, c)
     return x + _conv3d(p["proj"], o)
 

@@ -38,6 +38,33 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.attention import attention_chunked
 
 
+def _island_shard_map(body, mesh, in_specs, out_specs,
+                      axes=("dp", "tp", "sp")):
+    """shard_map constructor for the attention islands.
+
+    Top level (the usual case): bind the concrete mesh — full-manual over
+    every mesh axis, the existing behavior. Inside a PARTIALLY-MANUAL
+    context (the pp pipeline's body runs manual over 'pp' with tp/sp left
+    to GSPMD — the composed 24B tp4 x pp2 serving layout), jax rejects a
+    concrete mesh whose axis_types disagree with the context, so the
+    island must inherit the context mesh and name its own axes explicitly
+    (axis_names), going manual over (dp, tp, sp) while 'pp' stays manual
+    from the enclosing scope."""
+    manual_ctx = False
+    try:
+        ctx = jax.sharding.get_abstract_mesh()
+        if ctx is not None and getattr(ctx, "shape_tuple", None):
+            manual_ctx = any(
+                "Manual" in str(t) for t in getattr(ctx, "axis_types", ()))
+    except Exception:
+        manual_ctx = False
+    if manual_ctx:
+        return jax.shard_map(body, in_specs=in_specs, out_specs=out_specs,
+                             axis_names=set(axes), check_vma=False)
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
 def _local_attn_lse(q, k, v, kv_mask, k_scales=None, v_scales=None,
                     kv_layout="bshd"):
     """Per-shard attention returning (out, lse [B, H, Sq]). With
@@ -131,12 +158,11 @@ def gqa_head_island(
     def body(q_, k_, v_, *rest):
         return _local_gqa(q_, k_, v_, rest[0] if rest else None)
 
-    return jax.shard_map(
-        body, mesh=mesh,
+    return _island_shard_map(
+        body, mesh,
         in_specs=(P("dp", None, ("tp", "sp"), None),) * 3
         + tuple(extra_specs),
         out_specs=P("dp", None, ("tp", "sp"), None),
-        check_vma=False,
     )(q, k, v, *extra_args)
 
 
@@ -196,15 +222,14 @@ def ulysses_cache_attention(
         ks_, vs_ = scales if scales else (None, None)
         return _ulysses_body(q_, k_, v_, mask, ks_, vs_, kv_layout=kv_layout)
 
-    return jax.shard_map(
-        body, mesh=mesh,
+    return _island_shard_map(
+        body, mesh,
         in_specs=(
             P("dp", "sp", "tp", None),          # q: tokens over sp
             cache_spec,                         # cache: heads over tp x sp
             cache_spec,
         ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
-        check_vma=False,
     )(q, k, v, *extra_args)
 
 
@@ -293,8 +318,8 @@ def ring_pass_q_cache_attention(
         return _ring_pass_q_cache_body(q_, k_, v_, mask_, ks_, vs_,
                                        kv_layout=kv_layout)
 
-    return jax.shard_map(
-        body, mesh=mesh,
+    return _island_shard_map(
+        body, mesh,
         in_specs=(
             P("dp", "sp", "tp", None),
             cache_spec,
@@ -302,7 +327,6 @@ def ring_pass_q_cache_attention(
             mask_spec,
         ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
-        check_vma=False,
     )(q, k, v, kv_mask, *extra_args)
 
 
@@ -408,8 +432,8 @@ def ring_pass_kv_cache_attention(
         return _ring_pass_kv_cache_body(q_, k_, v_, mask_, ks_, vs_,
                                         kv_layout=kv_layout)
 
-    return jax.shard_map(
-        body, mesh=mesh,
+    return _island_shard_map(
+        body, mesh,
         in_specs=(
             P("dp", "sp", "tp", None),
             cache_spec,
@@ -417,7 +441,6 @@ def ring_pass_kv_cache_attention(
             mask_spec,
         ) + tuple(extra_specs),
         out_specs=P("dp", "sp", "tp", None),
-        check_vma=False,
     )(q, k, v, kv_mask, *extra_args)
 
 
@@ -560,8 +583,8 @@ def cso_chunk_attention(
     else:
         body_fn = body
 
-    return jax.shard_map(
-        body_fn, mesh=mesh,
+    return _island_shard_map(
+        body_fn, mesh,
         in_specs=(
             # q: chunk tokens over sp, heads over tp (GSPMD matmul output)
             P("dp", None, "sp", "tp", None),
@@ -573,7 +596,6 @@ def cso_chunk_attention(
             scale_spec,
         ),
         out_specs=P("dp", None, "sp", "tp", None),
-        check_vma=False,
     )(q, k, v, token_ranges, jnp.reshape(current_end, (1,)),
       k_scales, v_scales)
 

@@ -160,10 +160,11 @@ def magi_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
       q/qx/k/v and kv_xattn: output dim over tp (head-sharded; kv_xattn's
         out dim is group-major [g, k|v, hd] so tp shards kv groups)
       proj: input dim over tp (group-major interleave)
-      fc1: output dim over tp; fc2: input dim over tp
-      (gated fc1 is [gate|up] concatenated — GSPMD keeps the logical
-       silu_and_mul slice correct under any sharding; a gate/up-separate
-       layout is a perf TODO, not a correctness issue)
+      fc1 (+ fc1_up): output dim over tp; fc2: input dim over tp
+      (gated configs run the gate/up-SEPARATE layout — split_gated_fc1 —
+       so silu*mul is shard-local; the concatenated [gate|up] layout under
+       tp makes GSPMD insert cross-shard collective-permutes that deadlock
+       the partially-manual pp pipeline, exp/r17_pp_compose_bisect.py)
     Stacked containers ("blocks", "blocks_mid") carry a leading layer axis
     sharded over pp; the fp8-split edge layers ("blocks_first"/"_last")
     have no layer axis. int8/fp8 quant leaves: w_q like w, per-out-channel
@@ -183,13 +184,13 @@ def magi_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             return P(*([None] * nd))
         if path.endswith("/w") or path.endswith("/w_q"):
             if any(f"/{n}/" in path for n in ("q", "qx", "k", "v",
-                                              "kv_xattn", "fc1")):
+                                              "kv_xattn", "fc1", "fc1_up")):
                 body = [None, "tp"]
             elif any(f"/{n}/" in path for n in ("proj", "fc2")):
                 body = ["tp", None]
         elif path.endswith("/scale") or path.endswith("/weight_scale"):
             if any(f"/{n}/" in path for n in ("q", "qx", "k", "v",
-                                              "kv_xattn", "fc1")):
+                                              "kv_xattn", "fc1", "fc1_up")):
                 body = ["tp"] if nd - len(lead) == 1 else None
         if body is not None and len(lead) + len(body) == nd:
             return P(*(lead + body))
@@ -204,14 +205,18 @@ def magi_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def magi_kv_cache_pspec(quantized_field: bool = False,
-                        head_major: bool = False) -> P:
+                        head_major: bool = False,
+                        pp: bool = False) -> P:
     """MAGI window cache [L, B, S, Hkv, D]: kv heads over the COMBINED
     (tp, sp) axis (matching the CSO island's effective head sharding);
     scales [L, B, S, Hkv] likewise. head_major: [L, B, Hkv, S, D] /
-    [L, B, Hkv, S] — the shard axis moves with the heads."""
+    [L, B, Hkv, S] — the shard axis moves with the heads. pp: the layer
+    axis shards over the pipeline stages (the composed tp x pp 24B
+    deployment — magi_forward_pp's layer_state rides the same layout)."""
+    lead = "pp" if pp else None
     if head_major:
-        return (P(None, "dp", ("tp", "sp"), None) if quantized_field
-                else P(None, "dp", ("tp", "sp"), None, None))
+        return (P(lead, "dp", ("tp", "sp"), None) if quantized_field
+                else P(lead, "dp", ("tp", "sp"), None, None))
     if quantized_field:
-        return P(None, "dp", None, ("tp", "sp"))
-    return P(None, "dp", None, ("tp", "sp"), None)
+        return P(lead, "dp", None, ("tp", "sp"))
+    return P(lead, "dp", None, ("tp", "sp"), None)

@@ -43,6 +43,7 @@ def pp_pipeline(
     microbatches: Any,          # pytree, leading M axis: layer-0 activations
     layer_state: Any = None,    # optional pytree, leading L axis
     pass_mb_index: bool = False,
+    compose_auto: bool = False,
 ) -> Tuple[Any, Any]:
     """Run every microbatch through all L layers, layers sharded over pp.
 
@@ -53,6 +54,17 @@ def pp_pipeline(
     rows of a shared state be addressed, e.g. KV-cache batch slots).
     x / microbatches may be any pytree. Returns (outputs with leading M,
     updated layer_state).
+
+    compose_auto: run the pipeline PARTIALLY manual — manual over 'pp'
+    only, with the mesh's other axes (tp, sp, dp) left to GSPMD inside the
+    stage body. This is the composed 24B serving layout (tp4 x pp2 /
+    tp2 x sp2 x pp2, BASELINE.md per-chunk AOT table): each stage's layer
+    weights stay tensor-sharded over tp (magi_param_pspecs), the stage
+    matmuls are auto-partitioned, and layer_fn may open its own nested
+    shard_map islands over (tp, sp) for the attention kernels (the islands
+    detect the manual-pp context via _island_shard_map). The default
+    (False) keeps the original fully-manual behavior where non-pp axes are
+    replicated inside the body.
     """
     pp = mesh.shape["pp"]
     num_layers = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -167,24 +179,28 @@ def pp_pipeline(
     p_specs = jax.tree.map(lambda _: P("pp"), stacked_params)
     s_specs = jax.tree.map(lambda _: P("pp"), layer_state) if has_state \
         else None
+    smap_kw = dict(mesh=mesh, check_vma=False)
+    if compose_auto:
+        # manual over pp only; tp/sp/dp stay GSPMD-auto inside the body
+        smap_kw["axis_names"] = {"pp"}
     if not has_state:
         # shard_map needs concrete args; thread a dummy state
         def body_nostate(p_loc, mb):
             return body(p_loc, None, mb)[0]
 
         outs = jax.shard_map(
-            body_nostate, mesh=mesh,
+            body_nostate,
             in_specs=(p_specs, P()),
             out_specs=P(),
-            check_vma=False,
+            **smap_kw,
         )(stacked_params, microbatches)
         return outs, None
 
     outs, new_state = jax.shard_map(
-        body, mesh=mesh,
+        body,
         in_specs=(p_specs, s_specs, P()),
         out_specs=(P(), s_specs),
-        check_vma=False,
+        **smap_kw,
     )(stacked_params, layer_state, microbatches)
     return outs, new_state
 

@@ -156,8 +156,11 @@ class MagiPipeline:
         sp_mode = "none"
         if (mesh is not None
                 and (mesh.shape.get("sp", 1) > 1
-                     or mesh.shape.get("tp", 1) > 1)
-                and mesh.shape.get("pp", 1) == 1):
+                     or mesh.shape.get("tp", 1) > 1)):
+            # composes with pp>1 too: magi_forward_pp runs the pipeline
+            # partially manual (pp only) with the stage matmuls GSPMD
+            # tensor-sharded and the attention in nested (tp, sp) islands
+            # — the 24B tp4 x pp2 / tp2 x sp2 x pp2 deployments
             # composes with tp>1: heads shard over the combined (tp, sp)
             # axis inside the island, linears shard over tp via GSPMD
             # (magi_param_pspecs) — the 24B tp=4 x sp=2 serving layout
@@ -207,8 +210,7 @@ class MagiPipeline:
         # layout over tp (magi_param_pspecs), window-cache kv heads over the
         # combined (tp, sp) axis matching the CSO island
         self._cache_sharding = None
-        if mesh is not None and mesh.devices.size > 1 \
-                and mesh.shape.get("pp", 1) == 1:
+        if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding
 
             from ..parallel.mesh import (
@@ -217,11 +219,22 @@ class MagiPipeline:
                 to_named,
             )
 
+            pp_on2 = mesh.shape.get("pp", 1) > 1
+            if model_cfg.gated_linear_unit and mesh.shape.get("tp", 1) > 1:
+                # gate/up-separate fc1 layout: shard-local silu*mul under
+                # tp (see models/magi/dit.py split_gated_fc1)
+                from ..models.magi.dit import split_gated_fc1
+
+                self.params = split_gated_fc1(self.params,
+                                              model_cfg.ffn_hidden_size)
+            # magi_param_pspecs already carries the composed layout:
+            # stacked blocks lead with 'pp', big linears shard over 'tp'
             self.params = jax.device_put(
                 self.params, to_named(magi_param_pspecs(self.params), mesh))
             self._cache_sharding = lambda quant_field: NamedSharding(
                 mesh, magi_kv_cache_pspec(
-                    quant_field, head_major=self.statics.spec.head_major))
+                    quant_field, head_major=self.statics.spec.head_major,
+                    pp=pp_on2))
         # pp>1: run the layer stack through the microbatched GPipe pipeline
         # (cond/uncond halves stream through the stages — the reference's
         # work-queue PP overlap, video_generate.py:723-756)

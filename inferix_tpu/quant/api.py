@@ -320,6 +320,49 @@ def magi_distill_quant_to_int8(params: Params) -> Params:
     return walk(params)
 
 
+_MAGI_BLOCK_LINEARS = ("q", "qx", "k", "v", "kv_xattn", "proj",
+                       "fc1", "fc1_up", "fc2")
+
+
+def magi_quantize_params_int8(params: Params) -> Params:
+    """W8A8 int8 serving weights from a plain (bf16/f32) MAGI parameter
+    tree — the load path for serving a NON-distill-quant checkpoint (or a
+    random init) on the int8 MXU. Same output layout as
+    `magi_distill_quant_to_int8` ({w_q int8, scale [out]} per big linear,
+    per-out-channel), consumed by `magi_linear`'s int8 branch. Quantizes
+    only the transformer-block linears; embedders / adaLN / norms / the
+    final head stay high-precision, matching the reference's exclusion set
+    (DAX qconfig excludes text_embedding/proj_out/head,
+    `example/quantization/run_self_forcing_quantized.py:33-65`)."""
+    from .kernels import quantize_weight_int8
+
+    def quant_lin(d):
+        w = d["w"]
+        if w.ndim == 3:  # stacked layers [L, K, N]
+            w_q, scale = jax.vmap(
+                lambda wi: quantize_weight_int8(wi, True))(
+                w.astype(jnp.float32))
+        else:
+            w_q, scale = quantize_weight_int8(w.astype(jnp.float32), True)
+        out = {"w_q": w_q, "scale": scale}
+        if "b" in d:
+            out["b"] = d["b"]
+        return out
+
+    def walk_block(blk):
+        return {k: (quant_lin(v) if k in _MAGI_BLOCK_LINEARS
+                    and isinstance(v, dict) and "w" in v else v)
+                for k, v in blk.items()}
+
+    out = dict(params)
+    for key in ("blocks", "blocks_mid", "blocks_first", "blocks_last"):
+        if key in out and isinstance(out[key], dict):
+            out[key] = walk_block(out[key])
+        elif key in out and isinstance(out[key], list):
+            out[key] = [walk_block(b) for b in out[key]]
+    return out
+
+
 def memory_bytes(params: Params) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree.leaves(params))

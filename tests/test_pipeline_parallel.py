@@ -223,3 +223,90 @@ def test_magi_walk_pp2_head_major_matches_token_major():
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(base[k]),
                                       err_msg=f"chunk {k}")
+
+
+# ---------------------------------------------------------------------------
+# Composed tp x pp (partially-manual pipeline; VERDICT round-4 item 3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pcfg,tag", [
+    (ParallelConfig(dp=1, sp=1, tp=2, pp=2), "tp2xpp2"),
+    (ParallelConfig(dp=1, sp=2, tp=2, pp=2), "tp2xsp2xpp2"),
+])
+def test_magi_composed_tp_pp_walk_matches_single_device(pcfg, tag):
+    """The composed 24B deployment layout (per-chunk AOT table,
+    BASELINE.md round 4): cfg3 walk with per-chunk dispatch through the
+    PARTIALLY-manual pp pipeline — GSPMD tp matmuls + nested (tp, sp)
+    attention islands inside the stage body, 24B architecture switches on
+    (SwiGLU via the gate/up-split layout, x_rescale, GQA). Exact equality
+    on the unquantized walk (the int8-KV walk is bounded in the dryrun:
+    quantization buckets flip under f32 reduction-order differences)."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import init_magi_params, tiny_magi_config
+    from inferix_tpu.pipeline.magi import MagiPipeline, MagiRuntimeConfig
+
+    cfg = _dc.replace(tiny_magi_config(), num_attention_heads=4,
+                      num_query_groups=4, gated_linear_unit=True,
+                      x_rescale_factor=0.1)
+    rt = MagiRuntimeConfig(num_steps=2, window_size=2, chunk_width=2,
+                           cp_strategy="cso", cfg_number=3,
+                           window_dispatch="per_chunk")
+    params = init_magi_params(jax.random.key(5), cfg, jnp.float32)
+    cap = jnp.zeros((1, cfg.caption_max_length, cfg.caption_channels),
+                    jnp.float32)
+    cmask = jnp.ones((1, cfg.caption_max_length), jnp.int32)
+
+    def run(mesh):
+        pipe = MagiPipeline(cfg, rt, params=params, latent_h=8, latent_w=8,
+                            max_chunks=4, dtype=jnp.float32, mesh=mesh)
+        return [np.asarray(lat) for _, lat
+                in pipe.generate_chunks(cap, cmask, chunk_num=2)]
+
+    want = run(None)
+    got = run(make_mesh(pcfg))
+    for g, w in zip(got, want):
+        # atol 1e-3 (not the usual 2e-4): x_rescale=0.1 multiplies the
+        # output velocity by 10 on the way out, amplifying the tp-psum
+        # f32 reduction-order noise by the same factor
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=1e-3,
+                                   err_msg=tag)
+
+
+def test_split_gated_fc1_is_exact():
+    """The gate/up-separate layout is the same math as the concatenated
+    [gate|up] fc1 — bit-level on the same device."""
+    import dataclasses as _dc
+
+    from inferix_tpu.models.magi.dit import (
+        init_magi_params,
+        magi_forward,
+        make_magi_statics,
+        split_gated_fc1,
+        tiny_magi_config,
+    )
+    from inferix_tpu.kvcache.cache import init_kv_cache
+
+    cfg = _dc.replace(tiny_magi_config(), gated_linear_unit=True)
+    params = init_magi_params(jax.random.key(0), cfg, jnp.float32)
+    statics = make_magi_statics(cfg, 1, 8, 8, 4, jnp.float32)
+    x = jax.random.normal(jax.random.key(1),
+                          (1, cfg.chunk_width, 8, 8, cfg.in_channels),
+                          jnp.float32)
+    t = jnp.full((1, 1), 0.4, jnp.float32)
+    caps = jax.random.normal(
+        jax.random.key(2),
+        (1, 1, cfg.caption_max_length, cfg.caption_channels), jnp.float32)
+    cmask = jnp.ones((1, 1, cfg.caption_max_length), jnp.int32)
+    kvr = jnp.asarray([[0, 1]], jnp.int32)
+
+    def fwd(p):
+        out, _ = magi_forward(p, statics, None, x, t, caps, cmask,
+                              init_kv_cache(statics.spec), jnp.int32(0), kvr)
+        return np.asarray(out)
+
+    base = fwd(params)
+    split = fwd(split_gated_fc1(params, cfg.ffn_hidden_size))
+    # two column-split dots reduce the same K elements per output, but XLA
+    # tiles them differently -> f32 reassociation at the 1e-6 level
+    np.testing.assert_allclose(split, base, rtol=2e-5, atol=2e-5)
