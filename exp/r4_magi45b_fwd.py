@@ -39,6 +39,12 @@ def _sync(x):
 
 cfg = MagiModelConfig()  # defaults ARE the 4.5B geometry
 H = W = 90               # 720/8 VAE latent
+# MAGI_RES=<latent hw>: reduced geometry (e.g. 60 = 480x480) — the round-5
+# knob that lets the BASE config (cfg_number=3, batch 2) fit one v5e so the
+# cfg3-vs-distilled cost ratio can be MEASURED instead of predicted
+# (VERDICT r4 item 2; full-size cfg3 per-chunk needs 18.93 GiB > 15.75)
+if os.environ.get("MAGI_RES"):
+    H = W = int(os.environ["MAGI_RES"])
 # MAGI_WEIGHTS=fp8 (default: distill-quant e4m3 layout) | bf16 | int8
 WEIGHTS = os.environ.get("MAGI_WEIGHTS", "fp8")
 # MAGI_LAYERS=<n> shrinks the stack (diagnostics: isolates per-layer cost
@@ -283,7 +289,7 @@ steps_per_chunk = rt.num_steps // rt.window_size          # 16
 chunk_s = steps_per_chunk * fwd_s
 pixel_frames_per_chunk = rt.chunk_width * 4               # temporal factor 4
 line = json.dumps({
-    "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": 4 * 12150,
+    "exp": "magi45b_fp8_window_fwd", "tokens_per_fwd": rt.window_size * (H // 2) * (W // 2) * rt.chunk_width,
     "cfg_number": CFG_N,
     "weights": WEIGHTS, "kv_cache": KV, "layers": cfg.num_layers,
     "span_grid": rt.span_grid, "dispatch": rt.window_dispatch,

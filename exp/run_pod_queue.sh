@@ -19,7 +19,9 @@ timeout 3600 env $V $P wan_sp 1                  || echo "FAIL wan_sp 1"
 timeout 3600 env $V $P wan_sp 2 ulysses          || echo "FAIL wan_sp 2"
 timeout 3600 env $V $P wan_sp 2 ring_pass_q      || echo "FAIL wan_sp 2 ring"
 timeout 3600 env $V $P wan_sp 4 ulysses          || echo "FAIL wan_sp 4"
-timeout 3600 env $V $P wan_sp 8 ulysses          || echo "FAIL wan_sp 8"
+# sp=8 ulysses is INVALID at 1.3B (12 heads % 8 != 0) — the sp=8 point
+# rides the token-sharded ring instead
+timeout 3600 env $V $P wan_sp 8 ring_pass_q      || echo "FAIL wan_sp 8"
 
 # 2. MAGI 4.5B ulysses-vs-CSO A/B at sp=2 (pre-registered decision rule:
 #    serve ulysses unless its a2a is >5% exposed in the trace)
