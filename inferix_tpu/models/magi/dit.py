@@ -952,6 +952,75 @@ def magi_forward(
     return velocity, new_cache
 
 
+def magi_forward_window_scan(
+    params: Params,
+    statics: MagiStatics,
+    rope_tables: Optional[RopeTables],
+    x_window: jax.Array,     # [B, n_chunks*chunk_width, H, W, C]
+    t: jax.Array,            # [B, n_chunks]
+    captions: jax.Array,     # [B, n_chunks, cap_len, cap_dim]
+    caption_mask: jax.Array,
+    cache: KVCache,
+    slice_point: jax.Array,
+    kv_ranges: jax.Array,    # [n_chunks, 2]
+    caption_dropout: Optional[jax.Array] = None,
+    distill_dt_factor: Optional[float] = None,
+    static_kv_spans: Optional[Tuple[int, ...]] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Per-chunk window dispatch as ONE jitted program: a `lax.scan` over
+    the window's chunks with the cache as carry.
+
+    Same math as the host-side per-chunk loop (`MagiRuntimeConfig.
+    window_dispatch="per_chunk"`: chunk i's kv_range covers only chunks
+    <= i, whose KV earlier iterations wrote) and the same memory property
+    — XLA sizes a scan's temp at the MAX over iterations, so the live set
+    stays one chunk, the 24B fit lever. What it removes is the per-chunk
+    fixed overhead the L4 control measured (~0.36 s/forward at 4 chunks:
+    4 dispatch boundaries + the host loop between them). One compromise:
+    `static_kv_spans` must be uniform across scan iterations, so the grid
+    uses the window's MAX span for every chunk (a few dead grid steps on
+    early chunks vs per_chunk's exact spans — the A/B decides the default).
+
+    sync_kv_rows is intentionally absent: like the per-chunk loop, the
+    caller syncs the whole window span once afterwards."""
+    cfg, spec, geo = statics.cfg, statics.spec, statics.geo
+    b = x_window.shape[0]
+    n_chunks = t.shape[1]
+    cw = geo.chunk_width
+    span = None
+    if static_kv_spans is not None:
+        span = (max(int(s) for s in static_kv_spans),)
+
+    # [B, n_chunks*cw, ...] -> scan xs with leading n_chunks
+    xs = {
+        "x": x_window.reshape(b, n_chunks, cw, *x_window.shape[2:])
+             .swapaxes(0, 1),                       # [nc, B, cw, H, W, C]
+        "t": t.swapaxes(0, 1)[:, :, None],          # [nc, B, 1]
+        "caps": captions.swapaxes(0, 1)[:, :, None],  # [nc, B, 1, L, D]
+        "mask": caption_mask.swapaxes(0, 1)[:, :, None],
+        "kvr": kv_ranges[:, None],                  # [nc, 1, 2]
+        "ci": jnp.arange(n_chunks, dtype=jnp.int32),
+    }
+
+    def step(cache_c, x):
+        vel, cache_c = magi_forward(
+            params, statics, rope_tables,
+            x_window=x["x"], t=x["t"], captions=x["caps"],
+            caption_mask=x["mask"], cache=cache_c,
+            slice_point=slice_point + x["ci"], kv_ranges=x["kvr"],
+            caption_dropout=caption_dropout,
+            distill_dt_factor=distill_dt_factor,
+            sync_kv_rows=False, static_kv_spans=span,
+        )
+        return cache_c, vel
+
+    cache, vels = jax.lax.scan(step, cache, xs)
+    # [nc, B, cw, H, W, out] -> [B, nc*cw, H, W, out]
+    velocity = vels.swapaxes(0, 1).reshape(
+        b, n_chunks * cw, *vels.shape[3:])
+    return velocity, cache
+
+
 def magi_forward_uncond(
     params: Params,
     statics: MagiStatics,

@@ -114,7 +114,12 @@ class MagiRuntimeConfig:
     # whole-window tp4 x sp2 x pp2 AOT came back 9.86 GiB of temp,
     # fits=false) and the only cfg_number=3 configuration the remote
     # compile helper can build at 4.5B. "whole" remains available for
-    # A/Bs; with n_chunks==1 the two are identical.
+    # A/Bs; with n_chunks==1 the two are identical. "scan" fuses the
+    # per-chunk loop into ONE program (lax.scan over chunks, cache as
+    # carry): the same one-chunk live set — XLA sizes scan temps at the
+    # MAX over iterations — minus the per-chunk fixed overhead the L4
+    # control measured (~0.36 s/forward: dispatch boundaries + host loop),
+    # at the cost of a uniform (max) span grid across the window's chunks.
     window_dispatch: str = "per_chunk"
 
 
@@ -264,6 +269,15 @@ class MagiPipeline:
             functools.partial(fwd_impl, statics=self.statics,
                               rope_tables=self.rope_tables,
                               sync_kv_rows=False),
+            static_argnames=("static_kv_spans",),
+            donate_argnames=("cache",),
+        )
+        # "scan" window dispatch: the whole per-chunk loop as one program
+        from ..models.magi.dit import magi_forward_window_scan
+
+        self._fwd_scan = jax.jit(
+            functools.partial(magi_forward_window_scan, statics=self.statics,
+                              rope_tables=self.rope_tables),
             static_argnames=("static_kv_spans",),
             donate_argnames=("cache",),
         )
@@ -619,7 +633,32 @@ class MagiPipeline:
                 m = max(1, int((kv_ranges[:, 1] - kv_ranges[:, 0]).max()))
                 m = 1 << (m - 1).bit_length() if m > 1 else 1
                 spans = (m,) * len(kv_ranges)
-        if rt.window_dispatch == "per_chunk" and n_chunks > 1:
+        pp_mesh = (self.mesh is not None
+                   and self.mesh.shape.get("pp", 1) > 1)
+        if rt.window_dispatch == "scan" and n_chunks > 1 and not pp_mesh:
+            # one program: lax.scan over chunks, cache as carry (same math
+            # and live set as the per-chunk loop, no dispatch boundaries)
+            velocity, cache = self._fwd_scan(
+                self.params,
+                x_window=x_window,
+                t=t,
+                captions=caps.astype(self.dtype),
+                caption_mask=masks,
+                cache=cache,
+                slice_point=jnp.int32(slice_point),
+                kv_ranges=jnp.asarray(kv_ranges, jnp.int32),
+                caption_dropout=dropout,
+                distill_dt_factor=ddt,
+                static_kv_spans=spans,
+            )
+            if rt.cfg_number >= 2:
+                ct_ = self.statics.geo.chunk_tokens
+                cache = self._sync_window(
+                    cache=cache,
+                    start=jnp.int32(slice_point) * ct_,
+                    length=n_chunks * ct_,
+                )
+        elif rt.window_dispatch in ("per_chunk", "scan") and n_chunks > 1:
             # sequential single-chunk dispatches chained through the cache:
             # chunk i's kv_range covers only chunks <= i, whose KV earlier
             # dispatches wrote — identical math at ~1/window the activation
@@ -729,7 +768,7 @@ class MagiPipeline:
             d = row[n_clean * cw:]
             return d.reshape(n_den, cw, *d.shape[1:])
 
-        if self.rt.window_dispatch == "per_chunk" and n_den > 1:
+        if self.rt.window_dispatch in ("per_chunk", "scan") and n_den > 1:
             # the prefix-free uncond rows are independent — dispatch them
             # one chunk at a time for the same live-set reduction as the
             # main per-chunk window loop

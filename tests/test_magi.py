@@ -550,3 +550,34 @@ def test_magi_per_chunk_dispatch_with_quant_and_prefix():
     # noise, not a semantic difference
     for w, p in zip(whole, per_chunk):
         np.testing.assert_allclose(p, w, atol=1.5e-2, rtol=1.5e-2)
+
+
+@pytest.mark.parametrize("cfg_n,quant", [(1, False), (3, True)])
+def test_magi_scan_dispatch_matches_per_chunk(cfg_n, quant):
+    """window_dispatch="scan" (the per-chunk loop fused into one lax.scan
+    program, cache as carry) must reproduce the per_chunk walk exactly —
+    the chunks consume identical cache states in both dispatch shapes, so
+    unlike whole-vs-per_chunk there is no quantization-order divergence."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(tiny_magi_config(), num_attention_heads=4,
+                      num_query_groups=2)
+    params = init_magi_params(jax.random.key(5), cfg, jnp.float32)
+    cap = jnp.zeros((1, cfg.caption_max_length, cfg.caption_channels),
+                    jnp.float32)
+    cmask = jnp.ones((1, cfg.caption_max_length), jnp.int32)
+
+    def walk(dispatch):
+        rt = MagiRuntimeConfig(num_steps=4, window_size=2, chunk_width=2,
+                               cfg_number=cfg_n, quantize_kv=quant,
+                               noise2clean_kvrange=(2, 1),
+                               window_dispatch=dispatch)
+        pipe = MagiPipeline(cfg, rt, params=params, latent_h=8, latent_w=8,
+                            max_chunks=6, dtype=jnp.float32)
+        return [np.asarray(lat) for _, lat
+                in pipe.generate_chunks(cap, cmask, chunk_num=3)]
+
+    a = walk("per_chunk")
+    b = walk("scan")
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-5)
