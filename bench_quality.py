@@ -7,7 +7,7 @@ relative per-metric divergence of the decoded videos (quality_delta from
 `eval/vde.py`, including the optical-flow + MUSIQ-style plug-ins). With
 identical weights the true content is identical — any delta is pure
 numerical divergence introduced by quantization, which is exactly the
-quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r04.json and
+quantity the <=0.5 VBench-delta gate bounds. Writes QUALITY_r05.json and
 prints one JSON line.
 """
 import json
@@ -119,8 +119,34 @@ def main():
     aq_deltas = quality_delta(vid_b, vid_q, n_chunks=3, metrics=metrics)
     aq_lat_rel = float(np.abs(lat_aq - lat_int8).mean()
                        / (np.abs(lat_int8).mean() + 1e-8))
+    # w8a8 VAE decode (set_vae_conv_impl("halo_w8a8"): int8 x int8 conv
+    # MXU serving mode, -28..-37% per conv class) — decode the SAME bf16
+    # latents through both impls; the delta is pure conv-quantization
+    # error. TPU only (the kernel never routes off-TPU outside tests).
+    w8a8_deltas = {}
+    if jax.default_backend() == "tpu":
+        from inferix_tpu.models.wan.vae import set_vae_conv_impl
+
+        try:
+            set_vae_conv_impl("halo_w8a8")
+            vae_w = CausalVAE(VAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 2),
+                                        num_res_blocks=1,
+                                        temperal_downsample=(True, True)),
+                              params=vae.params)
+            vid_w = np.asarray(
+                vae_w.decode(jnp.asarray(lat_bf16)))[0] * 0.5 + 0.5
+        finally:
+            set_vae_conv_impl("xla")
+        vid_w = np.clip(vid_w, 0, 1)
+        w8a8_deltas = quality_delta(vid_a, vid_w, n_chunks=3,
+                                    metrics=metrics)
+
     out = {
         "metric": "quant_quality_delta",
+        "w8a8_decode_per_metric_rel_delta": {
+            k: round(v, 4) for k, v in w8a8_deltas.items()},
+        "w8a8_decode_max_metric_delta": round(
+            max(w8a8_deltas.values()), 4) if w8a8_deltas else None,
         "latent_mean_rel_diff": round(lat_rel, 4),
         "per_metric_rel_delta": {k: round(v, 4) for k, v in deltas.items()},
         "max_metric_delta": round(max(deltas.values()), 4),
@@ -135,7 +161,7 @@ def main():
                  "measure pure quantization-induced numerical divergence "
                  "on identical content"),
     }
-    with open("QUALITY_r04.json", "w") as f:
+    with open("QUALITY_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

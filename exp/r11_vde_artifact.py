@@ -71,6 +71,11 @@ for i in range(a.clips):
     video = pipe.run_text_to_video(
         [f"clip {i}"], num_frames=frames, seed=100 + i,
         decode_mode=DecodeMode.AFTER_ALL)
+    # block before stopping the clock: jax dispatch is async, so without
+    # this the timing excludes most of the decode's execution (the round-4
+    # VDE_r04 "11.6 pixel f/s" was inflated exactly this way — the honest
+    # AFTER_ALL number is the ~7.4 f/s class)
+    jax.block_until_ready(video)
     gen_s = time.perf_counter() - t0
     px = latents_to_uint8(np.asarray(video[0]))
     path = save_video(px, f"exp/vde_clips/clip_{i}.mp4")
