@@ -284,18 +284,21 @@ def attn_block(p, x):
     At the decode-real shape (480x832 latents -> HW=6240 tokens) the naive
     einsum materializes a [T, 6240, 6240] f32 logits tensor (467 MB) — the
     r16 decode trace attributes ~50 ms/chunk to its fusions. Large frames
-    route through the flash/chunked attention dispatcher instead (the same
-    numerics to online-softmax reassociation); tiny test shapes keep the
-    exact reference formulation."""
+    route through the chunked online-softmax attention instead (same
+    numerics to reassociation). NOT the Pallas flash kernel: with a single
+    384-dim head there are only B*T grid-parallel units and the kernel
+    measured ~0.8 s/chunk — 16x worse than the einsum it replaced
+    (exp/r6_results/q2_decode_xla.log vs vae_decode_xla.log)."""
     b, t, h, w, c = x.shape
     y = rms_norm_spatial(p["norm"], x)
     qkv = _conv3d(p["qkv"], y)                      # [B,T,H,W,3C]
     qkv = qkv.reshape(b * t, h * w, 3, c)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if h * w >= 4096:
-        from ...ops.attention import cache_attention
+        from ...ops.attention import attention_chunked
 
-        o = cache_attention(q[:, :, None], k[:, :, None], v[:, :, None])
+        o, _ = attention_chunked(q[:, :, None], k[:, :, None],
+                                 v[:, :, None], chunk_size=2048)
         o = o[:, :, 0]
     else:
         logits = jnp.einsum("bqc,bkc->bqk", q, k,
