@@ -155,9 +155,14 @@ def _conv3d(p, x, t_stride=1, s_stride=1, spatial_pad="same"):
     # kt==3 shape (res_L3 13.2 vs 15.6 ms, L1b 3.61 vs 3.77, L2 tie) and
     # LOSING the kt==1 upsample conv (9.1 vs 8.3) — XLA's 2D conv lowering
     # is already good there.
+    # halo gate: 3x3x3 for the lossless kernel (bf16 halo LOSES the kt==1
+    # upsample class to XLA's 2D lowering, r13); w8a8 additionally takes
+    # the 1x3x3 upsample convs — the int8 MXU rate covers what the bf16
+    # kernel lost there (A/B'd at the engine level like everything else).
+    kt_ok = (kt == 3) if _CONV_IMPL == "halo" else (kt in (1, 3))
     if (_CONV_IMPL in ("halo", "halo_w8a8") and t_stride == 1
             and s_stride == 1
-            and kt == 3 and kh == 3 and kw == 3 and spatial_pad == "same"
+            and kt_ok and kh == 3 and kw == 3 and spatial_pad == "same"
             and x.shape[2] * x.shape[3] >= 256):
         interp = jax.default_backend() != "tpu"
         # Off-TPU the Pallas kernel only runs in interpret mode, which is

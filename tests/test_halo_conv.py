@@ -116,11 +116,12 @@ def test_vae_halo_without_interpret_ok_falls_back_to_xla_off_tpu():
     assert not calls, "halo kernel must not run in interpret mode by default"
 
 
-@pytest.mark.parametrize("tin,h,w,cin,cout", [
-    (4, 12, 20, 96, 96),        # single cout block
-    (3, 7, 104, 384, 384),      # cout blocking (n_co > 1)
+@pytest.mark.parametrize("tin,h,w,cin,cout,kt", [
+    (4, 12, 20, 96, 96, 3),     # single cout block
+    (3, 7, 104, 384, 384, 3),   # cout blocking (n_co > 1)
+    (4, 12, 20, 192, 96, 1),    # kt=1: the upsample conv class (w8a8-only)
 ])
-def test_halo_conv_w8a8_matches_oracle(tin, h, w, cin, cout):
+def test_halo_conv_w8a8_matches_oracle(tin, h, w, cin, cout, kt):
     """W8A8 halo conv vs the f32 oracle at quantization-appropriate
     tolerance (per-tensor act scale + per-channel weight scale => relative
     error ~1/127 of the activation/weight dynamic range)."""
@@ -128,7 +129,7 @@ def test_halo_conv_w8a8_matches_oracle(tin, h, w, cin, cout):
 
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((tin, h, w, cin)) * 0.1, jnp.float32)
-    wt = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.05,
+    wt = jnp.asarray(rng.standard_normal((kt, 3, 3, cin, cout)) * 0.05,
                      jnp.float32)
     b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
     out = halo_conv3d_w8a8(x, wt, b, interpret=True)
