@@ -22,9 +22,15 @@ sys.path.insert(0, "/root/repo")
 
 from inferix_tpu.core.config import EngineConfig
 from inferix_tpu.models.wan.causal_dit import init_params
-from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig, set_vae_conv_impl
 from inferix_tpu.pipeline.semi_ar import SemiARGenerator
 from inferix_tpu.quant.api import quantize_params
+
+# VAE_CONV=halo_w8a8: the int8-conv decode serving mode (quality-gated in
+# QUALITY_r05; -28% decode vs the lossless default)
+import os as _os
+_IMPL = _os.environ.get("VAE_CONV", "xla")
+set_vae_conv_impl(_IMPL)
 
 
 def _sync(x):
@@ -84,7 +90,8 @@ _sync(cache.k)
 dt = time.perf_counter() - t0
 
 line = json.dumps({
-    "exp": "true_streaming_e2e", "window_frames": 12, "sink_frames": 1,
+    "exp": "true_streaming_e2e", "conv_impl": _IMPL,
+    "window_frames": 12, "sink_frames": 1,
     "pixel_frames_per_s": round(pixel_frames / dt, 3),
     "latent_frames_per_s": round(n * fpb / dt, 3),
     "s_per_block_wall": round(dt / n, 3),

@@ -10,8 +10,11 @@ set -x
 # 1. whole-decode: chunked-attn route vs the 757.5 einsum baseline
 VAE_CONV=xla       timeout 2400 python exp/r4_vae_decode.py > $R/q3_decode_xla.log 2>&1
 VAE_CONV=halo_w8a8 timeout 2400 python exp/r4_vae_decode.py > $R/q3_decode_w8a8.log 2>&1
-# 2. TRUE_STREAMING with the final lossless decode
+# T=6 (2 blocks per decode dispatch): latency/throughput trade row
+VAE_CONV=halo_w8a8 timeout 2400 python exp/r4_vae_decode.py 6 > $R/q3_decode_w8a8_t6.log 2>&1
+# 2. TRUE_STREAMING with the final lossless decode, then the w8a8 mode
 timeout 2400 python exp/r4_truestream.py > $R/q3_truestream.log 2>&1
+VAE_CONV=halo_w8a8 timeout 2400 python exp/r4_truestream.py > $R/q3_truestream_w8a8.log 2>&1
 
 # 3. MAGI scan-dispatch A/B at the r60 geometry (per_chunk warm from q2)
 MAGI_RES=60 MAGI_WEIGHTS=int8 MAGI_KV=int8 MAGI_CFG=1 MAGI_DISPATCH=scan \
