@@ -86,10 +86,6 @@ def driver():
 threading.Thread(target=driver, daemon=True).start()
 
 
-class TimedSession(InteractiveSession):
-    pass
-
-
 orig_eval = session.evaluate_checkpoint
 
 
