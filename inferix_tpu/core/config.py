@@ -147,6 +147,12 @@ class RuntimeConfig:
     memory_mode: MemoryMode = MemoryMode.RELAXED
     vae_chunk_size: int = 2
     free_cache_before_vae: bool = True
+    # VAE conv implementation for the decode path: "xla" (lossless default)
+    # | "halo" (lossless Pallas, measured a wash at whole-decode) |
+    # "halo_w8a8" (int8-conv serving mode: -28% decode, 545.7 vs 757.5
+    # ms/chunk at 480x832 — LOSSY, gated by QUALITY_r05's w8a8_decode
+    # delta). Pipelines apply it at init (trace-time static).
+    vae_conv_impl: str = "xla"
     # Streaming segments
     frames_per_segment: int = 21
     overlap_frames: int = 3

@@ -72,6 +72,10 @@ class SelfForcingPipeline(AbstractInferencePipeline):
 
         set_fused_act_quant(cfg.quant.enabled and cfg.quant.fused_act_quant)
         set_rope_impl("mxu" if cfg.runtime.rope_mxu else "pairs")
+        if getattr(cfg.runtime, "vae_conv_impl", "xla") != "xla":
+            from ..models.wan.vae import set_vae_conv_impl
+
+            set_vae_conv_impl(cfg.runtime.vae_conv_impl)
         self.generator = SemiARGenerator(cfg, self._params, dtype=self._dtype)
         self.kv_manager = KVCacheManager(self.generator.statics.spec)
         if self._vae is None and cfg.runtime.decode_mode != DecodeMode.NO_DECODE:
