@@ -162,3 +162,25 @@ def test_shifted_matmul_conv_impl_matches_xla():
     assert np.isfinite(got).all()
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_upsample_phase_conv_matches_repeat_conv():
+    """_upsample2x_conv3x3 (4 phase-wise 2x2 convs at low res) must equal
+    the reference formulation conv3x3(nearest_repeat_2x(x)) exactly —
+    the phase kernels are pairwise sums of the 3x3 weights and the border
+    zero-pads line up; any drift here is an implementation bug, not fp
+    noise (tolerance is ulp-level)."""
+    from inferix_tpu.models.wan.vae import _upsample2x_conv3x3
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 3, 7, 11, 16)), jnp.float32)
+    p = {"w": jnp.asarray(rng.standard_normal((1, 3, 3, 16, 8)) * 0.1,
+                          jnp.float32),
+         "b": jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)}
+    ref_in = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    ref = jax.lax.conv_general_dilated(
+        ref_in, p["w"], (1, 1, 1), [(0, 0), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + p["b"]
+    got = _upsample2x_conv3x3(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
