@@ -22,7 +22,8 @@ sys.path.insert(0, "/root/repo")
 
 from inferix_tpu.core.config import EngineConfig
 from inferix_tpu.models.wan.causal_dit import init_params
-from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig, set_vae_conv_impl
+from inferix_tpu.models.wan.vae import (
+    CausalVAE, VAEConfig, set_vae_conv_impl, set_vae_upsample_impl)
 from inferix_tpu.pipeline.semi_ar import SemiARGenerator
 from inferix_tpu.quant.api import quantize_params
 
@@ -31,6 +32,9 @@ from inferix_tpu.quant.api import quantize_params
 import os as _os
 _IMPL = _os.environ.get("VAE_CONV", "xla")
 set_vae_conv_impl(_IMPL)
+# VAE_UPSAMPLE=phase: the low-res 2x2 phase-conv upsample A/B
+_UPS = _os.environ.get("VAE_UPSAMPLE", "repeat")
+set_vae_upsample_impl(_UPS)
 
 
 def _sync(x):
@@ -90,7 +94,7 @@ _sync(cache.k)
 dt = time.perf_counter() - t0
 
 line = json.dumps({
-    "exp": "true_streaming_e2e", "conv_impl": _IMPL,
+    "exp": "true_streaming_e2e", "conv_impl": _IMPL, "upsample_impl": _UPS,
     "window_frames": 12, "sink_frames": 1,
     "pixel_frames_per_s": round(pixel_frames / dt, 3),
     "latent_frames_per_s": round(n * fpb / dt, 3),

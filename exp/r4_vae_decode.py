@@ -25,12 +25,16 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig, set_vae_conv_impl
+from inferix_tpu.models.wan.vae import (
+    CausalVAE, VAEConfig, set_vae_conv_impl, set_vae_upsample_impl)
 
 # VAE_CONV=shifted_matmul: the MXU conv formulation A/B (exp/r12_vae_conv.py)
 import os as _os
 _IMPL = _os.environ.get("VAE_CONV", "xla")
 set_vae_conv_impl(_IMPL)
+# VAE_UPSAMPLE=phase: the low-res 2x2 phase-conv upsample A/B
+_UPS = _os.environ.get("VAE_UPSAMPLE", "repeat")
+set_vae_upsample_impl(_UPS)
 
 
 def _sync(x):
@@ -67,6 +71,7 @@ combined = pix_frames / (gen_s_per_block * blocks_per_chunk + dt)
 
 line = json.dumps({
     "exp": "vae_decode_480x832_bf16", "conv_impl": _IMPL,
+    "upsample_impl": _UPS,
     "latent_frames_per_dispatch": T,
     "ms_per_chunk": round(dt * 1e3, 1),
     "ms_per_latent_frame": round(dt * 1e3 / T, 1),

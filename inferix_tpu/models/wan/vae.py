@@ -115,6 +115,26 @@ def set_vae_conv_impl(impl: str, interpret_ok: bool = False) -> None:
     _HALO_INTERPRET_OK = interpret_ok
 
 
+# Upsample-conv formulation. "repeat" = nearest-2x jnp.repeat then 3x3 SAME
+# conv through _conv2d (the measured round-4/5 configuration; under
+# conv_impl="halo_w8a8" the kt=1 conv routes to the int8 halo kernel).
+# "phase" = _upsample2x_conv3x3: 4 exact 2x2 convs at LOW resolution
+# (16/36 of the MACs, no repeat/pad layout ops) — bit-equal by test, but a
+# first TRUE_STREAMING run with it measured SLOWER (7.318 vs 7.857 pixel
+# f/s; the 4 small convs + phase-interleave transpose lose more than the
+# saved MACs buy), so it ships opt-in pending the >1% flip rule like every
+# other formulation switch. It also bypasses _conv2d, so it never applies
+# under halo_w8a8.
+_UPSAMPLE_IMPL = "repeat"
+
+
+def set_vae_upsample_impl(impl: str) -> None:
+    """"repeat" | "phase" — see _UPSAMPLE_IMPL comment."""
+    global _UPSAMPLE_IMPL
+    assert impl in ("repeat", "phase")
+    _UPSAMPLE_IMPL = impl
+
+
 def _spatial_pads(kh, kw, spatial_pad):
     if spatial_pad == "same":
         return [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
@@ -404,9 +424,14 @@ def resample(p, x, ctx: _CacheCtx, mode: str):
             t = x.shape[1]
 
     if mode in ("upsample2d", "upsample3d"):
-        # nearest-exact 2x then 3x3 conv to half channels — computed as 4
-        # phase-wise 2x2 convs at LOW resolution (see _upsample2x_conv3x3)
-        x = _upsample2x_conv3x3(p["conv"], x)
+        # nearest-exact 2x then 3x3 conv to half channels; "phase" opt-in
+        # computes it as 4 phase-wise 2x2 convs at LOW resolution
+        # (see _upsample2x_conv3x3 / _UPSAMPLE_IMPL)
+        if _UPSAMPLE_IMPL == "phase" and _CONV_IMPL != "halo_w8a8":
+            x = _upsample2x_conv3x3(p["conv"], x)
+        else:
+            x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+            x = _conv2d(p["conv"], x)
     elif mode in ("downsample2d", "downsample3d"):
         x = _conv2d(p["conv"], x, stride=2, spatial_pad="down")
         if mode == "downsample3d":
