@@ -38,10 +38,17 @@ set_vae_conv_impl(_IMPL)
 set_vae_upsample_impl(os.environ.get("VAE_UPSAMPLE", "repeat"))
 
 cfg = EngineConfig()
+# the rolling-window TRUE_STREAMING serving config (as r4_truestream.py):
+# full-cache generation (5.6 GB bf16 KV) + the VAE decode working set OOMs
+# one 15.75 GiB v5e — the 12-frame window + sink + int8 KV is the
+# long-video serving mode (reference: >=24 GB GPU for TRUE_STREAMING,
+# pipeline.py:510-523; the window cache makes it fit 16 GB-class chips)
+cfg.model.local_attn_size = 12
+cfg.model.sink_size = 1
 cfg.quant.enabled = True
 cfg.quant.dtype = "int8"
 cfg.quant.granularity = "per_channel"
-cfg.quant.quantize_kv_cache = False
+cfg.quant.quantize_kv_cache = True
 cfg.runtime = dataclasses.replace(
     cfg.runtime, context_mode="last_step",
     streaming_mode=StreamingMode.TRUE_STREAMING)
