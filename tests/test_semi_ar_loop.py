@@ -352,19 +352,39 @@ def test_span_grid_bound_and_threading(gen):
     mt = gen.statics.spec.max_tokens
     gen.span_grid = True
     try:
-        # block 0 -> 1 block; block 2 -> 4-block bucket; always >= live end
+        # block 0 -> 1 block; block 2 -> 4-block bucket; always >= live
+        # end. A bucket reaching the cache size folds to None (the default
+        # full-grid program IS that computation — no twin compile).
         for blk in range(mt // bt):
             start_frame = blk * fpb
             bound = gen._span_bound(start_frame, fpb)
             end = start_frame * gen.frame_seq + bt
-            assert bound is not None and bound >= min(end, mt), (blk, bound)
-            assert bound <= mt
             nblk = -(-end // bt)
             p2 = 1 << (nblk - 1).bit_length()
-            assert bound == min(p2 * bt, mt), (blk, bound)
+            if p2 * bt >= mt:
+                assert bound is None, (blk, bound)
+            else:
+                assert bound == p2 * bt and bound >= end, (blk, bound)
         # traced / per-stream starts opt out
         assert gen._span_bound(jnp.int32(0), fpb) is None
         assert gen._span_bound(np.int64(0), fpb) is not None
+        # "ttfb" mode: trimmed grids only while the bucket is <= half the
+        # cache; later blocks use the default program (None)
+        gen.span_grid = "ttfb"
+        saw_bound = saw_none = False
+        for blk in range(mt // bt):
+            b = gen._span_bound(blk * fpb, fpb)
+            if b is None:
+                saw_none = True
+            else:
+                saw_bound = True
+                assert b <= mt // 2
+        assert saw_bound and saw_none
+        from inferix_tpu.pipeline.semi_ar import span_bucket
+        assert span_bucket(0, bt, mt) == bt
+        assert span_bucket(0, bt, mt, ttfb_only=True) == bt
+        assert span_bucket(mt - bt, bt, mt) is None
+        assert span_bucket(mt - bt, bt, mt, ttfb_only=True) is None
     finally:
         gen.span_grid = False
 
