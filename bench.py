@@ -51,12 +51,20 @@ def run_config(cfg, params, dtype):
     ).astype(dtype)
     rng = jax.random.key(2)
 
-    # warmup / compile. _sync(cache.k) as well: with the split dispatch the
-    # context re-run is a SECOND program that x0 does not depend on — timing
-    # regions must not start while a previous region's re-run still occupies
-    # the chip, and the fps loop must include the final block's re-run.
+    # warmup / compile — a FULL clip, not just block 0: span_grid buckets
+    # (default ON since r5) give early blocks their own programs, which
+    # must all be compiled before the timed regions. _sync(cache.k) as
+    # well: with the split dispatch the context re-run is a SECOND program
+    # that x0 does not depend on — timing regions must not start while a
+    # previous region's re-run still occupies the chip, and the fps loop
+    # must include the final block's re-run.
+    num_blocks_warm = r.num_frames // fpb
     cache = gen.init_cache()
-    x0, cache = gen.denoise_block(cache, xattn, noise_block, rng, 0)
+    wframe = 0
+    for _ in range(num_blocks_warm):
+        rng, sub = jax.random.split(rng)
+        x0, cache = gen.denoise_block(cache, xattn, noise_block, sub, wframe)
+        wframe += fpb
     _sync(x0)
     _sync(cache.k)
 

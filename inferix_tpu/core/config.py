@@ -166,13 +166,15 @@ class RuntimeConfig:
     # bound on the live cache prefix per block so early blocks' Pallas
     # kernels stop stepping over the whole padded cache (dead-grid-step
     # suspect, exp/r5_span_grid.py). Costs one extra compile per bucket
-    # (~log2(num_blocks), persistently cached). Measured (BASELINE r4):
-    # True = -8.3% TTFB but -1.9% clip throughput (bucket-program dispatch
-    # boundaries inside the clip). "ttfb" buckets only while the bound is
-    # <= half the cache — early blocks (the TTFB path) get trimmed grids,
-    # every later block dispatches the SAME full-grid program as
-    # span_grid=False, so steady-state throughput is untouched.
-    span_grid: bool | str = False
+    # (~log2(num_blocks), persistently cached). Default ON [r5]: once
+    # max-size buckets fold to the default program (span_bucket) the
+    # round-4 "-1.9% clip throughput" cost — which came from a max_span==
+    # cache_size TWIN program at steady state — disappears, and two clean
+    # A/B runs measure True at +1.4..1.9% clip f/s AND -5..9% TTFB vs off
+    # (exp/r6_results/q6_span_ttfb*.log). "ttfb" buckets only while the
+    # bound is <= half the cache (early blocks only) — a middle setting
+    # retained for deployments that want zero in-clip program switching.
+    span_grid: bool | str = True
     # Head-major KV cache layout [L, B, H, S, D] (KVCacheSpec.head_major):
     # makes the flash kernels' [B*H, S, D] operand fold a free reshape
     # instead of a per-layer full-cache transpose copy, at the price of a
