@@ -314,6 +314,118 @@ def magi24b(tp: int, sp: int, pp: int):
           "finite": bool(np.isfinite(np.asarray(chunks[-1][1])).all())})
 
 
+def disagg(n_dec: int = 1):
+    """Disaggregated TRUE_STREAMING: gen on chip 0, PER_BLOCK VAE decode on
+    `n_dec` dedicated decode chips (spatially tiled when n_dec > 1).
+
+    Single-chip HEAD measured interleaved wall = gen + decode EXACTLY
+    (BASELINE.md round-5: 0.80 s gen + 0.73 s decode = 1.53 s/block
+    lossless). With decode on its own chip(s), the decode program executes
+    while the next block's denoise runs, so steady-state block wall should
+    approach max(gen, decode).
+
+    PRE-REGISTERED pass rule: interleaved_block_ms <=
+    1.15 * max(gen_block_ms, decode_block_ms). Lossless expectation:
+    ~0.81 s/block => ~14.8 pixel f/s from 2 chips (vs 7.84 from 1)."""
+    import functools
+
+    from inferix_tpu.core.config import EngineConfig, tiny_test_config
+    from inferix_tpu.models.wan.causal_dit import init_params
+    from inferix_tpu.models.wan.vae import CausalVAE, VAEConfig
+    from inferix_tpu.parallel.disaggregated import DisaggregatedVAEDecoder
+    from inferix_tpu.pipeline.semi_ar import SemiARGenerator, \
+        _denoise_block_impl
+    from inferix_tpu.quant.api import quantize_params
+
+    devs = jax.devices()
+    assert len(devs) >= 1 + n_dec, f"need {1 + n_dec} devices"
+    dec_devs = devs[1:1 + n_dec]
+
+    cfg = tiny_test_config() if _virtual else EngineConfig()
+    cfg.quant.enabled = True
+    cfg.quant.quantize_kv_cache = True
+    cfg.runtime.context_mode = "last_step"  # fast-context serving config
+    dtype = jnp.float32 if _virtual else jnp.bfloat16
+    params = quantize_params(
+        init_params(jax.random.key(0), cfg.model, dtype=dtype), cfg.quant)
+    params = jax.device_put(params, devs[0])
+    gen = SemiARGenerator(cfg, params, dtype=dtype)
+    m, r = cfg.model, cfg.runtime
+
+    vcfg = VAEConfig() if not _virtual else VAEConfig(
+        dim=16, z_dim=r.latent_channels, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,))
+    vae = CausalVAE(vcfg, key=jax.random.key(9), dtype=dtype)
+    dec = DisaggregatedVAEDecoder(vae, dec_devs, overlap=2)
+
+    cache = jax.device_put(gen.init_cache(), devs[0])
+    xattn = gen.encode_text_context(
+        jnp.zeros((1, m.text_len, m.text_dim), dtype))
+    fn = jax.jit(functools.partial(
+        _denoise_block_impl, statics=gen.statics, steps=gen.denoising_steps,
+        context_noise=gen.context_noise), donate_argnames=("cache",))
+
+    def gen_step(blk):
+        nonlocal cache
+        noisy = jax.random.normal(
+            jax.random.key(100 + blk),
+            (1, m.num_frame_per_block, r.latent_height, r.latent_width,
+             r.latent_channels)).astype(dtype)
+        x0, cache = fn(gen.params, gen.rope_tables, gen.schedule, cache,
+                       xattn, noisy, jax.random.key(blk),
+                       jnp.int32((blk % 4) * m.num_frame_per_block))
+        return x0
+
+    n_blocks = 2 if _virtual else 8
+    # warm: one first block + TWO steady blocks (the steady decode program
+    # compiles on the first first=False call and once more when the carried
+    # cache becomes decode-device-committed — measured on virtual devices)
+    x0 = gen_step(0)
+    px, dcache = dec.decode_chunk(x0, None, first=True)
+    px.block_until_ready()
+    for wb in (30, 31):
+        xw = gen_step(wb)
+        px, dcache = dec.decode_chunk(xw, dcache, first=False)
+        px.block_until_ready()
+
+    # gen-only rate
+    _sync(gen_step(1))
+    t0 = time.perf_counter()
+    for b in range(n_blocks):
+        x0 = gen_step(2 + b)
+    _sync(x0)
+    gen_ms = (time.perf_counter() - t0) / n_blocks * 1e3
+
+    # decode-only rate (steady-state cache, decode devices)
+    px, dcache = dec.decode_chunk(x0, dcache, first=False)
+    px.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        px, dcache = dec.decode_chunk(x0, dcache, first=False)
+    px.block_until_ready()
+    dec_ms = (time.perf_counter() - t0) / n_blocks * 1e3
+
+    # interleaved: decode of block i overlaps denoise of block i+1
+    t0 = time.perf_counter()
+    last = None
+    for b in range(n_blocks):
+        x0 = gen_step(20 + b)
+        last, dcache = dec.decode_chunk(x0, dcache, first=False)
+    _sync(x0)
+    last.block_until_ready()
+    inter_ms = (time.perf_counter() - t0) / n_blocks * 1e3
+
+    px_frames = 4 * m.num_frame_per_block  # steady-state pixels per block
+    emit({"probe": "disagg", "n_dec": n_dec,
+          "gen_block_ms": round(gen_ms, 1),
+          "decode_block_ms": round(dec_ms, 1),
+          "interleaved_block_ms": round(inter_ms, 1),
+          "overlap_ratio": round(inter_ms / max(gen_ms, dec_ms), 3),
+          "pixel_fps": round(px_frames / (inter_ms / 1e3), 2),
+          "pass_rule": "interleaved <= 1.15 * max(gen, decode)",
+          "passed": bool(inter_ms <= 1.15 * max(gen_ms, dec_ms))})
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "sanity":
@@ -325,5 +437,7 @@ if __name__ == "__main__":
         magi_ab(int(sys.argv[2]), sys.argv[3])
     elif cmd == "magi24b":
         magi24b(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    elif cmd == "disagg":
+        disagg(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")

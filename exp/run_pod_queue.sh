@@ -29,6 +29,11 @@ timeout 7200 env $V $P magi_ab 2 ulysses         || echo "FAIL magi_ab uly"
 timeout 7200 env $V $P magi_ab 2 cso             || echo "FAIL magi_ab cso"
 timeout 7200 env $V TRACE=1 $P magi_ab 2 ulysses || echo "FAIL magi_ab trace"
 
+# 2b. disaggregated TRUE_STREAMING: gen chip + dedicated decode chip(s);
+#     pre-registered rule: interleaved block wall <= 1.15 * max(gen, decode)
+timeout 3600 env $V $P disagg 1                  || echo "FAIL disagg 1"
+timeout 3600 env $V $P disagg 2                  || echo "FAIL disagg 2"
+
 # 3. 24B base-config bring-up on the two AOT-validated factorizations
 timeout 10800 env $V $P magi24b 4 1 2            || echo "FAIL magi24b tp4xpp2"
 timeout 10800 env $V $P magi24b 2 2 2            || echo "FAIL magi24b tp2sp2pp2"

@@ -43,6 +43,26 @@ class SelfForcingPipeline(AbstractInferencePipeline):
         self._dtype = dtype
         self.generator: Optional[SemiARGenerator] = None
         self.kv_manager: Optional[KVCacheManager] = None
+        # disaggregated serving: when set (set_disaggregated_decode), the
+        # TRUE_STREAMING per-block decode runs on dedicated decode devices
+        # and overlaps with the next block's denoise (parallel/disaggregated)
+        self.disagg_decoder = None
+
+    def set_disaggregated_decode(self, devices, tiles=None, overlap: int = 2):
+        """Route TRUE_STREAMING block decode to `devices` (spatially tiled
+        across them). The generator keeps its own (sub)mesh; decode programs
+        then execute concurrently with the next block's denoise — the
+        multi-chip fix for the measured single-chip serialization
+        (BASELINE.md round-5: interleaved wall = gen + decode exactly).
+        Stream callbacks receive `PixelTiles` (device-resident handles)
+        instead of a pixel array."""
+        from ..parallel.disaggregated import DisaggregatedVAEDecoder
+
+        if self._vae is None:
+            self.setup()
+        self.disagg_decoder = DisaggregatedVAEDecoder(
+            self._vae, devices, tiles=tiles, overlap=overlap)
+        return self.disagg_decoder
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -203,6 +223,18 @@ class SelfForcingPipeline(AbstractInferencePipeline):
             if stream_callback is None:
                 return ok
             if mode == StreamingMode.TRUE_STREAMING and self._vae is not None:
+                if self.disagg_decoder is not None:
+                    # disaggregated: decode dispatches to the decode devices
+                    # and EXECUTES while the next block's denoise runs on the
+                    # generator submesh; callback gets device-resident
+                    # PixelTiles (already in [0, 1]) — nothing here blocks
+                    px, decode_state["cache"] = self.disagg_decoder.decode_chunk(
+                        block_latent, decode_state["cache"],
+                        first=decode_state["first"],
+                    )
+                    decode_state["first"] = False
+                    stream_callback(px)
+                    return ok
                 # whole-block decode (T=3): matches per-frame streaming
                 # (resample seeds the first block's temporal-conv cache with
                 # the per-frame zeros; ~1e-7 conv-fusion noise) — one conv
