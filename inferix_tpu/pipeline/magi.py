@@ -800,10 +800,18 @@ class MagiVideoPipeline(MagiPipeline):
     `pipeline/magi/video_process.py:348-388`: each clean chunk is decoded —
     optionally through tiled data-parallel processing — as it is yielded)."""
 
-    def __init__(self, *args, vae=None, tile: bool = False, **kwargs):
+    def __init__(self, *args, vae=None, tile: bool = False,
+                 decode_devices=None, **kwargs):
+        """decode_devices: route the per-chunk decode to dedicated decode
+        devices (disaggregated serving — the ViT-VAE is stateless per chunk,
+        so this is the existing tile distribution pointed at a decode
+        submesh; decode then overlaps the next chunk's denoise, cf.
+        `parallel/disaggregated.py` for the Wan streaming analog). Implies
+        tiled processing across those devices."""
         super().__init__(*args, **kwargs)
         self.vae = vae
-        self.tile = tile
+        self.decode_devices = list(decode_devices) if decode_devices else None
+        self.tile = tile or self.decode_devices is not None
 
     def generate_video(
         self,
@@ -827,6 +835,7 @@ class MagiVideoPipeline(MagiPipeline):
                     fn=self.vae.decode,
                     scale_t=self.vae.cfg.patch_length,
                     scale_hw=self.vae.cfg.patch_size,
+                    devices=self.decode_devices,
                 )
                 px = jnp.asarray(tp.process(
                     chunk, tile_t=chunk.shape[1],

@@ -58,8 +58,11 @@ class SelfForcingPipeline(AbstractInferencePipeline):
         instead of a pixel array."""
         from ..parallel.disaggregated import DisaggregatedVAEDecoder
 
-        if self._vae is None:
+        if self.generator is None:
             self.setup()
+        assert self._vae is not None, (
+            "disaggregated decode needs a VAE (decode_mode=NO_DECODE builds "
+            "none — construct the pipeline with an explicit vae)")
         self.disagg_decoder = DisaggregatedVAEDecoder(
             self._vae, devices, tiles=tiles, overlap=overlap)
         return self.disagg_decoder

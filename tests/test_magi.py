@@ -144,6 +144,35 @@ def test_magi_video_pipeline_decodes_chunks():
     assert np.isfinite(np.asarray(video)).all()
 
 
+def test_magi_video_pipeline_disaggregated_decode():
+    """decode_devices routes the per-chunk tiled decode to dedicated decode
+    devices (disaggregated serving); pixels match the default-device tiled
+    decode (ViT-VAE is stateless per chunk, so this is pure routing)."""
+    import dataclasses
+
+    from inferix_tpu.models.magi.vae import ViTVAE, tiny_vitvae_config
+    from inferix_tpu.pipeline.magi import MagiVideoPipeline
+
+    mcfg = dataclasses.replace(tiny_magi_config(), in_channels=4,
+                               out_channels=4)
+    rt = MagiRuntimeConfig(num_steps=2, window_size=1, chunk_width=2)
+    vae = ViTVAE(tiny_vitvae_config(), key=jax.random.key(1))
+    kw = dict(latent_h=8, latent_w=8, max_chunks=4, dtype=jnp.float32,
+              vae=vae)
+    cap = jnp.zeros((1, mcfg.caption_max_length, mcfg.caption_channels))
+    cmask = jnp.ones((1, mcfg.caption_max_length), jnp.int32)
+
+    dis = MagiVideoPipeline(mcfg, rt, decode_devices=jax.devices()[4:6],
+                            **kw)
+    assert dis.tile  # decode_devices implies tiled processing
+    got = dis.generate_video(cap, cmask, chunk_num=2)
+
+    ref = MagiVideoPipeline(mcfg, rt, tile=True, **kw)
+    want = ref.generate_video(cap, cmask, chunk_num=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_magi_config_from_json():
     from inferix_tpu.pipeline.magi import magi_config_from_json
 
