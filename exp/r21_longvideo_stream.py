@@ -55,9 +55,17 @@ cfg.runtime = dataclasses.replace(
 
 pipe = SelfForcingPipeline(cfg, dtype=jnp.bfloat16)
 pipe.setup()
+# DISAGG=N (pod sessions): route the PER_BLOCK decode to the last N chips
+# (spatially tiled); decode then overlaps the next block's denoise. The
+# callback below works unchanged — PixelTiles is array-like for .shape and
+# a registered pytree for block_until_ready.
 pipe.vae.params = jax.tree.map(
     lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
     pipe.vae.params)
+# (after the bf16 cast — the decoder snapshots VAE params at construction)
+_n_dec = int(os.environ.get("DISAGG", "0"))
+if _n_dec:
+    pipe.set_disaggregated_decode(jax.devices()[-_n_dec:])
 
 state = {"n": 0, "last": None}
 
@@ -83,8 +91,9 @@ segs = pipe.run_streaming_generation(["x"], num_segments=n_seg,
 jax.block_until_ready(state["last"])
 wall = time.perf_counter() - t0
 frames = sum(int(s.shape[1]) for s in segs)
+_lastpx = (state["last"].tiles[0] if _n_dec else state["last"])
 finite = bool(np.isfinite(np.asarray(
-    jax.device_get(state["last"][0, -1, :2, :2, 0]))).all())
+    jax.device_get(_lastpx[0, -1, :2, :2, 0]))).all())
 line = json.dumps({
     "metric": "long_video_true_streaming", "conv_impl": _IMPL,
     "segments": n_seg, "unique_latent_frames": frames,

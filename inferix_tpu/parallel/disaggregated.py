@@ -75,6 +75,13 @@ class PixelTiles:
     spans: List[Tuple[int, int, int, int]]  # latent (w0, w1, keep0, keep1)
     scale: int = 8
 
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        """Assembled pixel shape [B, T_px, H_px, W_px, C] — array-like so
+        existing stream callbacks (frame counting) work unchanged."""
+        b, tpx, hpx, _, c = self.tiles[0].shape
+        return (b, tpx, hpx, self.spans[-1][1] * self.scale, c)
+
     def block_until_ready(self) -> "PixelTiles":
         for t in self.tiles:
             t.block_until_ready()
@@ -101,6 +108,15 @@ class PixelTiles:
             else:
                 out[:, :, :, w0 * s:w0 * s + res.shape[3]] = res
         return out
+
+
+# pytree registration: jax.block_until_ready / tree.map over PixelTiles
+# work out of the box (tiles are the children; seam geometry is static)
+jax.tree_util.register_pytree_node(
+    PixelTiles,
+    lambda p: (tuple(p.tiles), (tuple(p.spans), p.scale)),
+    lambda aux, tiles: PixelTiles(list(tiles), list(aux[0]), aux[1]),
+)
 
 
 class DisaggregatedVAEDecoder:

@@ -30,6 +30,20 @@ def _tiny_vae():
     )
 
 
+def test_pixel_tiles_pytree_and_shape():
+    """PixelTiles is a registered pytree with an array-like shape, so
+    jax.block_until_ready and frame-counting callbacks work unchanged."""
+    spans = _split_w(16, 2, 2)
+    tiles = [jnp.zeros((1, 3, 8, (w1 - w0) * 8, 3)) for w0, w1, _, _ in spans]
+    pt = PixelTiles(tiles, spans, 8)
+    assert pt.shape == (1, 3, 8, 128, 3)
+    out = jax.block_until_ready(pt)
+    assert isinstance(out, PixelTiles)
+    doubled = jax.tree.map(lambda t: t + 1.0, pt)
+    assert isinstance(doubled, PixelTiles)
+    assert float(doubled.tiles[0].max()) == 1.0
+
+
 def test_split_w_geometry():
     spans = _split_w(16, 4, 2)
     assert spans[0] == (0, 6, 0, 4)
